@@ -1,0 +1,31 @@
+"""opengpc_tpu — a TPU-native Global Patch Collider framework.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capabilities of
+bamert/openGPC (sparse stereo/flow correspondence via learned fern
+forests), designed TPU-first:
+
+* dense masked compute instead of index-list sparsity,
+* one fused preprocessing + leaf-code kernel (Pallas) instead of SSE
+  intrinsics,
+* sort + segmented unique-collision matching instead of hash tables,
+* ``vmap`` over stereo pairs and ``shard_map`` over device meshes instead
+  of ``std::thread`` row partitioning,
+* vectorized greedy fern training over the whole triplet tensor.
+
+Persistent artifacts (text forest format, binary triplet datasets, sparse
+disparity outputs) are bit-compatible with the reference.
+"""
+
+from opengpc_tpu.forest import (
+    Forest,
+    Fern,
+    Test,
+    FilterMask,
+    load_forest,
+    save_forest,
+    parse_forest,
+    serialize_forest,
+    make_filter_mask,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,176 @@
+"""Golden-file and round-trip tests for the persistent artifact contracts
+(SURVEY.md §4 item 1)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from opengpc_tpu import forest as forest_mod
+from opengpc_tpu.forest import (
+    Forest,
+    Fern,
+    Test,
+    load_forest,
+    parse_forest,
+    serialize_forest,
+    make_filter_mask,
+)
+from opengpc_tpu.io import (
+    read_flo,
+    write_flo,
+    read_raw,
+    write_raw,
+    load_triplets,
+    save_triplets,
+    read_gray,
+    read_rgb,
+    write_png,
+    read_png,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZERO_FOREST = os.path.join(REPO, "forests", "defaultZeroForest.txt")
+TAU_FOREST = os.path.join(REPO, "forests", "defaultTauForest.txt")
+
+
+class TestForestFormat:
+    def test_parse_default_zero(self):
+        f = load_forest(ZERO_FOREST)
+        assert len(f.ferns) == 6
+        assert [fern.scale for fern in f.ferns] == [2, 2, 1, 1, 0, 0]
+        assert all(len(fern.tests) == 5 for fern in f.ferns)
+        assert f.is_zero
+        # first test of first fern: "0 -3 -3 2 3 0"
+        assert f.ferns[0].tests[0] == Test(-3, -3, 2, 3, 0)
+
+    def test_parse_default_tau(self):
+        f = load_forest(TAU_FOREST)
+        assert not f.is_zero
+        assert f.ferns[0].tests[0] == Test(0, 3, -3, -2, 1)
+        taus = [t.tau for fern in f.ferns for t in fern.tests]
+        assert min(taus) >= -15 and max(taus) <= 15
+
+    def test_roundtrip_identity(self):
+        for path in (ZERO_FOREST, TAU_FOREST):
+            f = load_forest(path)
+            assert parse_forest(serialize_forest(f)) == f
+
+    def test_serialized_tokens_match_reference_file(self):
+        # Same token stream as the committed reference artifacts (the
+        # reference writer separates with single spaces/newlines,
+        # training.hpp:150-154; whitespace may differ).
+        for path in (ZERO_FOREST, TAU_FOREST):
+            f = load_forest(path)
+            with open(path) as fh:
+                assert serialize_forest(f).split() == fh.read().split()
+
+    def test_filter_mask_cap32(self):
+        # 7 ferns x 5 tests = 35 -> capped to 32 like inference.hpp:426-432
+        fern = Fern(0, tuple(Test(i % 13, -(i % 13), 1, 2, 0) for i in range(5)))
+        f = Forest(tuple([fern] * 7))
+        fm = make_filter_mask(f)
+        assert fm.num_tests == 32
+        assert fm.type == 0
+
+    def test_filter_mask_type_counts_discarded_taus(self):
+        # tau != 0 only beyond the 32-test cap still flips the forest type
+        # (inference.hpp:433 counts every parsed test)
+        zero_fern = Fern(0, tuple(Test(1, 2, 3, 4, 0) for _ in range(5)))
+        tau_fern = Fern(0, tuple(Test(1, 2, 3, 4, 7) for _ in range(5)))
+        f = Forest(tuple([zero_fern] * 7 + [tau_fern]))
+        fm = make_filter_mask(f)
+        assert fm.num_tests == 32
+        assert np.all(fm.tau == 0)
+        assert fm.type == 1
+
+    def test_patch_linear_index(self):
+        assert forest_mod.patch_linear_index(0, 0) == 13 + 27 * 13
+        assert forest_mod.patch_linear_index(-13, -13) == 0
+        assert forest_mod.patch_linear_index(13, 13) == 728
+        # scale-s example from Feature.hpp:144: i = 280 + (ix+3) + 27*(iy+3)
+        assert forest_mod.patch_linear_index(-3, -3) == 280
+
+
+class TestTriplets:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        trips = rng.integers(0, 256, size=(17, 3, 729), dtype=np.uint8)
+        p = str(tmp_path / "t.bin")
+        save_triplets(trips, p)
+        assert os.path.getsize(p) == 17 * 2187
+        out = load_triplets(p)
+        np.testing.assert_array_equal(out, trips)
+
+    def test_bad_size_rejected(self, tmp_path):
+        p = str(tmp_path / "bad.bin")
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 1000)
+        with pytest.raises(IOError):
+            load_triplets(p)
+
+
+class TestFlo:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        u = rng.normal(size=(7, 9)).astype(np.float32)
+        v = rng.normal(size=(7, 9)).astype(np.float32)
+        p = str(tmp_path / "f.flo")
+        write_flo(p, u, v)
+        u2, v2 = read_flo(p)
+        np.testing.assert_array_equal(u, u2)
+        np.testing.assert_array_equal(v, v2)
+
+    def test_bad_tag(self, tmp_path):
+        p = str(tmp_path / "bad.flo")
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 64)
+        with pytest.raises(IOError):
+            read_flo(p)
+
+
+class TestRaw:
+    def test_roundtrip_dtypes(self, tmp_path):
+        rng = np.random.default_rng(2)
+        for dt in (np.uint8, np.uint32, np.int32, np.float32):
+            arr = rng.integers(0, 100, size=(5, 8)).astype(dt)
+            p = str(tmp_path / f"{np.dtype(dt).name}.raw")
+            write_raw(p, arr)
+            np.testing.assert_array_equal(read_raw(p), arr)
+
+
+class TestPng:
+    def test_gray_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(20, 32), dtype=np.uint8)
+        p = str(tmp_path / "g.png")
+        write_png(p, img)
+        np.testing.assert_array_equal(read_gray(p), img)
+
+    def test_rgb_roundtrip_and_gray_conversion(self, tmp_path):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(10, 16, 3), dtype=np.uint8)
+        p = str(tmp_path / "c.png")
+        write_png(p, img)
+        np.testing.assert_array_equal(read_rgb(p), img)
+        # reference gray conversion: integer mean (buffer.hpp:298-301)
+        expect = (
+            img[:, :, 0].astype(np.uint32)
+            + img[:, :, 1].astype(np.uint32)
+            + img[:, :, 2].astype(np.uint32)
+        ) // 3
+        np.testing.assert_array_equal(read_gray(p), expect.astype(np.uint8))
+
+    def test_python_and_native_agree(self, tmp_path):
+        from opengpc_tpu.io import png as png_mod
+
+        if png_mod._native_lib() is None:
+            pytest.skip("native io library not built")
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(13, 24, 3), dtype=np.uint8)
+        p = str(tmp_path / "n.png")
+        png_mod._write_python(p, img, 3)
+        native, d1 = png_mod._read_native(p)
+        pure, d2 = png_mod._read_python(p)
+        assert d1 == d2 == 8
+        np.testing.assert_array_equal(native, pure)
