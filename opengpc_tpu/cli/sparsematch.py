@@ -1,0 +1,99 @@
+"""Sparse stereo matching CLI.
+
+Equivalent of the reference ``sparsematch`` sample
+(/root/reference/samples/sparsematch.cpp): load a text forest and a
+rectified stereo pair, run the matcher, print timing/counters, write
+``disparity.png`` and (optionally) a ``supports.txt`` with one
+``x y d`` line per support.
+
+Defaults mirror the reference sample (sparsematch.cpp:29-34): gradient
+threshold 5, vertical tolerance 0, dispHigh 128, epipolar mode on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest
+from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+from opengpc_tpu.io.png import read_gray, write_png
+from opengpc_tpu.viz import disparity_visualization
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="opengpc-sparsematch", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("forest", help="text forest file")
+    p.add_argument("left", help="left (source) image PNG")
+    p.add_argument("right", help="right (target) image PNG")
+    p.add_argument("--gradient-threshold", type=int, default=5)
+    p.add_argument("--vertical-tolerance", type=int, default=0)
+    p.add_argument("--disp-high", type=int, default=128)
+    p.add_argument(
+        "--global-mode",
+        action="store_true",
+        help="match codes globally instead of per-epipolar-line",
+    )
+    p.add_argument("--capacity", type=int, default=65536,
+                   help="fixed support-buffer capacity")
+    p.add_argument("--out", default="disparity.png", help="visualization PNG")
+    p.add_argument("--supports-out", default=None,
+                   help="optional text output, one 'x y d' line per support")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="re-run the jitted matcher N times and report the best")
+    args = p.parse_args(argv)
+
+    forest = load_forest(args.forest)
+    settings = InferenceSettings(
+        gradient_threshold=args.gradient_threshold,
+        disp_high=args.disp_high,
+        vertical_tolerance=args.vertical_tolerance,
+        epipolar_mode=not args.global_mode,
+        capacity=args.capacity,
+    )
+    left = read_gray(args.left)
+    right = read_gray(args.right)
+    if left.shape != right.shape:
+        print(f"image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
+        return 1
+
+    match = build_sparsematch(forest, settings)
+
+    t0 = time.perf_counter()
+    xs, ys, ds, count = match(left, right)
+    count.block_until_ready()
+    t_first = time.perf_counter() - t0
+
+    best = t_first
+    for _ in range(max(0, args.repeats - 1)):
+        t0 = time.perf_counter()
+        xs, ys, ds, count = match(left, right)
+        count.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    supports = supports_to_numpy(xs, ys, ds, count)
+    h, w = left.shape
+    mpix_s = (2 * h * w / 1e6) / best if best > 0 else float("inf")
+    print(
+        f"tTotal: {best * 1e3:.2f} ms (first call incl. compile: "
+        f"{t_first * 1e3:.1f} ms), num matches: {len(supports)}"
+        f" (count={int(count)}), throughput: {mpix_s:.1f} Mpix/s"
+    )
+
+    vis = disparity_visualization(left, supports, max_disparity=args.disp_high)
+    write_png(args.out, vis)
+    print(f"wrote {args.out}")
+    if args.supports_out:
+        np.savetxt(args.supports_out, supports, fmt="%d")
+        print(f"wrote {args.supports_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Sparse-matching inference pipeline.
+
+The TPU-native equivalent of the reference inference layer
+(/root/reference/lib/gpc/inference.hpp:184-393):
+
+    preprocess (box + sobel + margin mask)
+      -> dense leaf codes (forest baked in as static offsets)
+      -> on-device unique-collision matcher
+      -> fixed-capacity support buffer (x, y, d) + count
+
+Everything from raw uint8 images to supports is one jitted function with
+static shapes; multi-pair batching is ``jax.vmap`` over the leading axis
+(the analog of the reference's parFor threading, filter.hpp:128-145) and
+multi-chip scale-out shards the batch axis (opengpc_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import FilterMask, Forest, make_filter_mask
+from opengpc_tpu.match import match_epipolar, match_global
+from opengpc_tpu.ops.codes import leaf_codes
+from opengpc_tpu.ops.preprocess import box3, sobel3, candidate_mask
+
+
+def preprocess(img: jnp.ndarray, gradient_threshold: int):
+    """Smooth + candidate mask for one uint8 image (inference.hpp:302-333).
+
+    Sobel runs on the *raw* image, codes on the *smoothed* one, exactly
+    like the reference (inference.hpp:308-313 vs 276-280).
+    """
+    smooth = box3(img)
+    grad = sobel3(img, gradient_threshold)
+    return smooth, candidate_mask(grad)
+
+
+def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings):
+    smooth_l, cand_l = preprocess(left, settings.gradient_threshold)
+    smooth_r, cand_r = preprocess(right, settings.gradient_threshold)
+    codes_l = leaf_codes(smooth_l, mask)
+    codes_r = leaf_codes(smooth_r, mask)
+    if settings.epipolar_mode:
+        (xs, ys, ds), count = match_epipolar(
+            codes_l, codes_r, cand_l, cand_r, settings.disp_high, settings.capacity
+        )
+    else:
+        (xs, ys, ds), count = match_global(
+            codes_l,
+            codes_r,
+            cand_l,
+            cand_r,
+            settings.disp_high,
+            settings.vertical_tolerance,
+            settings.capacity,
+        )
+    return xs, ys, ds, count
+
+
+def build_sparsematch(
+    forest_or_mask, settings: InferenceSettings
+) -> Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Build a jitted ``(left, right) -> (x, y, d, count)`` matcher.
+
+    The forest is baked into the computation as static constants (the
+    analog of readForest producing a width-specific FilterMask,
+    inference.hpp:404-446 — but width-independent here).  Works on single
+    images (H, W) and, via vmap, on batches (B, H, W).
+    """
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    fn = functools.partial(_sparsematch_impl, mask=mask, settings=settings)
+
+    @jax.jit
+    def run(left: jnp.ndarray, right: jnp.ndarray):
+        if left.ndim == 3:
+            return jax.vmap(fn)(left, right)
+        return fn(left, right)
+
+    return run
+
+
+def supports_to_numpy(xs, ys, ds, count) -> np.ndarray:
+    """Trim a fixed-capacity support buffer to an (n, 3) int array of
+    (x, y, d) rows.  Overflow beyond capacity is dropped with a warning
+    count available to the caller via ``count``."""
+    n = min(int(count), xs.shape[0])
+    out = np.stack(
+        [np.asarray(xs)[:n], np.asarray(ys)[:n], np.asarray(ds)[:n]], axis=1
+    ).astype(np.int32)
+    return out

@@ -1,0 +1,147 @@
+"""On-device unique-collision matching.
+
+Replaces both reference matchers (hash table hashmatch.hpp:42-273 and
+sort+sweep inference.hpp:227-254) with one TPU-native design: sort the
+descriptors of both images together by (validity, state) and detect runs
+of *exactly two* equal states coming from *different* images — which is
+precisely the reference's "state unique in both images and equal" rule
+(SURVEY.md §3.4).
+
+Two layouts:
+
+* epipolar mode — the reference packs y into the upper state bits
+  (inference.hpp:192-197) so only same-row codes collide.  Here that
+  becomes a *per-row* segmented sort over the row-concatenated pair
+  (H, 2W): H independent small sorts instead of one big 64-bit sort.
+  Massively cheaper on TPU and bit-free.
+* global mode — one flat sort over both images; the vertical-tolerance
+  filter (inference.hpp:384-391) applies afterwards.
+
+Output is a fixed-capacity support buffer plus a match count (device
+pipelines keep static shapes; compaction is cumsum + scatter).
+
+Deliberate deviation from the reference, pinned by tests: the reference
+sweep never emits a match landing on the last target element and skips
+the uniqueness check when a duplicate pair occupies the last two target
+slots (inference.hpp:243-250).  We implement the clean rule; the C++
+oracle implements both for differential testing.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pair_starts(invalid: jnp.ndarray, code: jnp.ndarray, flag: jnp.ndarray):
+    """Given sorted (…, N) keys, return mask over positions i in [0, N-1)
+    marking runs of exactly two equal valid codes with differing flags.
+
+    Works on the last axis for any leading batch shape.
+    """
+    both_valid = (invalid[..., :-1] == 0) & (invalid[..., 1:] == 0)
+    eq = (code[..., :-1] == code[..., 1:]) & both_valid  # i ~ i+1
+    # eq shifted: prev[i] = eq[i-1], nxt[i] = eq[i+1]
+    zeros = jnp.zeros_like(eq[..., :1])
+    prev = jnp.concatenate([zeros, eq[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([eq[..., 1:], zeros], axis=-1)
+    pair = eq & ~prev & ~nxt
+    cross = flag[..., :-1] != flag[..., 1:]
+    return pair & cross
+
+
+def compact(mask: jnp.ndarray, values: Tuple[jnp.ndarray, ...], capacity: int):
+    """Gather ``values[mask]`` into fixed-size buffers (cumsum + scatter).
+
+    Returns (compacted values, count).  Entries beyond ``capacity`` are
+    dropped; ``count`` is the true number of matches.
+    """
+    mask_f = mask.reshape(-1)
+    pos = jnp.cumsum(mask_f.astype(jnp.int32)) - 1
+    idx = jnp.where(mask_f & (pos < capacity), pos, capacity)
+    outs = []
+    for v in values:
+        buf = jnp.zeros((capacity + 1,), v.dtype)
+        buf = buf.at[idx].set(v.reshape(-1), mode="drop")
+        outs.append(buf[:capacity])
+    count = jnp.sum(mask_f.astype(jnp.int32))
+    return tuple(outs), count
+
+
+def match_epipolar(
+    code_src: jnp.ndarray,
+    code_tar: jnp.ndarray,
+    valid_src: jnp.ndarray,
+    valid_tar: jnp.ndarray,
+    disp_high: int,
+    capacity: int,
+):
+    """Per-row unique-collision matching of two (H, W) code images.
+
+    Returns ((x, y, d), count): support coordinates in the source image
+    and disparity d = x_src - x_tar (may be negative; the reference's
+    filter is |d| <= disp_high on both signs, inference.hpp:388).
+    """
+    h, w = code_src.shape
+    code = jnp.concatenate([code_src, code_tar], axis=1)
+    invalid = jnp.concatenate([~valid_src, ~valid_tar], axis=1).astype(jnp.int32)
+    flag = jnp.concatenate(
+        [jnp.zeros((h, w), jnp.int32), jnp.ones((h, w), jnp.int32)], axis=1
+    )
+    xcoord = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+    xcoord = jnp.concatenate([xcoord, xcoord], axis=1)
+
+    # stable sort: within an equal (validity, code) group, source entries
+    # precede target entries, so a cross pair is always (src, tar)
+    invalid_s, code_s, flag_s, x_s = jax.lax.sort(
+        (invalid, code, flag, xcoord), dimension=1, num_keys=2, is_stable=True
+    )
+    is_match = _pair_starts(invalid_s, code_s, flag_s)  # (H, 2W-1)
+    src_x = x_s[:, :-1]
+    tar_x = x_s[:, 1:]
+    d = src_x - tar_x
+    keep = is_match & (jnp.abs(d) <= disp_high)
+    ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
+    return compact(keep, (src_x, ycoord, d), capacity)
+
+
+def match_global(
+    code_src: jnp.ndarray,
+    code_tar: jnp.ndarray,
+    valid_src: jnp.ndarray,
+    valid_tar: jnp.ndarray,
+    disp_high: int,
+    vertical_tolerance: int,
+    capacity: int,
+):
+    """Global (non-epipolar) unique-collision matching of two (H, W) code
+    images, with the rectified-match epipolar/disparity filter applied
+    (inference.hpp:384-391)."""
+    h, w = code_src.shape
+    n = h * w
+
+    code = jnp.concatenate([code_src.reshape(-1), code_tar.reshape(-1)])
+    invalid = jnp.concatenate(
+        [~valid_src.reshape(-1), ~valid_tar.reshape(-1)]
+    ).astype(jnp.int32)
+    flag = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)])
+    xc = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)).reshape(-1)
+    yc = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w)).reshape(-1)
+    xcoord = jnp.concatenate([xc, xc])
+    ycoord = jnp.concatenate([yc, yc])
+
+    invalid_s, code_s, flag_s, x_s, y_s = jax.lax.sort(
+        (invalid, code, flag, xcoord, ycoord), dimension=0, num_keys=2, is_stable=True
+    )
+    is_match = _pair_starts(invalid_s, code_s, flag_s)
+    src_x, tar_x = x_s[:-1], x_s[1:]
+    src_y, tar_y = y_s[:-1], y_s[1:]
+    d = src_x - tar_x
+    keep = (
+        is_match
+        & (jnp.abs(d) <= disp_high)
+        & (jnp.abs(src_y - tar_y) <= vertical_tolerance)
+    )
+    return compact(keep, (src_x, src_y, d), capacity)

@@ -1,0 +1,160 @@
+"""Pixel-for-pixel parity of the JAX pipeline against the native CPU oracle.
+
+The oracle (cpp/oracle.cc) implements the scalar contract semantics of the
+reference (SURVEY.md §7); every op and the full sparse-match path must agree
+exactly.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from opengpc_tpu import forest as forest_mod
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+from opengpc_tpu.io.raw import read_raw, write_raw
+from opengpc_tpu.ops.census import census5x5
+from opengpc_tpu.ops.codes import leaf_codes
+from opengpc_tpu.ops.preprocess import box3, candidate_mask, sobel3
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FORESTS = os.path.join(REPO, "forests")
+
+
+def run_oracle(oracle_path, *args):
+    subprocess.run([oracle_path] + [str(a) for a in args], check=True)
+
+
+def random_image(rng, h, w, smooth_scale=4):
+    """Random image with spatial structure (pure noise has no stable edges)."""
+    small = rng.integers(0, 256, size=(h // smooth_scale + 2, w // smooth_scale + 2))
+    img = np.kron(small, np.ones((smooth_scale, smooth_scale)))[:h, :w]
+    noise = rng.integers(-12, 13, size=(h, w))
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(params=[(48, 64), (61, 97), (128, 160)])
+def image(request):
+    rng = np.random.default_rng(sum(request.param))
+    return random_image(rng, *request.param)
+
+
+def test_box_parity(image, oracle_path, tmp_path):
+    inp, out = str(tmp_path / "in.raw"), str(tmp_path / "out.raw")
+    write_raw(inp, image)
+    run_oracle(oracle_path, "box", inp, out)
+    want = read_raw(out)
+    got = np.asarray(box3(image))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("threshold", [5, 10, 40])
+def test_sobel_parity(image, oracle_path, tmp_path, threshold):
+    inp, out = str(tmp_path / "in.raw"), str(tmp_path / "out.raw")
+    write_raw(inp, image)
+    run_oracle(oracle_path, "sobel", inp, out, threshold)
+    want = read_raw(out)
+    got = np.asarray(sobel3(image, threshold))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_census_parity(image, oracle_path, tmp_path):
+    inp, out = str(tmp_path / "in.raw"), str(tmp_path / "out.raw")
+    write_raw(inp, image)
+    run_oracle(oracle_path, "census", inp, out)
+    want = read_raw(out)
+    got = np.asarray(census5x5(image)).astype(np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "forest_file", ["defaultZeroForest.txt", "defaultTauForest.txt"]
+)
+def test_codes_parity(image, oracle_path, tmp_path, forest_file):
+    forest = forest_mod.load_forest(os.path.join(FORESTS, forest_file))
+    mask = forest_mod.make_filter_mask(forest)
+
+    smooth = np.asarray(box3(image))
+    grad = np.asarray(sobel3(image, 10))
+    sm_p, gr_p, out = (str(tmp_path / n) for n in ("s.raw", "g.raw", "c.raw"))
+    write_raw(sm_p, smooth)
+    write_raw(gr_p, grad)
+    run_oracle(oracle_path, "codes", sm_p, gr_p, os.path.join(FORESTS, forest_file), out)
+    want = read_raw(out)  # uint32, nonzero only at candidates
+
+    codes = np.asarray(leaf_codes(smooth, mask)).astype(np.uint32)
+    cand = np.asarray(candidate_mask(grad))
+    np.testing.assert_array_equal(np.where(cand, codes, 0), np.where(cand, want, 0))
+    assert cand.sum() > 0, "test image produced no candidates"
+
+
+def _oracle_supports(oracle_path, tmp_path, forest_path, left, right, s, epipolar):
+    lp, rp, out = (str(tmp_path / n) for n in ("l.raw", "r.raw", "supp.txt"))
+    write_raw(lp, left)
+    write_raw(rp, right)
+    run_oracle(
+        oracle_path, "sparsematch", forest_path, lp, rp, out,
+        s.gradient_threshold, s.vertical_tolerance, s.disp_high,
+        1 if epipolar else 0, 0,
+    )
+    with open(out) as f:
+        rows = [tuple(int(v) for v in line.split()) for line in f if line.strip()]
+    return set(rows)
+
+
+@pytest.mark.parametrize("epipolar", [True, False])
+@pytest.mark.parametrize(
+    "forest_file", ["defaultZeroForest.txt", "defaultTauForest.txt"]
+)
+def test_sparsematch_parity(oracle_path, tmp_path, forest_file, epipolar):
+    rng = np.random.default_rng(7)
+    h, w = 96, 128
+    left = random_image(rng, h, w)
+    # right = left shifted a few px -> plenty of real collisions
+    shift = 3
+    right = np.roll(left, -shift, axis=1)
+    right[:, -shift:] = rng.integers(0, 256, size=(h, shift)).astype(np.uint8)
+
+    forest_path = os.path.join(FORESTS, forest_file)
+    settings = InferenceSettings(
+        gradient_threshold=5, disp_high=128,
+        vertical_tolerance=1, epipolar_mode=epipolar, capacity=65536,
+    )
+    want = _oracle_supports(
+        oracle_path, tmp_path, forest_path, left, right, settings, epipolar
+    )
+
+    forest = forest_mod.load_forest(forest_path)
+    match = build_sparsematch(forest, settings)
+    xs, ys, ds, count = match(left, right)
+    got_arr = supports_to_numpy(xs, ys, ds, count)
+    got = set(map(tuple, got_arr.tolist()))
+
+    assert int(count) == len(got_arr), "capacity overflow in test"
+    assert got == want
+    assert len(want) > 0, "oracle found no supports; test not meaningful"
+
+
+def test_sparsematch_batched_vmap():
+    """vmap over a batch axis gives the same supports per pair."""
+    rng = np.random.default_rng(11)
+    h, w = 64, 96
+    lefts = np.stack([random_image(rng, h, w) for _ in range(3)])
+    rights = np.stack([np.roll(l, -2, axis=1) for l in lefts])
+
+    forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, capacity=16384
+    )
+    match = build_sparsematch(forest, settings)
+
+    bx, by, bd, bcount = match(lefts, rights)
+    for k in range(3):
+        xs, ys, ds, count = match(lefts[k], rights[k])
+        single = set(map(tuple, supports_to_numpy(xs, ys, ds, count).tolist()))
+        batched = set(
+            map(tuple, supports_to_numpy(bx[k], by[k], bd[k], bcount[k]).tolist())
+        )
+        assert single == batched
