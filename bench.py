@@ -1,0 +1,130 @@
+"""Headline benchmark: sparsematch throughput on a Sintel-sized stereo pair.
+
+Reference benchmark config (/root/reference/samples/sparsematch.cpp:29-34):
+defaultZeroForest, gradient threshold 5, vertical tolerance 0, dispHigh 128,
+epipolar mode.  Image size matches Sintel (1024x436,
+SintelOpticalFlow.hpp:492-493); real Sintel frames are not downloadable in
+this environment, so the pair is a reproducible synthetic textured scene
+with known ground-truth disparity (which also lets the bench assert
+correctness: every support must hit the true disparity).
+
+Timing methodology: on tunneled TPU setups ``block_until_ready`` can be a
+no-op and host<->device transfers are slow, so wall-clocking single calls
+measures the tunnel, not the chip.  Instead we run N chained pipeline
+iterations inside one jitted ``lax.fori_loop`` (each iteration's input
+depends on the previous match count, so nothing can be elided or
+overlapped), fetch one scalar, and difference two loop lengths.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+baseline is the BASELINE.json north-star of 50 Mpix/s per chip.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_MPIX_S = 50.0  # BASELINE.json: >= 50 Mpix/s per v5e chip
+H, W = 436, 1024        # Sintel frame size
+TRUE_DISP = 16
+N_SHORT, N_LONG = 3, 23
+
+
+def make_pair(h, w, d, seed=42):
+    """Textured scene shifted by exactly d px: left(x) == right(x - d)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w + d)).astype(np.float32)
+    for _ in range(2):
+        base = (
+            np.roll(base, 1, 0) + np.roll(base, -1, 0)
+            + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base
+        ) / 5
+    scene = base.astype(np.uint8)
+    left = scene[:, :w].copy()   # feature at scene col c -> left x = c
+    right = scene[:, d:].copy()  # -> right x = c - d; disparity = +d
+    return left, right
+
+
+def _chained_runner(mask, settings, n):
+    import jax
+    import jax.numpy as jnp
+
+    from opengpc_tpu.infer import _sparsematch_impl
+
+    @jax.jit
+    def run(left, right):
+        def body(_, carry):
+            acc, l = carry
+            _, _, _, c = _sparsematch_impl(l, right, mask=mask, settings=settings)
+            # dependency: fold the match count's low bit into a boundary
+            # pixel (cleared by preprocessing, so results are unchanged)
+            l = jax.lax.dynamic_update_slice(
+                l, (c & 1).astype(jnp.uint8).reshape(1, 1), (0, 0)
+            )
+            return acc + c, l
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.int32(0), left))
+        return acc
+
+    return run
+
+
+def main():
+    import jax
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest, make_filter_mask
+    from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+
+    forest = load_forest("forests/defaultZeroForest.txt")
+    mask = make_filter_mask(forest)
+    settings = InferenceSettings(
+        gradient_threshold=5,
+        vertical_tolerance=0,
+        disp_high=128,
+        epipolar_mode=True,
+        capacity=1 << 18,
+    )
+    left, right = make_pair(H, W, TRUE_DISP)
+
+    # correctness gate: every support must hit the true disparity
+    match = build_sparsematch(forest, settings)
+    supp = supports_to_numpy(*match(left, right))
+    assert len(supp) > 1000, f"too few supports: {len(supp)}"
+    correct = float((supp[:, 2] == TRUE_DISP).mean())
+    assert correct > 0.99, f"support accuracy {correct:.3f} < 0.99"
+
+    ld, rd = jax.device_put(left), jax.device_put(right)
+    short, long_ = _chained_runner(mask, settings, N_SHORT), _chained_runner(
+        mask, settings, N_LONG
+    )
+    int(np.asarray(short(ld, rd)))  # compile + warm
+    int(np.asarray(long_(ld, rd)))
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(np.asarray(short(ld, rd)))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(np.asarray(long_(ld, rd)))
+        t_long = time.perf_counter() - t0
+        best = min(best, (t_long - t_short) / (N_LONG - N_SHORT))
+
+    mpix_s = (2 * H * W / 1e6) / best
+    print(
+        json.dumps(
+            {
+                "metric": "sintel_sparsematch_throughput",
+                "value": round(mpix_s, 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

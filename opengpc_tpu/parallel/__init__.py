@@ -1,0 +1,87 @@
+"""Multi-device scale-out.
+
+The problem is embarrassingly parallel over stereo pairs (inference) and
+over training triplets (training) — the reference's only parallelism was
+SIMD lanes + row-partitioned threads (/root/reference/lib/gpc/filter.hpp:
+128-145); the TPU-native recast is ``vmap`` within a chip and sharding of
+the batch/triplet axis over a ``jax.sharding.Mesh`` (SPMD, collectives
+over ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import Forest, make_filter_mask
+from opengpc_tpu.infer import _sparsematch_impl
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh: Mesh):
+    """Jitted (B, H, W) x2 -> per-pair supports, batch sharded over the mesh.
+
+    Per-pair work is independent; XLA inserts no collectives — the batch
+    axis is laid out over chips and each chip vmaps its shard.  Outputs
+    keep the same batch sharding (supports stay device-resident for any
+    downstream per-pair consumer; hosts gather only what they read).
+    """
+    mask = make_filter_mask(forest)
+    fn = jax.vmap(functools.partial(_sparsematch_impl, mask=mask, settings=settings))
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    return jax.jit(
+        fn,
+        in_shardings=(batch_sharding, batch_sharding),
+        out_shardings=batch_sharding,
+    )
+
+
+def sharded_sparsematch_step(n_devices: int) -> None:
+    """Dry-run: one sharded batched sparsematch step on tiny shapes.
+
+    Requires n_devices visible jax devices (real chips or
+    ``--xla_force_host_platform_device_count`` fakes).
+    """
+    import os
+
+    from opengpc_tpu.forest import load_forest
+
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count={n_devices})"
+        )
+    mesh = make_mesh(devices[:n_devices])
+    forest = load_forest(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "forests", "defaultZeroForest.txt")
+    )
+    settings = InferenceSettings(
+        gradient_threshold=5, vertical_tolerance=0, disp_high=32,
+        epipolar_mode=True, capacity=1024,
+    )
+    run = build_batched_sparsematch(forest, settings, mesh)
+
+    rng = np.random.default_rng(0)
+    b, h, w = n_devices, 64, 128
+    lefts = rng.integers(0, 256, (b, h, w)).astype(np.uint8)
+    rights = np.roll(lefts, -2, axis=2)
+    xs, ys, ds, count = run(lefts, rights)
+    count.block_until_ready()
+    assert count.shape == (b,)
+    assert all(int(c) > 0 for c in np.asarray(count)), "no matches in dryrun"

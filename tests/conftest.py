@@ -9,10 +9,17 @@ import os
 import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The TPU-tunnel sitecustomize (axon) may already have force-selected its
+# platform via jax.config.update, which overrides the env var; undo it
+# before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

@@ -1,0 +1,59 @@
+"""Multi-device sharding tests (8 virtual CPU devices, conftest.py)."""
+
+import jax
+import numpy as np
+
+from opengpc_tpu.parallel import build_batched_sparsematch, make_mesh
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multichip, entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert int(out[3]) > 0
+    dryrun_multichip(8)
+
+
+def test_sharded_matches_single_device():
+    """Sharded batched run == per-pair single-device runs."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests", "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+
+    rng = np.random.default_rng(3)
+    b, h, w = 8, 48, 80
+    small = rng.integers(0, 256, (b, h // 4 + 1, w // 4 + 1))
+    lefts = np.stack(
+        [np.kron(s, np.ones((4, 4)))[:h, :w] for s in small]
+    ).astype(np.uint8)
+    rights = np.roll(lefts, -3, axis=2)
+
+    mesh = make_mesh()
+    sharded = build_batched_sparsematch(forest, settings, mesh)
+    bx, by, bd, bcount = sharded(lefts, rights)
+
+    single = build_sparsematch(forest, settings)
+    for k in range(b):
+        xs, ys, ds, count = single(lefts[k], rights[k])
+        want = set(map(tuple, supports_to_numpy(xs, ys, ds, count).tolist()))
+        got = set(
+            map(tuple, supports_to_numpy(bx[k], by[k], bd[k], bcount[k]).tolist())
+        )
+        assert got == want
