@@ -1,0 +1,67 @@
+"""Forest training CLI.
+
+Equivalent of the reference ``train`` sample (/root/reference/samples/
+train.cpp): load a binary triplet dataset, train a fern forest with the
+greedy split optimizer, export the text forest.
+
+Defaults mirror the reference (train.cpp:24-41): zero optimizer with 10
+resamples and w1=0.5, FernFactory(2, 2, 2, 5), sample fraction 0.7.  Unlike
+the reference (unseeded std::random_device), training takes an explicit
+``--seed`` and is fully reproducible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from opengpc_tpu.config import fern_factory, tau_optimizer, zero_optimizer
+from opengpc_tpu.forest import save_forest
+from opengpc_tpu.io.triplets import load_triplets
+from opengpc_tpu.train import train_forest
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="opengpc-train", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("dataset", help="binary triplet dataset (extract output)")
+    p.add_argument("forest_out", help="output text forest path")
+    p.add_argument("--fern-type", choices=["zero", "tau"], default="zero",
+                   help="zero: tau fixed to 0; tau: tau searched in [-10,10)")
+    p.add_argument("--num-s", type=int, default=2, help="ferns at 7x7 scale")
+    p.add_argument("--num-m", type=int, default=2, help="ferns at 17x17 scale")
+    p.add_argument("--num-l", type=int, default=2, help="ferns at 27x27 scale")
+    p.add_argument("--depth", type=int, default=5, help="tests per fern")
+    p.add_argument("--num-resamples", type=int, default=10)
+    p.add_argument("--sample-fraction", type=float, default=0.7)
+    p.add_argument("--w1", type=float, default=0.5,
+                   help="precision weight in the harmonic-mean score")
+    p.add_argument("--only-score-non-split", action="store_true",
+                   help="exclude already-true-positive triplets per level")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    triplets = load_triplets(args.dataset)
+    print(f"Loaded {triplets.shape[0]} triplets from {args.dataset}")
+
+    make_opt = zero_optimizer if args.fern_type == "zero" else tau_optimizer
+    optimizer = make_opt(
+        num_resamples=args.num_resamples,
+        only_score_non_split_samples=args.only_score_non_split,
+        w1=args.w1,
+    )
+    settings = fern_factory(args.num_s, args.num_m, args.num_l, args.depth)
+    settings = type(settings)(
+        ferns=settings.ferns,
+        max_depth=settings.max_depth,
+        sample_fraction=args.sample_fraction,
+    )
+    forest = train_forest(triplets, settings, optimizer, seed=args.seed)
+    save_forest(forest, args.forest_out)
+    print(f"Exported forest to {args.forest_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

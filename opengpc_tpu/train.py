@@ -1,0 +1,299 @@
+"""Vectorized greedy fern-forest training.
+
+TPU-first recast of the reference trainer
+(/root/reference/lib/gpc/Fern.hpp:209-393, training.hpp:87-160): instead of
+re-walking all N triplets once per candidate test (O(N * depth) scalar loop
+per candidate, Fern.hpp:341-350), one device pass scores a whole level's
+candidate set at once:
+
+* the triplet tensor is (N, 3, 729) uint8 (ref/pos/neg patches);
+* per-triplet *code-prefix equality* flags (eq_pos, eq_neg) are carried
+  across levels — code equality over levels [0, L] is just
+  ``prefix_eq & (bit_ref == bit_other)``, so no codes are materialized;
+* a level evaluates all (resample, tau) candidates in one
+  ``lax.scan``-over-resamples x vectorized-over-tau pass, emitting integer
+  TP/FP/FN counts;
+* score selection happens on host in float64 with the reference's exact
+  "strictly greater, first wins" rule (Fern.hpp:345-348), iterated
+  resample-major then tau — bit-identical selection to the C++ oracle.
+
+Decision convention (training side): bit = (patch[i] - patch[j] < tau)
+(Feature.hpp:102-110).  NOTE the reference's inference kernel uses the
+*different* test ``img[i] > img[j] - tau`` (filter.hpp:271-279); both
+conventions are preserved exactly on their own side, as in the reference.
+
+Deliberate deviations (documented, tested against the oracle where exact):
+* RNG: explicit seeds via numpy Generator (the reference uses unseeded
+  std::random_device, Feature.hpp:113-120); candidate *distributions* match
+  sampleHyperplane (Feature.hpp:133-177).
+* Bootstrap: samples with replacement from the WHOLE training set; the
+  reference draws only from its first ``sampleFraction*N`` elements
+  (training.hpp:117-128: the uniform distribution is capped at
+  sampleFraction*N-1) — an off-by-design quirk we do not copy.
+* The per-level stats table prints the stats of the chosen best candidate;
+  the reference prints whatever candidate happened to be evaluated last
+  (Fern.hpp:358-364 reads ``stats`` after the loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opengpc_tpu.config import ForestSettings, OptimizerSettings
+from opengpc_tpu.forest import (
+    Fern,
+    Forest,
+    SCALE_HALF,
+    Test,
+    PATCH,
+    PATCH_HALF,
+)
+
+
+@dataclasses.dataclass
+class LevelStats:
+    """Stats of the chosen split at one level (Fern.hpp:53-69)."""
+
+    level: int
+    i: int
+    j: int
+    tau: int
+    tp: int
+    fp: int
+    fn: int
+    tot: int
+    prec: float
+    rec: float
+    hmean: float
+
+
+def sample_candidates(
+    rng: np.random.Generator, scale: int, num: int
+) -> np.ndarray:
+    """Draw ``num`` distinct (i, j) patch-linear-index pairs inside the
+    scale's centered sub-window (sampleHyperplane, Feature.hpp:133-177).
+
+    Returns (num, 2) int32.  All scales map to the same linear layout
+    ``(x+13) + 27*(y+13)`` (the reference's 280+/140+ arithmetic reduces
+    to exactly this).
+    """
+    half = SCALE_HALF[scale]
+    side = 2 * half + 1
+    out = np.empty((num, 2), np.int32)
+    for k in range(num):
+        i = j = 0
+        while True:
+            i, j = rng.integers(0, side * side, size=2)
+            if i != j:
+                break
+        ix, iy = i % side - half, i // side - half
+        jx, jy = j % side - half, j // side - half
+        out[k, 0] = (ix + PATCH_HALF) + PATCH * (iy + PATCH_HALF)
+        out[k, 1] = (jx + PATCH_HALF) + PATCH * (jy + PATCH_HALF)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_taus",))
+def _score_level(
+    patches: jnp.ndarray,      # (N, 3, 729) uint8
+    cand: jnp.ndarray,         # (R, 2) int32 patch linear indices
+    tau_lo: jnp.ndarray,       # () int32
+    num_taus: int,             # static: tau count
+    eq_pos: jnp.ndarray,       # (N,) bool — prefix code equality ref==pos
+    eq_neg: jnp.ndarray,       # (N,) bool
+    include: jnp.ndarray,      # (N,) bool — not yet excluded (split) samples
+):
+    """TP/FP/FN counts for every (resample, tau) candidate of one level.
+
+    Returns (R, num_taus, 3) int32 counts.  One scan step gathers the two
+    candidate pixels across all triplets ((N, 3) int16 diff), broadcasts
+    over the tau axis, and reduces — the whole level is a few fused VPU
+    passes over N instead of R*T scalar sweeps.
+    """
+    taus = tau_lo + jnp.arange(num_taus, dtype=jnp.int16)  # (T,)
+    p16 = patches.astype(jnp.int16)
+
+    def one_resample(carry, ij):
+        vi = jnp.take(p16, ij[0], axis=2)  # (N, 3)
+        vj = jnp.take(p16, ij[1], axis=2)
+        diff = vi - vj                      # (N, 3)
+        bits = diff[:, :, None] < taus[None, None, :]     # (N, 3, T)
+        beq_pos = bits[:, 0, :] == bits[:, 1, :]          # (N, T)
+        beq_neg = bits[:, 0, :] == bits[:, 2, :]
+        ep = eq_pos[:, None] & beq_pos
+        en = eq_neg[:, None] & beq_neg
+        inc = include[:, None]
+        tp = jnp.sum(ep & ~en & inc, axis=0, dtype=jnp.int32)      # (T,)
+        fp = jnp.sum(~ep & en & inc, axis=0, dtype=jnp.int32)
+        fn = jnp.sum((ep == en) & inc, axis=0, dtype=jnp.int32)
+        return carry, jnp.stack([tp, fp, fn], axis=-1)             # (T, 3)
+
+    _, counts = jax.lax.scan(one_resample, 0, cand)
+    return counts  # (R, T, 3)
+
+
+@jax.jit
+def _apply_level(
+    patches: jnp.ndarray,
+    i: jnp.ndarray,
+    j: jnp.ndarray,
+    tau: jnp.ndarray,
+    eq_pos: jnp.ndarray,
+    eq_neg: jnp.ndarray,
+):
+    """Fold the chosen (i, j, tau) into the prefix equality flags."""
+    p16 = patches.astype(jnp.int16)
+    vi = jnp.take(p16, i, axis=2)
+    vj = jnp.take(p16, j, axis=2)
+    bits = (vi - vj) < tau.astype(jnp.int16)  # (N, 3)
+    return (
+        eq_pos & (bits[:, 0] == bits[:, 1]),
+        eq_neg & (bits[:, 0] == bits[:, 2]),
+    )
+
+
+def _hmean(tp: int, fp: int, fn: int, w1: float) -> Tuple[float, float, float]:
+    """precision, recall, weighted harmonic mean (Fern.hpp:256-261)."""
+    w2 = 1.0 - w1
+    prec = 0.0 if tp + fp == 0 else tp / (tp + fp)
+    rec = 0.0 if tp + fn == 0 else tp / (tp + fn)
+    hmean = 0.0 if prec + rec == 0.0 else prec * rec / ((1.0 - w2) * prec + w2 * rec)
+    return prec, rec, hmean
+
+
+def _lin_to_xy(lin: int) -> Tuple[int, int]:
+    return lin % PATCH - PATCH_HALF, lin // PATCH - PATCH_HALF
+
+
+def train_fern(
+    triplets: np.ndarray,
+    scale: int,
+    optimizer: OptimizerSettings,
+    max_depth: int,
+    rng: Optional[np.random.Generator] = None,
+    candidates: Optional[Sequence[np.ndarray]] = None,
+    verbose: bool = True,
+) -> Tuple[Fern, List[LevelStats]]:
+    """Greedily train one fern (Fern::train, Fern.hpp:312-372).
+
+    ``triplets``: (N, 3, 729) uint8.  Either ``rng`` (candidates drawn per
+    level like sampleHyperplane) or ``candidates`` (a list of (R, 2) arrays
+    of patch linear indices per level — the injection hook used for
+    differential testing against the C++ oracle) must be given.
+    """
+    if candidates is None:
+        if rng is None:
+            raise ValueError("pass rng or explicit candidates")
+        candidates = [
+            sample_candidates(rng, scale, optimizer.num_resamples)
+            for _ in range(max_depth)
+        ]
+
+    n = triplets.shape[0]
+    patches = jnp.asarray(triplets)
+    eq_pos = jnp.ones((n,), bool)
+    eq_neg = jnp.ones((n,), bool)
+    # exclusion markers (markSplitSamples, Fern.hpp:271-291)
+    split_pos = np.zeros((n,), bool)
+    split_neg = np.zeros((n,), bool)
+
+    tau_lo, tau_hi = optimizer.tau_lo, optimizer.tau_hi
+    num_taus = tau_hi - tau_lo
+    chosen: List[Test] = []
+    stats_out: List[LevelStats] = []
+
+    if verbose:
+        print(
+            f"{'Level':>7}{'Prec':>10}{'Rec':>10}{'Har':>10}{'Tot':>8}"
+            f"{'TP':>8}{'FP':>8}{'FN':>8}{'scale':>6}{'tau':>5}{'i':>5}{'j':>5}"
+        )
+
+    for level in range(max_depth):
+        cand = np.asarray(candidates[level], np.int32)
+        include = jnp.asarray(~(split_pos & split_neg))
+        counts = np.asarray(
+            _score_level(
+                patches, jnp.asarray(cand), jnp.int32(tau_lo), num_taus,
+                eq_pos, eq_neg, include,
+            )
+        )  # (R, T, 3)
+
+        # host-side selection, float64, strictly-greater-first-wins;
+        # if nothing scores > 0 the degenerate (0, 0, 0) split is kept
+        # (the reference would silently reuse the previous level's params
+        # via an uninitialized local, Fern.hpp:316-351 — not copied)
+        best_score, best = 0.0, (0, 0, 0)
+        best_counts = (0, 0, 0)
+        for r in range(counts.shape[0]):
+            for t in range(num_taus):
+                tp, fp, fn = (int(v) for v in counts[r, t])
+                _, _, hm = _hmean(tp, fp, fn, optimizer.w1)
+                if hm > best_score:
+                    best_score = hm
+                    best = (int(cand[r, 0]), int(cand[r, 1]), tau_lo + t)
+                    best_counts = (tp, fp, fn)
+
+        bi, bj, btau = best
+        eq_pos, eq_neg = _apply_level(
+            patches, jnp.int32(bi), jnp.int32(bj), jnp.int32(btau), eq_pos, eq_neg
+        )
+        if optimizer.only_score_non_split_samples:
+            ep, en = np.asarray(eq_pos), np.asarray(eq_neg)
+            split_pos |= ep
+            split_neg |= ~en
+
+        tp, fp, fn = best_counts
+        tot = int(np.asarray(include, bool).sum())
+        prec, rec, hm = _hmean(tp, fp, fn, optimizer.w1)
+        ix, iy = _lin_to_xy(bi)
+        jx, jy = _lin_to_xy(bj)
+        chosen.append(Test(ix, iy, jx, jy, btau))
+        stats_out.append(
+            LevelStats(level, bi, bj, btau, tp, fp, fn, tot, prec, rec, hm)
+        )
+        if verbose:
+            print(
+                f"{level:>7}{prec:>10.4f}{rec:>10.4f}{hm:>10.4f}{tot:>8}"
+                f"{tp:>8}{fp:>8}{fn:>8}{scale:>6}{btau:>5}{bi:>5}{bj:>5}"
+            )
+
+    return Fern(scale, tuple(chosen)), stats_out
+
+
+def train_forest(
+    triplets: np.ndarray,
+    settings: ForestSettings,
+    optimizer: OptimizerSettings,
+    seed: int = 0,
+    verbose: bool = True,
+) -> Forest:
+    """Train a forest: per fern, bootstrap-subsample (with replacement, from
+    the whole set — see module docstring) and train
+    (trainAndExport, training.hpp:103-158)."""
+    rng = np.random.default_rng(seed)
+    n = triplets.shape[0]
+    if n == 0:
+        raise ValueError("training set is empty")
+    sub_n = int(settings.sample_fraction * n)
+    ferns = []
+    for k, scale in enumerate(settings.ferns):
+        idx = rng.integers(0, n, size=sub_n)
+        sub = triplets[idx]
+        if verbose:
+            print(f"Fern({k + 1}/{len(settings.ferns)}) num samples: {sub_n}")
+            print("*" * 90)
+        t0 = time.perf_counter()
+        fern, _ = train_fern(
+            sub, scale, optimizer, settings.max_depth, rng=rng, verbose=verbose
+        )
+        if verbose:
+            print(f"done in {time.perf_counter() - t0:.2f} s\n")
+        ferns.append(fern)
+    return Forest(tuple(ferns))

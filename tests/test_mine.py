@@ -1,0 +1,195 @@
+"""Mining tests on a synthetic Sintel-layout fixture with exact ground truth."""
+
+import os
+
+import numpy as np
+import pytest
+
+from opengpc_tpu.forest import PATCH, PATCH_HALF
+from opengpc_tpu.io.png import write_png
+from opengpc_tpu.io.flo import write_flo
+from opengpc_tpu.io.sintel import decode_stereo_disparity
+from opengpc_tpu.mine import (
+    extract_flow_dataset,
+    extract_patches_xmajor,
+    extract_stereo_dataset,
+    extract_triplets,
+    mine_flow_pair,
+    mine_stereo_pair,
+)
+
+H, W = 100, 160
+SHIFT = 5  # constant motion / disparity in the synthetic scenes
+
+
+def _scene_image(rng, h=H, w=W + SHIFT):
+    small = rng.integers(0, 256, (h // 4 + 1, w // 4 + 1))
+    img = np.kron(small, np.ones((4, 4)))[:h, :w]
+    return np.clip(img + rng.integers(-10, 11, (h, w)), 0, 255).astype(np.uint8)
+
+
+def test_extract_patches_xmajor_layout():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    kpts = np.array([[30, 25], [20, 31]])
+    p = extract_patches_xmajor(img, kpts)
+    for k, (x, y) in enumerate(kpts):
+        for dx, dy in [(-13, -13), (0, 0), (3, -7), (13, 13)]:
+            lin = (dx + PATCH_HALF) * PATCH + (dy + PATCH_HALF)
+            assert p[k, lin] == img[y + dy, x + dx]
+
+
+def test_decode_stereo_disparity():
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (10, 128, 0)   # 4*10 + 128//64 = 42
+    rgb[0, 1] = (0, 63, 0)     # 0
+    rgb[1, 0] = (255, 255, 0)  # 1023
+    d = decode_stereo_disparity(rgb)
+    assert d[0, 0] == 42 and d[0, 1] == 0 and d[1, 0] == 1023
+
+
+def test_mine_flow_pair_exact_flow():
+    rng = np.random.default_rng(1)
+    u = np.full((H, W), float(SHIFT))
+    v = np.zeros((H, W))
+    zeros = np.zeros((H, W), np.uint8)
+    kl, kr, kn = mine_flow_pair(u, v, zeros, zeros, zeros, zeros,
+                                200, 10, 20, rng)
+    assert len(kl) == len(kr) == len(kn) == 200
+    np.testing.assert_array_equal(kr[:, 0], kl[:, 0] + SHIFT)
+    np.testing.assert_array_equal(kr[:, 1], kl[:, 1])
+    # negatives inside the annulus (Chebyshev per-axis offsets in [10,20])
+    off = np.abs(kn - kr)
+    assert (off >= 10).all() and (off <= 20).all()
+    # all safe
+    for k in (kl, kr, kn):
+        assert (k[:, 0] > 20).all() and (k[:, 0] < W - 21).all()
+        assert (k[:, 1] > 20).all() and (k[:, 1] < H - 21).all()
+
+
+def test_mine_flow_respects_occlusion():
+    rng = np.random.default_rng(2)
+    u = np.zeros((H, W))
+    v = np.zeros((H, W))
+    zeros = np.zeros((H, W), np.uint8)
+    occ = np.zeros((H, W), np.uint8)
+    occ[:, : W // 2] = 255  # left half occluded
+    kl, _, _ = mine_flow_pair(u, v, occ, zeros, zeros, zeros, 100, 5, 10, rng)
+    assert (kl[:, 0] >= W // 2).all()
+
+
+def test_mine_stereo_pair():
+    rng = np.random.default_rng(3)
+    disp = np.full((H, W), SHIFT, np.int32)
+    zeros = np.zeros((H, W), np.uint8)
+    kl, kr, kn = mine_stereo_pair(disp, zeros, zeros, 150, 8, 16, rng)
+    np.testing.assert_array_equal(kr[:, 0], kl[:, 0] - SHIFT)
+    np.testing.assert_array_equal(kr[:, 1], kl[:, 1])
+
+
+def test_extract_triplets_pos_matches_ref():
+    """With an exact integer shift, ref and pos patches are identical
+    (both taken from blurred images)."""
+    rng = np.random.default_rng(4)
+    scene = _scene_image(rng)
+    left = scene[:, :W]
+    right = scene[:, SHIFT:]  # right(x) = left(x + SHIFT): flow u = +? ...
+    # correspondence: left pixel (x, y) == right pixel (x - SHIFT, y)
+    u = np.full((H, W), -float(SHIFT))
+    v = np.zeros((H, W))
+    zeros = np.zeros((H, W), np.uint8)
+    kl, kr, kn = mine_flow_pair(u, v, zeros, zeros, zeros, zeros,
+                                100, 10, 20, rng)
+    trips = extract_triplets(left, right, kl, kr, kn)
+    assert trips.shape[1:] == (3, PATCH * PATCH)
+    assert len(trips) > 50
+    np.testing.assert_array_equal(trips[:, 0], trips[:, 1])
+    # negatives differ from positives
+    assert (trips[:, 1] != trips[:, 2]).any(axis=1).all()
+
+
+@pytest.fixture
+def sintel_tree(tmp_path):
+    """Tiny synthetic Sintel tree: flow + stereo layouts, 2 scenes x 3 frames."""
+    rng = np.random.default_rng(7)
+    root = tmp_path / "sintel"
+    for scene in ("alley_1", "bamboo_2"):
+        frames = [_scene_image(rng) for _ in range(3)]
+        for sub in ("clean", "flow", "occlusions", "invalid",
+                    "clean_left", "clean_right", "disparities", "outofframe"):
+            os.makedirs(root / "training" / sub / scene, exist_ok=True)
+        tr = root / "training"
+        for i in range(3):
+            img = frames[i][:, :W]
+            nxt = frames[i][:, SHIFT:]  # frame t+1 = frame t shifted
+            write_png(str(tr / "clean" / scene / f"frame_{i+1:04d}.png"), img)
+            write_png(str(tr / "clean_left" / scene / f"frame_{i+1:04d}.png"), img)
+            write_png(str(tr / "clean_right" / scene / f"frame_{i+1:04d}.png"),
+                      nxt[:, :W])
+            zeros = np.zeros((H, W), np.uint8)
+            for sub in ("occlusions", "invalid", "outofframe"):
+                write_png(str(tr / sub / scene / f"frame_{i+1:04d}.png"), zeros)
+            # flow: frame t pixel (x,y) -> frame t+1 pixel (x-SHIFT, y)...
+            # but clean frames here are all *independent* crops of frames[i];
+            # for flow gt we just reuse the same frame content trick:
+            write_flo(str(tr / "flow" / scene / f"frame_{i+1:04d}.flo"),
+                      np.full((H, W), -float(SHIFT), np.float32),
+                      np.zeros((H, W), np.float32))
+            # disparity PNG encoding d = 4R + G/64 -> R = d/4 for multiples of 4
+            disp_rgb = np.zeros((H, W, 3), np.uint8)
+            disp_rgb[:, :, 0] = SHIFT // 4
+            disp_rgb[:, :, 1] = (SHIFT % 4) * 64
+            write_png(str(tr / "disparities" / scene / f"frame_{i+1:04d}.png"),
+                      disp_rgb)
+    return str(root)
+
+
+def test_extract_flow_dataset_end_to_end(sintel_tree):
+    # flow pairs use frames (1,2) and (2,3): but consecutive synthetic frames
+    # are unrelated images, so only verify plumbing + shapes + shuffle here
+    data = extract_flow_dataset(sintel_tree, triplets_per_pair=50,
+                                radius_lo=10, radius_hi=20, seed=1,
+                                verbose=False)
+    assert data.dtype == np.uint8
+    assert data.shape[1:] == (3, 729)
+    assert len(data) > 100
+
+
+def test_extract_stereo_dataset_end_to_end(sintel_tree):
+    """Stereo fixture has exact disparity: ref == pos patch for most
+    triplets (up to blur-boundary effects)."""
+    data = extract_stereo_dataset(sintel_tree, triplets_per_pair=50,
+                                  radius_lo=10, radius_hi=20, seed=1,
+                                  verbose=False)
+    assert len(data) > 100
+    eq = (data[:, 0] == data[:, 1]).all(axis=1)
+    assert eq.mean() > 0.95
+    neq = (data[:, 1] != data[:, 2]).any(axis=1)
+    assert neq.all()
+
+
+def test_extract_then_train_then_match(sintel_tree, tmp_path):
+    """Full workflow: extract -> train -> sparsematch with the fresh forest."""
+    from opengpc_tpu.config import InferenceSettings, fern_factory, zero_optimizer
+    from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+    from opengpc_tpu.io.png import read_gray
+    from opengpc_tpu.train import train_forest
+
+    data = extract_stereo_dataset(sintel_tree, triplets_per_pair=80,
+                                  radius_lo=10, radius_hi=20, seed=2,
+                                  verbose=False)
+    forest = train_forest(data, fern_factory(1, 1, 1, 4),
+                          zero_optimizer(num_resamples=5), seed=3,
+                          verbose=False)
+    left = read_gray(os.path.join(
+        sintel_tree, "training", "clean_left", "alley_1", "frame_0001.png"))
+    right = read_gray(os.path.join(
+        sintel_tree, "training", "clean_right", "alley_1", "frame_0001.png"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=16384)
+    match = build_sparsematch(forest, settings)
+    supp = supports_to_numpy(*match(left, right))
+    assert len(supp) > 100
+    # the synthetic stereo pair has constant true disparity SHIFT
+    acc = (supp[:, 2] == SHIFT).mean()
+    assert acc > 0.95

@@ -1,0 +1,144 @@
+"""Training parity and behavior tests.
+
+Differential: train_fern with injected candidate lists must select the
+exact same (i, j, tau) per level — and produce the same TP/FP/FN — as the
+C++ oracle's trainFern (cpp/oracle.cc), which implements the reference
+semantics (Fern.hpp:209-372).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from opengpc_tpu.config import (
+    ForestSettings,
+    OptimizerSettings,
+    fern_factory,
+    tau_optimizer,
+    zero_optimizer,
+)
+from opengpc_tpu.forest import (
+    SCALE_L,
+    SCALE_M,
+    SCALE_S,
+    SCALE_HALF,
+    PATCH,
+    PATCH_HALF,
+    make_filter_mask,
+    parse_forest,
+    serialize_forest,
+)
+from opengpc_tpu.io.triplets import load_triplets, save_triplets
+from opengpc_tpu.train import sample_candidates, train_fern, train_forest
+
+
+def make_triplets(rng, n):
+    """Triplets where pos is a noisy copy of ref and neg is unrelated."""
+    ref = rng.integers(0, 256, (n, 729)).astype(np.int16)
+    pos = np.clip(ref + rng.integers(-8, 9, (n, 729)), 0, 255)
+    neg = rng.integers(0, 256, (n, 729))
+    return np.stack([ref, pos, neg], axis=1).astype(np.uint8)
+
+
+def _oracle_train(oracle_path, tmp_path, trips, cands, depth, tau_lo, tau_hi,
+                  w1, only_non_split):
+    tp = str(tmp_path / "trips.bin")
+    cp = str(tmp_path / "cands.txt")
+    op = str(tmp_path / "out.txt")
+    save_triplets(trips, tp)
+    with open(cp, "w") as f:
+        for level, arr in enumerate(cands):
+            for i, j in arr:
+                f.write(f"{level} {i} {j}\n")
+    subprocess.run(
+        [oracle_path, "trainfern", tp, cp, str(depth), str(tau_lo), str(tau_hi),
+         str(w1), "1" if only_non_split else "0", op],
+        check=True,
+    )
+    rows = []
+    with open(op) as f:
+        for line in f:
+            parts = line.split()
+            rows.append(
+                dict(
+                    level=int(parts[0]), i=int(parts[1]), j=int(parts[2]),
+                    tau=int(parts[3]), tp=int(parts[4]), fp=int(parts[5]),
+                    fn=int(parts[6]), score=float(parts[7]),
+                )
+            )
+    return rows
+
+
+@pytest.mark.parametrize("only_non_split", [False, True])
+@pytest.mark.parametrize("tau_lo,tau_hi", [(0, 1), (-10, 10)])
+def test_train_fern_oracle_parity(oracle_path, tmp_path, tau_lo, tau_hi,
+                                  only_non_split):
+    rng = np.random.default_rng(5 + tau_hi)
+    n, depth, resamples = 300, 4, 6
+    trips = make_triplets(rng, n)
+    cands = [sample_candidates(rng, SCALE_L, resamples) for _ in range(depth)]
+
+    want = _oracle_train(
+        oracle_path, tmp_path, trips, cands, depth, tau_lo, tau_hi, 0.5,
+        only_non_split,
+    )
+
+    opt = OptimizerSettings(tau_lo, tau_hi, resamples, only_non_split, 0.5)
+    fern, stats = train_fern(
+        trips, SCALE_L, opt, depth, candidates=cands, verbose=False
+    )
+
+    for lvl, w in enumerate(want):
+        s = stats[lvl]
+        assert (s.i, s.j, s.tau) == (w["i"], w["j"], w["tau"]), f"level {lvl}"
+        # oracle prints %g (6 significant digits)
+        assert s.hmean == pytest.approx(w["score"], rel=1e-5)
+        if not only_non_split:
+            assert (s.tp, s.fp, s.fn) == (w["tp"], w["fp"], w["fn"])
+
+
+def test_sample_candidates_in_window():
+    rng = np.random.default_rng(0)
+    for scale in (SCALE_S, SCALE_M, SCALE_L):
+        half = SCALE_HALF[scale]
+        c = sample_candidates(rng, scale, 500)
+        assert (c[:, 0] != c[:, 1]).all()
+        for lin in c.reshape(-1):
+            x, y = lin % PATCH - PATCH_HALF, lin // PATCH - PATCH_HALF
+            assert -half <= x <= half and -half <= y <= half
+
+
+def test_train_forest_roundtrip(tmp_path):
+    """Full train -> export -> parse -> inference-mask pipeline."""
+    rng = np.random.default_rng(1)
+    trips = make_triplets(rng, 400)
+    settings = fern_factory(1, 1, 1, 3)
+    forest = train_forest(trips, settings, zero_optimizer(num_resamples=4),
+                          seed=7, verbose=False)
+    assert len(forest.ferns) == 3
+    assert forest.is_zero
+    text = serialize_forest(forest)
+    assert parse_forest(text) == forest
+    mask = make_filter_mask(forest)
+    assert mask.num_tests == 9
+    assert (np.abs(mask.i_off) <= 13).all()
+
+    # a tau forest trains taus in range and flags type 1
+    tf = train_forest(trips, settings, tau_optimizer(num_resamples=4),
+                      seed=7, verbose=False)
+    taus = [t.tau for f in tf.ferns for t in f.tests]
+    assert all(-10 <= t < 10 for t in taus)
+
+
+def test_training_separates_pos_from_neg():
+    """On separable data the learned fern must actually collide ref with pos
+    and not with neg (training-side decision convention)."""
+    rng = np.random.default_rng(2)
+    trips = make_triplets(rng, 600)
+    opt = zero_optimizer(num_resamples=8)
+    fern, stats = train_fern(trips, SCALE_L, opt, 5, rng=rng, verbose=False)
+    final = stats[-1]
+    assert final.prec > 0.8
+    assert final.rec > 0.15
