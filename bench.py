@@ -47,7 +47,7 @@ def make_pair(h, w, d, seed=42):
     return left, right
 
 
-def _chained_runner(mask, settings, n):
+def _chained_runner(mask, settings, n, use_pallas):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,9 @@ def _chained_runner(mask, settings, n):
     def run(left, right):
         def body(_, carry):
             acc, l = carry
-            _, _, _, c = _sparsematch_impl(l, right, mask=mask, settings=settings)
+            _, _, _, c = _sparsematch_impl(
+                l, right, mask=mask, settings=settings, use_pallas=use_pallas
+            )
             # dependency: fold the match count's low bit into a boundary
             # pixel (cleared by preprocessing, so results are unchanged)
             l = jax.lax.dynamic_update_slice(
@@ -97,9 +99,9 @@ def main():
     assert correct > 0.99, f"support accuracy {correct:.3f} < 0.99"
 
     ld, rd = jax.device_put(left), jax.device_put(right)
-    short, long_ = _chained_runner(mask, settings, N_SHORT), _chained_runner(
-        mask, settings, N_LONG
-    )
+    use_pallas = jax.default_backend() == "tpu"
+    short = _chained_runner(mask, settings, N_SHORT, use_pallas)
+    long_ = _chained_runner(mask, settings, N_LONG, use_pallas)
     int(np.asarray(short(ld, rd)))  # compile + warm
     int(np.asarray(long_(ld, rd)))
 

@@ -41,11 +41,23 @@ def preprocess(img: jnp.ndarray, gradient_threshold: int):
     return smooth, candidate_mask(grad)
 
 
-def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings):
-    smooth_l, cand_l = preprocess(left, settings.gradient_threshold)
-    smooth_r, cand_r = preprocess(right, settings.gradient_threshold)
-    codes_l = leaf_codes(smooth_l, mask)
-    codes_r = leaf_codes(smooth_r, mask)
+def _codes_and_candidates(img, mask: FilterMask, settings: InferenceSettings,
+                          use_pallas: bool):
+    if use_pallas:
+        from opengpc_tpu.ops.fused import fused_codes
+
+        try:
+            return fused_codes(img, mask, settings.gradient_threshold)
+        except ValueError:  # beyond the kernel's VMEM sizing budget
+            pass
+    smooth, cand = preprocess(img, settings.gradient_threshold)
+    return leaf_codes(smooth, mask), cand
+
+
+def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings,
+                      use_pallas: bool = False):
+    codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
+    codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
     if settings.epipolar_mode:
         (xs, ys, ds), count = match_epipolar(
             codes_l, codes_r, cand_l, cand_r, settings.disp_high, settings.capacity
@@ -64,7 +76,7 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
 
 
 def build_sparsematch(
-    forest_or_mask, settings: InferenceSettings
+    forest_or_mask, settings: InferenceSettings, use_pallas: Optional[bool] = None
 ) -> Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Build a jitted ``(left, right) -> (x, y, d, count)`` matcher.
 
@@ -72,13 +84,21 @@ def build_sparsematch(
     analog of readForest producing a width-specific FilterMask,
     inference.hpp:404-446 — but width-independent here).  Works on single
     images (H, W) and, via vmap, on batches (B, H, W).
+
+    ``use_pallas=None`` selects the fused Pallas preprocessing+code kernel
+    automatically on TPU (falling back to the jnp ops off-TPU or for
+    images beyond the kernel's VMEM budget).
     """
     mask = (
         make_filter_mask(forest_or_mask)
         if isinstance(forest_or_mask, Forest)
         else forest_or_mask
     )
-    fn = functools.partial(_sparsematch_impl, mask=mask, settings=settings)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = functools.partial(
+        _sparsematch_impl, mask=mask, settings=settings, use_pallas=use_pallas
+    )
 
     @jax.jit
     def run(left: jnp.ndarray, right: jnp.ndarray):

@@ -1,0 +1,194 @@
+"""Fused Pallas preprocessing + leaf-code kernel.
+
+One VMEM pass replaces the reference's three separate SSE kernels plus
+index compaction (box filter.hpp:293-392, sobel filter.hpp:404-519,
+gpcFilter[Tau] filter.hpp:547-683, arr2ind filter.hpp:60-87): a single
+kernel loads the halo-padded uint8 image once and emits
+
+* the (H, W) int32 leaf-code image (test 0 at the MSB end, naive-path bit
+  order, tau semantics ``a > b - tau``), and
+* the (H, W) uint8 candidate mask (binary sobel response with the 13-px
+  interior margin).
+
+The box-blurred intermediate lives only in VMEM — it never round-trips
+through HBM, which is the point of fusing on a bandwidth-bound chip.  All
+forest test offsets are compile-time constants (the analog of readForest
+baking offsets into a FilterMask, inference.hpp:404-446), so the 2T
+shifted reads compile to static lane/sublane shifts, not gathers.
+
+Semantics are the scalar parity contract (SURVEY.md §7): identical to
+ops/preprocess.box3 + sobel3 + candidate_mask and ops/codes.leaf_codes at
+every candidate pixel (pinned by tests/test_pallas.py against both the jnp
+path and the C++ oracle).
+
+Sizing: the kernel holds the padded image and a few same-sized int16/int32
+temporaries in VMEM; it accepts images up to ~2 Mpix (Sintel 1024x436 and
+KITTI 1242x375 fit comfortably).  ``fused_codes`` raises for larger
+images — callers fall back to the jnp path (infer.build_sparsematch does
+this automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opengpc_tpu.forest import FilterMask, PATCH_HALF
+
+PAD = PATCH_HALF + 1  # 13-px code halo + 1-px box/sobel halo
+MARGIN = 13           # candidate interior margin (inference.hpp:318-325)
+# rough VMEM budget: padded int16 image + smooth + code/sobel temps
+MAX_PIXELS = 2_200_000
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _div9_floor(x32):
+    """floor(x / 9) for 0 <= x <= 2295 via multiply-shift — Mosaic has no
+    vector integer divide; this is the same trick as the reference's SSE
+    ``mulhi(x, 7282)`` (filter.hpp:304,416), exact over the box-sum range."""
+    return (x32 * 7282) >> 16
+
+
+def _div9_trunc(x32):
+    """C-truncating x / 9 for |x| <= 2295 (sobel numerators)."""
+    q = _div9_floor(jnp.abs(x32))
+    return jnp.where(x32 < 0, -q, q)
+
+
+TILE_H = 64  # output rows per grid step; temporaries scale with this
+
+
+def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
+    """One row-tile of the fused pipeline.
+
+    ``img_ref`` holds the full halo-padded image in VMEM (uint8, small);
+    each grid step reads its tile + 28-row halo with a dynamic row slice
+    and writes a (th, w) block of codes and candidates.  Tiling keeps the
+    ~2T live int32 slice temporaries at (th+26, wp) instead of image-sized
+    (Mosaic stack-allocates them; a whole-image variant OOMs VMEM).
+
+    tests: tuple of (iy, ix, jy, jx, tau) python ints.
+    """
+    t = pl.program_id(0)
+    y0 = t * th  # first output image row of this tile == padded row offset
+    x32 = img_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
+    hc, wc = th + 26, w + 26  # code-support region of this tile
+
+    # --- box 3x3 on the code-support region -----------------------------
+    # tile region coord (r, c) = image (y0 + r - 13, c - 13)
+    #                          = tile-local padded (r + 1, c + 1)
+    total = jnp.zeros((hc, wc), jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            total = total + jax.lax.slice(
+                x32, (1 + dy, 1 + dx), (1 + dy + hc, 1 + dx + wc)
+            )
+    blurred = _div9_floor(total)
+    # valid box region (boxNaive + clearBoundary): 1 <= y <= h-3, 2 <= x <= w-2
+    rr = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0) + y0
+    cc = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    box_valid = (rr >= 14) & (rr <= h + 10) & (cc >= 15) & (cc <= w + 11)
+    smooth = jnp.where(box_valid, blurred, jnp.int32(0))  # (hc, wc)
+
+    # --- leaf codes (gpcFilter[Tau] naive semantics) ---------------------
+    code = jnp.zeros((th, w), jnp.int32)
+    for iy, ix, jy, jx, tau in tests:
+        a = jax.lax.slice(smooth, (13 + iy, 13 + ix), (13 + iy + th, 13 + ix + w))
+        b = jax.lax.slice(smooth, (13 + jy, 13 + jx), (13 + jy + th, 13 + jx + w))
+        bit = (a > b - jnp.int32(tau)).astype(jnp.int32)
+        code = code * 2 + bit
+    codes_ref[:] = code
+
+    # --- sobel 3x3 on the raw image + margin -> candidate mask ----------
+    def raw(dy, dx):
+        return jax.lax.slice(
+            x32, (PAD + dy, PAD + dx), (PAD + dy + th, PAD + dx + w)
+        )
+
+    sx_num = raw(-1, -1) + raw(1, -1) + 2 * raw(0, -1) \
+        - raw(-1, 1) - 2 * raw(0, 1) - raw(1, 1)
+    sy_num = raw(-1, -1) + raw(-1, 1) + 2 * raw(-1, 0) \
+        - raw(1, -1) - 2 * raw(1, 0) - raw(1, 1)
+    sx = _div9_trunc(sx_num)  # C truncation (negative-safe)
+    sy = _div9_trunc(sy_num)
+    grad = sx * sx + sy * sy > jnp.int32(thr2)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + y0
+    xx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    interior = (yy >= MARGIN) & (yy < h - MARGIN) & (xx >= MARGIN) & (xx < w - MARGIN)
+    cand_ref[:] = (grad & interior).astype(jnp.uint8)
+
+
+def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret: bool):
+    h, w = img.shape
+    th = TILE_H
+    n_tiles = (h + th - 1) // th
+    wp = _round_up(w + 2 * PAD, 128)
+    # pad so the last tile's halo read (rows [y0, y0 + th + 28)) stays in
+    # bounds: n_tiles * th + 28 rows total
+    padded = jnp.pad(
+        img,
+        ((PAD, n_tiles * th + 28 - h - PAD), (PAD, wp - w - PAD)),
+        constant_values=0,
+    )
+    i_off = np.asarray(mask.i_off)
+    j_off = np.asarray(mask.j_off)
+    tau = np.asarray(mask.tau)
+    tests = tuple(
+        (int(i_off[t, 0]), int(i_off[t, 1]), int(j_off[t, 0]), int(j_off[t, 1]),
+         int(tau[t]))
+        for t in range(mask.num_tests)
+    )
+    kernel = functools.partial(
+        _kernel, h=h, w=w, th=th, tests=tests,
+        thr2=int(gradient_threshold) * int(gradient_threshold),
+    )
+    codes, cand = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * th, w), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * th, w), jnp.uint8),
+        ),
+        in_specs=[
+            pl.BlockSpec(padded.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(padded)
+    return codes[:h], cand[:h] != 0
+
+
+def fused_codes(
+    img: jnp.ndarray,
+    mask: FilterMask,
+    gradient_threshold: int,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(codes int32 (H, W), candidates bool (H, W)) in one fused pass.
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU (tests run the
+    same kernel logic on CPU).  Raises ValueError for images beyond the
+    VMEM sizing budget — use the jnp path for those.
+    """
+    h, w = img.shape
+    if h * w > MAX_PIXELS:
+        raise ValueError(
+            f"image {h}x{w} exceeds the fused kernel's VMEM budget; "
+            f"use the jnp path"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_codes_impl(img, mask, gradient_threshold, bool(interpret))

@@ -1,0 +1,78 @@
+"""Fused Pallas kernel parity vs the jnp ops (and hence the C++ oracle,
+which the jnp ops are pinned against in test_parity.py).
+
+Runs in interpreter mode on the CPU test devices — same kernel program,
+no TPU needed (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from opengpc_tpu import forest as forest_mod
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+from opengpc_tpu.ops.codes import leaf_codes
+from opengpc_tpu.ops.fused import fused_codes
+from opengpc_tpu.ops.preprocess import box3, candidate_mask, sobel3
+
+import os
+
+FORESTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "forests"
+)
+
+
+def structured_image(rng, h, w):
+    small = rng.integers(0, 256, (h // 4 + 2, w // 4 + 2))
+    img = np.kron(small, np.ones((4, 4)))[:h, :w]
+    return np.clip(img + rng.integers(-12, 13, (h, w)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (100, 250), (436, 1024)])
+@pytest.mark.parametrize(
+    "forest_file", ["defaultZeroForest.txt", "defaultTauForest.txt"]
+)
+def test_fused_matches_jnp_ops(shape, forest_file):
+    rng = np.random.default_rng(sum(shape))
+    img = structured_image(rng, *shape)
+    forest = forest_mod.load_forest(os.path.join(FORESTS, forest_file))
+    mask = forest_mod.make_filter_mask(forest)
+    thr = 5
+
+    codes_f, cand_f = fused_codes(img, mask, thr, interpret=True)
+    cand_f = np.asarray(cand_f)
+    codes_f = np.asarray(codes_f)
+
+    smooth = box3(img)
+    want_cand = np.asarray(candidate_mask(sobel3(img, thr)))
+    want_codes = np.asarray(leaf_codes(smooth, mask))
+
+    np.testing.assert_array_equal(cand_f, want_cand)
+    assert want_cand.sum() > 0
+    np.testing.assert_array_equal(
+        codes_f[want_cand], want_codes[want_cand]
+    )
+
+
+def test_pipeline_with_pallas_matches_without():
+    rng = np.random.default_rng(9)
+    h, w = 96, 160
+    left = structured_image(rng, h, w)
+    right = np.roll(left, -3, axis=1)
+    forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 capacity=16384)
+
+    ref = build_sparsematch(forest, settings, use_pallas=False)
+    pal = build_sparsematch(forest, settings, use_pallas=True)
+    want = set(map(tuple, supports_to_numpy(*ref(left, right)).tolist()))
+    got = set(map(tuple, supports_to_numpy(*pal(left, right)).tolist()))
+    assert got == want and len(want) > 0
+
+
+def test_fused_rejects_oversized_images():
+    forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    mask = forest_mod.make_filter_mask(forest)
+    big = np.zeros((2048, 2048), np.uint8)
+    with pytest.raises(ValueError):
+        fused_codes(big, mask, 5, interpret=True)
