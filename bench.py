@@ -47,32 +47,6 @@ def make_pair(h, w, d, seed=42):
     return left, right
 
 
-def _chained_runner(mask, settings, n, use_pallas):
-    import jax
-    import jax.numpy as jnp
-
-    from opengpc_tpu.infer import _sparsematch_impl
-
-    @jax.jit
-    def run(left, right):
-        def body(_, carry):
-            acc, l = carry
-            _, _, _, c = _sparsematch_impl(
-                l, right, mask=mask, settings=settings, use_pallas=use_pallas
-            )
-            # dependency: fold the match count's low bit into a boundary
-            # pixel (cleared by preprocessing, so results are unchanged)
-            l = jax.lax.dynamic_update_slice(
-                l, (c & 1).astype(jnp.uint8).reshape(1, 1), (0, 0)
-            )
-            return acc + c, l
-
-        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.int32(0), left))
-        return acc
-
-    return run
-
-
 def main():
     import jax
 
@@ -98,23 +72,30 @@ def main():
     correct = float((supp[:, 2] == TRUE_DISP).mean())
     assert correct > 0.99, f"support accuracy {correct:.3f} < 0.99"
 
-    ld, rd = jax.device_put(left), jax.device_put(right)
+    import jax.numpy as jnp
+
+    from opengpc_tpu.infer import _sparsematch_impl
+    from opengpc_tpu.utils import device_time_per_iter
+
     use_pallas = jax.default_backend() == "tpu"
-    short = _chained_runner(mask, settings, N_SHORT, use_pallas)
-    long_ = _chained_runner(mask, settings, N_LONG, use_pallas)
-    int(np.asarray(short(ld, rd)))  # compile + warm
-    int(np.asarray(long_(ld, rd)))
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(np.asarray(short(ld, rd)))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(np.asarray(long_(ld, rd)))
-        t_long = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (N_LONG - N_SHORT))
+    def step(l, r):
+        return _sparsematch_impl(
+            l, r, mask=mask, settings=settings, use_pallas=use_pallas
+        )[3]
 
+    def make_dep(count, args):
+        # fold the match count's low bit into a boundary pixel (cleared by
+        # preprocessing, so results are unchanged) to chain iterations
+        l, r = args
+        l = jax.lax.dynamic_update_slice(
+            l, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0)
+        )
+        return (l, r)
+
+    best = device_time_per_iter(
+        step, (left, right), make_dep, N_SHORT, N_LONG, repeats=3
+    )
     mpix_s = (2 * H * W / 1e6) / best
     print(
         json.dumps(

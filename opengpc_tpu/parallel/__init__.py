@@ -50,6 +50,26 @@ def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh:
     )
 
 
+def sharded_train_fern(
+    triplets, scale, optimizer, max_depth, mesh: Mesh, seed: int = 0,
+    verbose: bool = False,
+):
+    """Train one fern with the triplet axis sharded over the mesh.
+
+    Each level's TP/FP/FN count reduction becomes an XLA psum over ICI;
+    everything else is per-shard local.  Selection semantics are identical
+    to the single-device trainer (integer counts are exact regardless of
+    sharding)."""
+    import numpy as np
+
+    from opengpc_tpu.train import train_fern
+
+    return train_fern(
+        triplets, scale, optimizer, max_depth,
+        rng=np.random.default_rng(seed), verbose=verbose, mesh=mesh,
+    )
+
+
 def sharded_sparsematch_step(n_devices: int) -> None:
     """Dry-run: one sharded batched sparsematch step on tiny shapes.
 
@@ -85,3 +105,17 @@ def sharded_sparsematch_step(n_devices: int) -> None:
     count.block_until_ready()
     assert count.shape == (b,)
     assert all(int(c) > 0 for c in np.asarray(count)), "no matches in dryrun"
+
+    # full training step, triplet axis sharded over the same mesh
+    from opengpc_tpu.config import zero_optimizer
+    from opengpc_tpu.forest import SCALE_L
+
+    trip_rng = np.random.default_rng(1)
+    ref = trip_rng.integers(0, 256, (8 * n_devices, 729)).astype(np.int16)
+    pos = np.clip(ref + trip_rng.integers(-6, 7, ref.shape), 0, 255)
+    neg = trip_rng.integers(0, 256, ref.shape)
+    triplets = np.stack([ref, pos, neg], axis=1).astype(np.uint8)
+    fern, stats = sharded_train_fern(
+        triplets, SCALE_L, zero_optimizer(num_resamples=2), 2, mesh
+    )
+    assert len(fern.tests) == 2

@@ -180,6 +180,7 @@ def train_fern(
     rng: Optional[np.random.Generator] = None,
     candidates: Optional[Sequence[np.ndarray]] = None,
     verbose: bool = True,
+    mesh=None,
 ) -> Tuple[Fern, List[LevelStats]]:
     """Greedily train one fern (Fern::train, Fern.hpp:312-372).
 
@@ -187,6 +188,11 @@ def train_fern(
     level like sampleHyperplane) or ``candidates`` (a list of (R, 2) arrays
     of patch linear indices per level — the injection hook used for
     differential testing against the C++ oracle) must be given.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a "data" axis — the
+    triplet axis is sharded over it and XLA turns the per-level count
+    reductions into psums over ICI (data parallelism over triplets, the
+    training analog of the reference's row-partitioned threads).
     """
     if candidates is None:
         if rng is None:
@@ -197,9 +203,17 @@ def train_fern(
         ]
 
     n = triplets.shape[0]
-    patches = jnp.asarray(triplets)
-    eq_pos = jnp.ones((n,), bool)
-    eq_neg = jnp.ones((n,), bool)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_n = NamedSharding(mesh, P("data"))
+        patches = jax.device_put(jnp.asarray(triplets), shard_n)
+        eq_pos = jax.device_put(jnp.ones((n,), bool), shard_n)
+        eq_neg = jax.device_put(jnp.ones((n,), bool), shard_n)
+    else:
+        patches = jnp.asarray(triplets)
+        eq_pos = jnp.ones((n,), bool)
+        eq_neg = jnp.ones((n,), bool)
     # exclusion markers (markSplitSamples, Fern.hpp:271-291)
     split_pos = np.zeros((n,), bool)
     split_neg = np.zeros((n,), bool)
@@ -218,6 +232,8 @@ def train_fern(
     for level in range(max_depth):
         cand = np.asarray(candidates[level], np.int32)
         include = jnp.asarray(~(split_pos & split_neg))
+        if mesh is not None:
+            include = jax.device_put(include, shard_n)
         counts = np.asarray(
             _score_level(
                 patches, jnp.asarray(cand), jnp.int32(tau_lo), num_taus,

@@ -57,3 +57,32 @@ def test_sharded_matches_single_device():
             map(tuple, supports_to_numpy(bx[k], by[k], bd[k], bcount[k]).tolist())
         )
         assert got == want
+
+
+def test_sharded_training_matches_single_device():
+    """Sharded fern training selects identical splits to single-device."""
+    import numpy as np
+
+    from opengpc_tpu.config import zero_optimizer, tau_optimizer
+    from opengpc_tpu.forest import SCALE_L
+    from opengpc_tpu.train import sample_candidates, train_fern
+
+    rng = np.random.default_rng(11)
+    n = 200
+    ref = rng.integers(0, 256, (n, 729)).astype(np.int16)
+    pos = np.clip(ref + rng.integers(-8, 9, ref.shape), 0, 255)
+    neg = rng.integers(0, 256, ref.shape)
+    trips = np.stack([ref, pos, neg], axis=1).astype(np.uint8)
+
+    opt = tau_optimizer(num_resamples=4)
+    cands = [sample_candidates(rng, SCALE_L, 4) for _ in range(3)]
+    fern_single, stats_single = train_fern(
+        trips, SCALE_L, opt, 3, candidates=cands, verbose=False
+    )
+    fern_sharded, stats_sharded = train_fern(
+        trips, SCALE_L, opt, 3, candidates=cands, verbose=False,
+        mesh=make_mesh(),
+    )
+    assert fern_single == fern_sharded
+    for a, b in zip(stats_single, stats_sharded):
+        assert (a.i, a.j, a.tau, a.tp, a.fp, a.fn) == (b.i, b.j, b.tau, b.tp, b.fp, b.fn)

@@ -1,0 +1,83 @@
+"""Multi-scale pyramid matching tests."""
+
+import os
+
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest
+from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+from opengpc_tpu.pyramid import (
+    build_pyramid_sparsematch,
+    downscale2,
+    pyramid_supports_to_numpy,
+)
+
+FORESTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "forests"
+)
+
+
+def make_pair(h, w, d, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w + d)).astype(np.float32)
+    for _ in range(2):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    scene = base.astype(np.uint8)
+    return scene[:, :w].copy(), scene[:, d:].copy()
+
+
+def test_downscale2_exact():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (10, 14)).astype(np.uint8)
+    got = np.asarray(downscale2(img))
+    x = img.astype(int)
+    want = (x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]) // 4
+    np.testing.assert_array_equal(got, want[:5, :7])
+
+
+def test_pyramid_level0_equals_plain_matcher():
+    left, right = make_pair(96, 160, 4, seed=1)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=8192)
+    plain = build_sparsematch(forest, settings, use_pallas=False)
+    pyr = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                    use_pallas=False)
+    want = set(map(tuple, supports_to_numpy(*plain(left, right)).tolist()))
+    rows = pyramid_supports_to_numpy(*pyr(left, right))
+    got0 = set(map(tuple, rows[rows[:, 3] == 0][:, :3].tolist()))
+    assert got0 == want
+
+
+def test_pyramid_coarse_levels_scale_back():
+    """True disparity 8: level 1 sees d=4, scaled back to 8."""
+    left, right = make_pair(128, 256, 8, seed=2)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=8192)
+    pyr = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                    use_pallas=False)
+    rows = pyramid_supports_to_numpy(*pyr(left, right))
+    for level in (0, 1):
+        sel = rows[rows[:, 3] == level]
+        assert len(sel) > 20, f"level {level} produced too few supports"
+        acc = (sel[:, 2] == 8).mean()
+        assert acc > 0.95, f"level {level} disparity accuracy {acc}"
+
+
+def test_pyramid_batched():
+    left, right = make_pair(64, 128, 2, seed=3)
+    lefts = np.stack([left, left])
+    rights = np.stack([right, right])
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 capacity=4096)
+    pyr = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                    use_pallas=False)
+    xs, ys, ds, lv, counts = pyr(lefts, rights)
+    assert counts.shape == (2, 2)
+    a = pyramid_supports_to_numpy(xs[0], ys[0], ds[0], lv[0], counts[0])
+    b = pyramid_supports_to_numpy(xs[1], ys[1], ds[1], lv[1], counts[1])
+    np.testing.assert_array_equal(a, b)
