@@ -75,3 +75,58 @@ def disparity_visualization(
     x, y, d = supports[:, 0], supports[:, 1], supports[:, 2]
     out[y, x] = kitti_disparity_colors(d, min_disparity, max_disparity)
     return out
+
+
+def dense_disparity_visualization(
+    gray: np.ndarray,
+    disparity: np.ndarray,
+    valid: np.ndarray,
+    min_disparity: float = 0.0,
+    max_disparity: float = 128.0,
+) -> np.ndarray:
+    """Overlay a dense (h, w) disparity map where ``valid`` is set.
+
+    Equivalent of the reference's index-list getDisparityVisualization
+    overload (buffer.hpp:876-948)."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    out = np.repeat(gray[:, :, None], 3, axis=2)
+    yy, xx = np.nonzero(np.asarray(valid))
+    if len(yy):
+        out[yy, xx] = kitti_disparity_colors(
+            np.asarray(disparity)[yy, xx], min_disparity, max_disparity
+        )
+    return out
+
+
+def draw_line(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
+              color) -> None:
+    """Draw a line segment in-place on an (h, w, 3) uint8 image.
+
+    Host-side equivalent of the reference's Buffer line rasterizer
+    (buffer.hpp:555-628); vectorized sampling instead of an incremental
+    scalar loop."""
+    h, w = img.shape[:2]
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.rint(np.linspace(x0, x1, n)).astype(int)
+    ys = np.rint(np.linspace(y0, y1, n)).astype(int)
+    keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[keep], xs[keep]] = color
+
+
+def draw_correspondences(
+    gray_src: np.ndarray,
+    supports: np.ndarray,
+    max_disparity: float = 128.0,
+    stride: int = 1,
+) -> np.ndarray:
+    """Visualize supports as short disparity vectors on the source image:
+    a line from (x, y) to the matched (x - d, y), colored by d."""
+    gray = np.asarray(gray_src, dtype=np.uint8)
+    out = np.repeat(gray[:, :, None], 3, axis=2)
+    supports = np.asarray(supports)
+    if supports.size == 0:
+        return out
+    colors = kitti_disparity_colors(supports[:, 2], 0.0, max_disparity)
+    for (x, y, d), c in zip(supports[::stride], colors[::stride]):
+        draw_line(out, int(x), int(y), int(x - d), int(y), c)
+    return out
