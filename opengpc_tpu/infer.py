@@ -109,6 +109,69 @@ def build_sparsematch(
     return run
 
 
+def build_stereomatch(
+    forest_or_mask, settings: InferenceSettings, use_pallas: Optional[bool] = None
+) -> Callable:
+    """Jitted ``(left, right) -> (sx, sy, tx, ty, count)`` correspondence
+    matcher — the reference's stereoMatch surface (inference.hpp:344-361):
+    global unique-collision correspondences with *no* epipolar/disparity
+    filtering.  Batched via vmap like build_sparsematch."""
+    from opengpc_tpu.match import match_correspondences
+
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def fn(left, right):
+        codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
+        codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
+        (sx, sy, tx, ty), count = match_correspondences(
+            codes_l, codes_r, cand_l, cand_r, settings.capacity
+        )
+        return sx, sy, tx, ty, count
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim == 3:
+            return jax.vmap(fn)(left, right)
+        return fn(left, right)
+
+    return run
+
+
+def extract_descriptors(
+    img: jnp.ndarray,
+    forest_or_mask,
+    settings: InferenceSettings,
+    use_pallas: Optional[bool] = None,
+) -> np.ndarray:
+    """Per-image descriptor list — the evalFastMaskOnSubsetSSE surface
+    (inference.hpp:266-292): an (n, 3) int array of (x, y, state) rows for
+    every candidate pixel, in row-major scan order.  Host-side trim of the
+    dense device outputs (states as unsigned 32-bit values)."""
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    codes, cand = jax.jit(
+        functools.partial(
+            _codes_and_candidates, mask=mask, settings=settings,
+            use_pallas=use_pallas,
+        )
+    )(img)
+    cand = np.asarray(cand)
+    ys, xs = np.nonzero(cand)
+    states = np.asarray(codes).astype(np.uint32)[ys, xs]
+    return np.stack([xs, ys, states.astype(np.int64)], axis=1)
+
+
 def supports_to_numpy(xs, ys, ds, count) -> np.ndarray:
     """Trim a fixed-capacity support buffer to an (n, 3) int array of
     (x, y, d) rows.  Overflow beyond capacity is dropped with a warning

@@ -107,21 +107,12 @@ def match_epipolar(
     return compact(keep, (src_x, ycoord, d), capacity)
 
 
-def match_global(
-    code_src: jnp.ndarray,
-    code_tar: jnp.ndarray,
-    valid_src: jnp.ndarray,
-    valid_tar: jnp.ndarray,
-    disp_high: int,
-    vertical_tolerance: int,
-    capacity: int,
-):
-    """Global (non-epipolar) unique-collision matching of two (H, W) code
-    images, with the rectified-match epipolar/disparity filter applied
-    (inference.hpp:384-391)."""
+def _global_pairs(code_src, code_tar, valid_src, valid_tar):
+    """Sorted-pair scaffolding shared by the global matchers: returns
+    (is_match, src_x, src_y, tar_x, tar_y) windows over the sorted
+    concatenation of both images' descriptors."""
     h, w = code_src.shape
     n = h * w
-
     code = jnp.concatenate([code_src.reshape(-1), code_tar.reshape(-1)])
     invalid = jnp.concatenate(
         [~valid_src.reshape(-1), ~valid_tar.reshape(-1)]
@@ -136,8 +127,24 @@ def match_global(
         (invalid, code, flag, xcoord, ycoord), dimension=0, num_keys=2, is_stable=True
     )
     is_match = _pair_starts(invalid_s, code_s, flag_s)
-    src_x, tar_x = x_s[:-1], x_s[1:]
-    src_y, tar_y = y_s[:-1], y_s[1:]
+    return is_match, x_s[:-1], y_s[:-1], x_s[1:], y_s[1:]
+
+
+def match_global(
+    code_src: jnp.ndarray,
+    code_tar: jnp.ndarray,
+    valid_src: jnp.ndarray,
+    valid_tar: jnp.ndarray,
+    disp_high: int,
+    vertical_tolerance: int,
+    capacity: int,
+):
+    """Global (non-epipolar) unique-collision matching of two (H, W) code
+    images, with the rectified-match epipolar/disparity filter applied
+    (inference.hpp:384-391)."""
+    is_match, src_x, src_y, tar_x, tar_y = _global_pairs(
+        code_src, code_tar, valid_src, valid_tar
+    )
     d = src_x - tar_x
     keep = (
         is_match
@@ -145,3 +152,19 @@ def match_global(
         & (jnp.abs(src_y - tar_y) <= vertical_tolerance)
     )
     return compact(keep, (src_x, src_y, d), capacity)
+
+
+def match_correspondences(
+    code_src: jnp.ndarray,
+    code_tar: jnp.ndarray,
+    valid_src: jnp.ndarray,
+    valid_tar: jnp.ndarray,
+    capacity: int,
+):
+    """Unfiltered global unique-collision correspondences — the equivalent
+    of the reference's stereoMatch/depthPriorFast output before the
+    rectified filter (inference.hpp:184-361): ((sx, sy, tx, ty), count)."""
+    is_match, src_x, src_y, tar_x, tar_y = _global_pairs(
+        code_src, code_tar, valid_src, valid_tar
+    )
+    return compact(is_match, (src_x, src_y, tar_x, tar_y), capacity)

@@ -1,0 +1,95 @@
+"""Correspondence/descriptor API surfaces and metrics."""
+
+import os
+
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest
+from opengpc_tpu.infer import (
+    build_sparsematch,
+    build_stereomatch,
+    extract_descriptors,
+    supports_to_numpy,
+)
+from opengpc_tpu.metrics import support_pr_vs_reference, support_precision
+
+FORESTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "forests"
+)
+
+
+def make_pair(h, w, d, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w + d)).astype(np.float32)
+    for _ in range(2):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    scene = base.astype(np.uint8)
+    return scene[:, :w].copy(), scene[:, d:].copy()
+
+
+def test_stereomatch_correspondences():
+    left, right = make_pair(80, 128, 6, seed=1)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, capacity=8192)
+    match = build_stereomatch(forest, settings, use_pallas=False)
+    sx, sy, tx, ty, count = match(left, right)
+    n = int(count)
+    assert n > 50
+    sx, sy, tx, ty = (np.asarray(a)[:n] for a in (sx, sy, tx, ty))
+    # true correspondence: same row, tar x = src x - 6
+    assert (sy == ty).mean() > 0.95
+    assert ((sx - tx) == 6).mean() > 0.95
+
+
+def test_stereomatch_consistent_with_sparsematch():
+    """Global sparsematch == stereomatch + rectified filter."""
+    left, right = make_pair(64, 96, 3, seed=2)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=False, disp_high=32,
+        vertical_tolerance=1, capacity=8192,
+    )
+    sparse = build_sparsematch(forest, settings, use_pallas=False)
+    stereo = build_stereomatch(forest, settings, use_pallas=False)
+    want = set(map(tuple, supports_to_numpy(*sparse(left, right)).tolist()))
+    sx, sy, tx, ty, count = stereo(left, right)
+    n = int(count)
+    got = set()
+    for i in range(n):
+        dx = int(sx[i]) - int(tx[i])
+        if abs(int(sy[i]) - int(ty[i])) <= 1 and abs(dx) <= 32:
+            got.add((int(sx[i]), int(sy[i]), dx))
+    assert got == want
+
+
+def test_extract_descriptors():
+    left, _ = make_pair(64, 96, 3, seed=3)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5)
+    desc = extract_descriptors(left, forest, settings, use_pallas=False)
+    assert desc.shape[1] == 3
+    assert len(desc) > 20
+    # candidates respect the margin
+    assert (desc[:, 0] >= 13).all() and (desc[:, 1] >= 13).all()
+    # scan order: rows ascending
+    assert (np.diff(desc[:, 1]) >= 0).all()
+
+
+def test_support_precision_metric():
+    gt = np.full((50, 60), 7.0)
+    sup = np.array([[20, 20, 7], [30, 30, 7], [40, 40, 3]])
+    prec, n = support_precision(sup, gt, tol=1.0)
+    assert n == 3 and abs(prec - 2 / 3) < 1e-9
+    valid = np.ones((50, 60), bool)
+    valid[40, 40] = False
+    prec, n = support_precision(sup, gt, valid, tol=1.0)
+    assert n == 2 and prec == 1.0
+
+
+def test_support_pr_vs_reference_metric():
+    a = np.array([[1, 2, 3], [4, 5, 6]])
+    b = np.array([[1, 2, 3], [7, 8, 9], [10, 11, 12]])
+    prec, rec = support_pr_vs_reference(a, b)
+    assert abs(prec - 0.5) < 1e-9 and abs(rec - 1 / 3) < 1e-9
