@@ -60,7 +60,8 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
     codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
     if settings.epipolar_mode:
         (xs, ys, ds), count = match_epipolar(
-            codes_l, codes_r, cand_l, cand_r, settings.disp_high, settings.capacity
+            codes_l, codes_r, cand_l, cand_r, settings.disp_high,
+            settings.capacity, packed=mask.num_tests <= 30,
         )
     else:
         (xs, ys, ds), count = match_global(

@@ -57,17 +57,31 @@ def compact(mask: jnp.ndarray, values: Tuple[jnp.ndarray, ...], capacity: int):
 
     Returns (compacted values, count).  Entries beyond ``capacity`` are
     dropped; ``count`` is the true number of matches.
+
+    For 2-D masks the scan runs row-parallel (per-row cumsum + a short
+    row-offset scan) instead of one long serial cumsum over H*W elements.
     """
+    m32 = mask.astype(jnp.int32)
+    if mask.ndim >= 2:
+        within = jnp.cumsum(m32, axis=-1)
+        row_tot = within[..., -1]
+        row_off = jnp.cumsum(row_tot.reshape(-1)) - row_tot.reshape(-1)
+        pos = (within - 1 + row_off.reshape(row_tot.shape)[..., None]).reshape(-1)
+        count = row_tot.reshape(-1).sum()
+    else:
+        pos = jnp.cumsum(m32) - 1
+        count = jnp.sum(m32)
     mask_f = mask.reshape(-1)
-    pos = jnp.cumsum(mask_f.astype(jnp.int32)) - 1
     idx = jnp.where(mask_f & (pos < capacity), pos, capacity)
     outs = []
     for v in values:
         buf = jnp.zeros((capacity + 1,), v.dtype)
         buf = buf.at[idx].set(v.reshape(-1), mode="drop")
         outs.append(buf[:capacity])
-    count = jnp.sum(mask_f.astype(jnp.int32))
     return tuple(outs), count
+
+
+SENTINEL_BASE = 0x40000000  # above any <=30-bit leaf code
 
 
 def match_epipolar(
@@ -77,13 +91,24 @@ def match_epipolar(
     valid_tar: jnp.ndarray,
     disp_high: int,
     capacity: int,
+    packed: bool = False,
 ):
     """Per-row unique-collision matching of two (H, W) code images.
 
     Returns ((x, y, d), count): support coordinates in the source image
     and disparity d = x_src - x_tar (may be negative; the reference's
     filter is |d| <= disp_high on both signs, inference.hpp:388).
+
+    ``packed=True`` (valid only when codes fit in 30 bits, i.e. forests
+    with <= 30 tests — callers check) replaces invalid pixels' codes with
+    per-position sentinel values >= SENTINEL_BASE that are unique within a
+    row and can never pair, collapsing the sort to ONE key and ONE payload
+    operand — ~2x less sort traffic than the 4-operand layout.
     """
+    if packed:
+        return _match_epipolar_packed(
+            code_src, code_tar, valid_src, valid_tar, disp_high, capacity
+        )
     h, w = code_src.shape
     code = jnp.concatenate([code_src, code_tar], axis=1)
     invalid = jnp.concatenate([~valid_src, ~valid_tar], axis=1).astype(jnp.int32)
@@ -103,6 +128,35 @@ def match_epipolar(
     tar_x = x_s[:, 1:]
     d = src_x - tar_x
     keep = is_match & (jnp.abs(d) <= disp_high)
+    ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
+    return compact(keep, (src_x, ycoord, d), capacity)
+
+
+def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
+                           disp_high, capacity):
+    h, w = code_src.shape
+    code = jnp.concatenate([code_src, code_tar], axis=1)       # (H, 2W)
+    valid = jnp.concatenate([valid_src, valid_tar], axis=1)
+    pos = jnp.broadcast_to(
+        jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
+    )
+    # invalid pixels get unique-per-row sentinel keys: they can never form
+    # a run of two equal keys, so no validity operand is needed in the sort
+    key = jnp.where(valid, code, SENTINEL_BASE + pos)
+    # stable sort keeps src (pos < w) before tar within an equal code
+    key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
+                                is_stable=True)
+    eq = key_s[:, :-1] == key_s[:, 1:]
+    zeros = jnp.zeros_like(eq[:, :1])
+    prev = jnp.concatenate([zeros, eq[:, :-1]], axis=1)
+    nxt = jnp.concatenate([eq[:, 1:], zeros], axis=1)
+    pair = eq & ~prev & ~nxt
+    left_pos, right_pos = pos_s[:, :-1], pos_s[:, 1:]
+    cross = (left_pos < w) & (right_pos >= w)
+    src_x = left_pos
+    tar_x = right_pos - w
+    d = src_x - tar_x
+    keep = pair & cross & (jnp.abs(d) <= disp_high)
     ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
     return compact(keep, (src_x, ycoord, d), capacity)
 

@@ -93,17 +93,17 @@ def device_time_per_iter(
     args = tuple(jax.device_put(a) for a in args)
     int(np.asarray(short(*args)))  # compile + warm
     int(np.asarray(long_(*args)))
-    best = float("inf")
+    best_s = best_l = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         int(np.asarray(short(*args)))
-        t_s = time.perf_counter() - t0
+        best_s = min(best_s, time.perf_counter() - t0)
         t0 = time.perf_counter()
         int(np.asarray(long_(*args)))
-        t_l = time.perf_counter() - t0
-        best = min(best, (t_l - t_s) / (n_long - n_short))
-    # sub-noise-floor work can difference slightly negative; clamp
-    return max(best, 0.0)
+        best_l = min(best_l, time.perf_counter() - t0)
+    # difference the per-length minima (robust to one-off relay stalls);
+    # sub-noise-floor work can still come out slightly negative — clamp
+    return max((best_l - best_s) / (n_long - n_short), 0.0)
 
 
 @contextlib.contextmanager
