@@ -40,6 +40,8 @@ def main(argv=None) -> int:
     p.add_argument("--only-score-non-split", action="store_true",
                    help="exclude already-true-positive triplets per level")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", default=None,
+                   help="write the partial forest here after each fern")
     args = p.parse_args(argv)
 
     triplets = load_triplets(args.dataset)
@@ -57,7 +59,8 @@ def main(argv=None) -> int:
         max_depth=settings.max_depth,
         sample_fraction=args.sample_fraction,
     )
-    forest = train_forest(triplets, settings, optimizer, seed=args.seed)
+    forest = train_forest(triplets, settings, optimizer, seed=args.seed,
+                          checkpoint_path=args.checkpoint)
     save_forest(forest, args.forest_out)
     print(f"Exported forest to {args.forest_out}")
     return 0

@@ -72,6 +72,7 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
             settings.disp_high,
             settings.vertical_tolerance,
             settings.capacity,
+            packed=mask.num_tests <= 30,
         )
     return xs, ys, ds, count
 
@@ -131,7 +132,8 @@ def build_stereomatch(
         codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
         codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
         (sx, sy, tx, ty), count = match_correspondences(
-            codes_l, codes_r, cand_l, cand_r, settings.capacity
+            codes_l, codes_r, cand_l, cand_r, settings.capacity,
+            packed=mask.num_tests <= 30,
         )
         return sx, sy, tx, ty, count
 

@@ -161,13 +161,39 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
     return compact(keep, (src_x, ycoord, d), capacity)
 
 
-def _global_pairs(code_src, code_tar, valid_src, valid_tar):
+def _global_pairs(code_src, code_tar, valid_src, valid_tar, packed=False):
     """Sorted-pair scaffolding shared by the global matchers: returns
     (is_match, src_x, src_y, tar_x, tar_y) windows over the sorted
-    concatenation of both images' descriptors."""
+    concatenation of both images' descriptors.
+
+    ``packed=True`` (codes < 2^30 and 2*H*W < 2^30) sorts one sentinel-
+    masked key plus one position payload instead of 5 operands."""
     h, w = code_src.shape
     n = h * w
     code = jnp.concatenate([code_src.reshape(-1), code_tar.reshape(-1)])
+
+    if packed:
+        valid = jnp.concatenate([valid_src.reshape(-1), valid_tar.reshape(-1)])
+        pos = jnp.arange(2 * n, dtype=jnp.int32)
+        key = jnp.where(valid, code, SENTINEL_BASE + pos)
+        key_s, pos_s = jax.lax.sort((key, pos), dimension=0, num_keys=1,
+                                    is_stable=True)
+        eq = key_s[:-1] == key_s[1:]
+        zeros = jnp.zeros_like(eq[:1])
+        prev = jnp.concatenate([zeros, eq[:-1]])
+        nxt = jnp.concatenate([eq[1:], zeros])
+        # stable sort keeps src (pos < n) before tar for equal codes
+        is_match = (
+            eq & ~prev & ~nxt & (pos_s[:-1] < n) & (pos_s[1:] >= n)
+        )
+        src_idx = pos_s[:-1]
+        tar_idx = pos_s[1:] - n
+        return (
+            is_match,
+            src_idx % w, src_idx // w,
+            tar_idx % w, tar_idx // w,
+        )
+
     invalid = jnp.concatenate(
         [~valid_src.reshape(-1), ~valid_tar.reshape(-1)]
     ).astype(jnp.int32)
@@ -192,12 +218,13 @@ def match_global(
     disp_high: int,
     vertical_tolerance: int,
     capacity: int,
+    packed: bool = False,
 ):
     """Global (non-epipolar) unique-collision matching of two (H, W) code
     images, with the rectified-match epipolar/disparity filter applied
     (inference.hpp:384-391)."""
     is_match, src_x, src_y, tar_x, tar_y = _global_pairs(
-        code_src, code_tar, valid_src, valid_tar
+        code_src, code_tar, valid_src, valid_tar, packed
     )
     d = src_x - tar_x
     keep = (
@@ -214,11 +241,12 @@ def match_correspondences(
     valid_src: jnp.ndarray,
     valid_tar: jnp.ndarray,
     capacity: int,
+    packed: bool = False,
 ):
     """Unfiltered global unique-collision correspondences — the equivalent
     of the reference's stereoMatch/depthPriorFast output before the
     rectified filter (inference.hpp:184-361): ((sx, sy, tx, ty), count)."""
     is_match, src_x, src_y, tar_x, tar_y = _global_pairs(
-        code_src, code_tar, valid_src, valid_tar
+        code_src, code_tar, valid_src, valid_tar, packed
     )
     return compact(is_match, (src_x, src_y, tar_x, tar_y), capacity)

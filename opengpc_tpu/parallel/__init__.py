@@ -25,6 +25,20 @@ from opengpc_tpu.infer import _sparsematch_impl
 DATA_AXIS = "data"
 
 
+def init_distributed(**kwargs) -> int:
+    """Initialize multi-host JAX (DCN) when launched under a multi-host
+    runtime; harmless no-op on a single host.
+
+    Returns the process count.  After this, ``make_mesh()`` spans all
+    hosts' devices and batch/triplet sharding rides ICI within a slice and
+    DCN across hosts, with no further code changes (SPMD)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialized
+    return jax.process_count()
+
+
 def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the given (default: all) devices."""
     devices = list(devices if devices is not None else jax.devices())

@@ -289,10 +289,20 @@ def train_forest(
     optimizer: OptimizerSettings,
     seed: int = 0,
     verbose: bool = True,
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
 ) -> Forest:
     """Train a forest: per fern, bootstrap-subsample (with replacement, from
     the whole set — see module docstring) and train
-    (trainAndExport, training.hpp:103-158)."""
+    (trainAndExport, training.hpp:103-158).
+
+    ``checkpoint_path``: incremental export — after each fern finishes the
+    partial forest is written there (valid reference text format), so an
+    interrupted run keeps its completed ferns (the per-fern analog of the
+    reference's artifact-level checkpointing, SURVEY.md §5).
+    """
+    from opengpc_tpu.forest import save_forest
+
     rng = np.random.default_rng(seed)
     n = triplets.shape[0]
     if n == 0:
@@ -307,9 +317,12 @@ def train_forest(
             print("*" * 90)
         t0 = time.perf_counter()
         fern, _ = train_fern(
-            sub, scale, optimizer, settings.max_depth, rng=rng, verbose=verbose
+            sub, scale, optimizer, settings.max_depth, rng=rng,
+            verbose=verbose, mesh=mesh,
         )
         if verbose:
             print(f"done in {time.perf_counter() - t0:.2f} s\n")
         ferns.append(fern)
+        if checkpoint_path is not None:
+            save_forest(Forest(tuple(ferns)), checkpoint_path)
     return Forest(tuple(ferns))

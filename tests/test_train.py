@@ -142,3 +142,17 @@ def test_training_separates_pos_from_neg():
     final = stats[-1]
     assert final.prec > 0.8
     assert final.rec > 0.15
+
+
+def test_train_forest_incremental_checkpoint(tmp_path):
+    from opengpc_tpu.forest import load_forest
+
+    rng = np.random.default_rng(9)
+    trips = make_triplets(rng, 150)
+    ckpt = str(tmp_path / "ckpt.txt")
+    forest = train_forest(trips, fern_factory(1, 0, 1, 2),
+                          zero_optimizer(num_resamples=3), seed=1,
+                          verbose=False, checkpoint_path=ckpt)
+    # final checkpoint equals the returned forest and parses cleanly
+    assert load_forest(ckpt) == forest
+    assert len(forest.ferns) == 2
