@@ -158,3 +158,39 @@ def test_sparsematch_batched_vmap():
             map(tuple, supports_to_numpy(bx[k], by[k], bd[k], bcount[k]).tolist())
         )
         assert single == batched
+
+
+@pytest.mark.parametrize("num_tests", [31, 32])
+@pytest.mark.parametrize("epipolar", [True, False])
+def test_sparsematch_parity_wide_forest(oracle_path, tmp_path, num_tests,
+                                        epipolar):
+    """Forests beyond 30 tests: codes use the int32 MSB (negative values)
+    and the matcher must take the unpacked sort path."""
+    from opengpc_tpu.forest import Fern, Forest, SCALE_L, Test, save_forest
+
+    rng = np.random.default_rng(num_tests)
+    tests = tuple(
+        Test(*(int(v) for v in rng.integers(-13, 14, size=4)),
+             int(rng.integers(-10, 10)))
+        for _ in range(num_tests)
+    )
+    forest = Forest((Fern(SCALE_L, tests),))
+    forest_path = str(tmp_path / "wide.txt")
+    save_forest(forest, forest_path)
+
+    h, w = 80, 112
+    left = random_image(rng, h, w)
+    right = np.roll(left, -2, axis=1)
+    right[:, -2:] = rng.integers(0, 256, size=(h, 2)).astype(np.uint8)
+
+    settings = InferenceSettings(
+        gradient_threshold=5, disp_high=64, vertical_tolerance=1,
+        epipolar_mode=epipolar, capacity=32768,
+    )
+    want = _oracle_supports(
+        oracle_path, tmp_path, forest_path, left, right, settings, epipolar
+    )
+    match = build_sparsematch(forest, settings, use_pallas=False)
+    got = set(map(tuple, supports_to_numpy(*match(left, right)).tolist()))
+    assert got == want
+    assert len(want) > 0
