@@ -92,6 +92,7 @@ def match_epipolar(
     disp_high: int,
     capacity: int,
     packed: bool = False,
+    sort_impl: str = "auto",
 ):
     """Per-row unique-collision matching of two (H, W) code images.
 
@@ -107,7 +108,8 @@ def match_epipolar(
     """
     if packed:
         return _match_epipolar_packed(
-            code_src, code_tar, valid_src, valid_tar, disp_high, capacity
+            code_src, code_tar, valid_src, valid_tar, disp_high, capacity,
+            sort_impl,
         )
     h, w = code_src.shape
     code = jnp.concatenate([code_src, code_tar], axis=1)
@@ -133,7 +135,7 @@ def match_epipolar(
 
 
 def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
-                           disp_high, capacity):
+                           disp_high, capacity, sort_impl="auto"):
     h, w = code_src.shape
     code = jnp.concatenate([code_src, code_tar], axis=1)       # (H, 2W)
     valid = jnp.concatenate([valid_src, valid_tar], axis=1)
@@ -143,18 +145,45 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
     # invalid pixels get unique-per-row sentinel keys: they can never form
     # a run of two equal keys, so no validity operand is needed in the sort
     key = jnp.where(valid, code, SENTINEL_BASE + pos)
-    # stable sort keeps src (pos < w) before tar within an equal code
-    key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
-                                is_stable=True)
+
+    if sort_impl == "auto":
+        # measured on v5e: the bitonic Pallas kernel beats lax.sort
+        # standalone (0.40 vs 0.47 ms on 436x2048) but loses in-pipeline —
+        # the pallas_call boundary forces HBM roundtrips for key/pos and
+        # blocks XLA fusion with the surrounding ops (~0.24 ms), so the
+        # fused lax.sort is the right default
+        sort_impl = "lax"
+    if sort_impl == "bitonic":
+        from opengpc_tpu.ops.sort import bitonic_sort_rows
+
+        n2 = max(256, 1 << (2 * w - 1).bit_length())
+        if n2 > 2 * w:
+            # pad with unique keys above the invalid sentinels (pos < 2w
+            # stays far below the 0x7F000000 range); padded entries have
+            # pos >= 2w so the cross check below rejects them anyway
+            pad_pos = jnp.broadcast_to(
+                jnp.arange(2 * w, n2, dtype=jnp.int32)[None, :], (h, n2 - 2 * w)
+            )
+            key = jnp.concatenate([key, 0x7F000000 + pad_pos], axis=1)
+            pos = jnp.concatenate([pos, pad_pos], axis=1)
+        key_s, pos_s = bitonic_sort_rows(key, pos)
+    else:
+        # stable sort keeps src (pos < w) before tar within an equal code
+        key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
+                                    is_stable=True)
     eq = key_s[:, :-1] == key_s[:, 1:]
     zeros = jnp.zeros_like(eq[:, :1])
     prev = jnp.concatenate([zeros, eq[:, :-1]], axis=1)
     nxt = jnp.concatenate([eq[:, 1:], zeros], axis=1)
     pair = eq & ~prev & ~nxt
     left_pos, right_pos = pos_s[:, :-1], pos_s[:, 1:]
-    cross = (left_pos < w) & (right_pos >= w)
-    src_x = left_pos
-    tar_x = right_pos - w
+    # the bitonic comparator is keys-only, so an equal (src, tar) pair may
+    # come out in either order — normalize by position
+    lo = jnp.minimum(left_pos, right_pos)
+    hi = jnp.maximum(left_pos, right_pos)
+    cross = (lo < w) & (hi >= w) & (hi < 2 * w)
+    src_x = lo
+    tar_x = hi - w
     d = src_x - tar_x
     keep = pair & cross & (jnp.abs(d) <= disp_high)
     ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)

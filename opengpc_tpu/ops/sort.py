@@ -31,10 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_R = 16
 
 
-def _kernel(key_ref, pay_ref, key_out, pay_out, *, n):
-    k = key_ref[:]
-    p = pay_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+def _kernel(key_ref, pay_ref, key_out, pay_out, *, n, tr):
+    # stack key and payload row-blocks into ONE array: lane rolls act
+    # per-row, so each compare-exchange pass needs 2 rolls instead of 4
+    s = jnp.concatenate([key_ref[:], pay_ref[:]], axis=0)  # (2*tr, n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * tr, n), 1)
 
     size = 2
     while size <= n:
@@ -42,26 +44,23 @@ def _kernel(key_ref, pay_ref, key_out, pay_out, *, n):
         j = size >> 1
         while j > 0:
             low = (lane & j) == 0
+            low2 = (lane2 & j) == 0
             # pltpu.roll requires non-negative shifts; roll(n - j) == roll(-j)
-            rk_m = pltpu.roll(k, n - j, 1)
-            rk_p = pltpu.roll(k, j, 1)
-            rp_m = pltpu.roll(p, n - j, 1)
-            rp_p = pltpu.roll(p, j, 1)
-            ok = jnp.where(low, rk_m, rk_p)
-            op = jnp.where(low, rp_m, rp_p)
+            o = jnp.where(low2, pltpu.roll(s, n - j, 1), pltpu.roll(s, j, 1))
+            k, ok = s[:tr], o[:tr]
             keep_min = low == asc
             # keys-only comparator: equal keys never swap (each side keeps
             # itself), so no payload tie-break is needed — the matcher only
             # requires equal keys to end up adjacent, and recovers the
             # src/tar role from the position payload, not from order.
             take = (keep_min & (ok < k)) | (~keep_min & (ok > k))
-            k = jnp.where(take, ok, k)
-            p = jnp.where(take, op, p)
+            take2 = jnp.concatenate([take, take], axis=0)
+            s = jnp.where(take2, o, s)
             j >>= 1
         size <<= 1
 
-    key_out[:] = k
-    pay_out[:] = p
+    key_out[:] = s[:tr]
+    pay_out[:] = s[tr:]
 
 
 def bitonic_sort_rows(
@@ -83,7 +82,7 @@ def bitonic_sort_rows(
         payload = jnp.pad(payload, ((0, pad_r), (0, 0)))
     rp = key.shape[0]
 
-    kernel = functools.partial(_kernel, n=n)
+    kernel = functools.partial(_kernel, n=n, tr=tile)
     key_s, pay_s = pl.pallas_call(
         kernel,
         grid=(rp // tile,),
