@@ -47,6 +47,47 @@ def make_pair(h, w, d, seed=42):
     return left, right
 
 
+def _check_against_oracle(left, right, supp, settings):
+    """P/R gate vs the native CPU oracle (BASELINE: within 1%; we require
+    exact).  Skipped silently if the oracle can't be built on this host."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    oracle = os.path.join(repo, "cpp", "build", "oracle")
+    if not os.path.exists(oracle):
+        r = subprocess.run(["make", "-C", os.path.join(repo, "cpp")],
+                           capture_output=True)
+        if r.returncode != 0 or not os.path.exists(oracle):
+            return
+    from opengpc_tpu.io.raw import write_raw
+
+    with tempfile.TemporaryDirectory() as td:
+        lp, rp, op = (os.path.join(td, n) for n in ("l.raw", "r.raw", "o.txt"))
+        write_raw(lp, left)
+        write_raw(rp, right)
+        subprocess.run(
+            [oracle, "sparsematch", os.path.join(repo, "forests",
+                                                 "defaultZeroForest.txt"),
+             lp, rp, op, str(settings.gradient_threshold),
+             str(settings.vertical_tolerance), str(settings.disp_high),
+             "1", "0"],
+            check=True,
+        )
+        with open(op) as f:
+            want = set(tuple(int(v) for v in line.split()) for line in f
+                       if line.strip())
+    got = set(map(tuple, supp.tolist()))
+    # supp may be capacity-trimmed; every returned support must be in the
+    # oracle set and coverage must be essentially total
+    assert got <= want, f"{len(got - want)} supports not in oracle set"
+    assert len(got) >= min(len(want), len(supp)) * 0.999
+    print(f"oracle check: {len(got)}/{len(want)} supports, exact subset",
+          file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -61,7 +102,7 @@ def main():
         vertical_tolerance=0,
         disp_high=128,
         epipolar_mode=True,
-        capacity=1 << 18,
+        capacity=1 << 19,
     )
     left, right = make_pair(H, W, TRUE_DISP)
 
@@ -71,6 +112,7 @@ def main():
     assert len(supp) > 1000, f"too few supports: {len(supp)}"
     correct = float((supp[:, 2] == TRUE_DISP).mean())
     assert correct > 0.99, f"support accuracy {correct:.3f} < 0.99"
+    _check_against_oracle(left, right, supp, settings)
 
     import jax.numpy as jnp
 

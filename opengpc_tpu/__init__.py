@@ -27,5 +27,20 @@ from opengpc_tpu.forest import (
     serialize_forest,
     make_filter_mask,
 )
+from opengpc_tpu.config import (
+    InferenceSettings,
+    OptimizerSettings,
+    ForestSettings,
+    fern_factory,
+    tau_optimizer,
+    zero_optimizer,
+)
+from opengpc_tpu.infer import (
+    build_sparsematch,
+    build_stereomatch,
+    extract_descriptors,
+    supports_to_numpy,
+)
+from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 
 __version__ = "0.1.0"
