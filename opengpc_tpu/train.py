@@ -308,10 +308,13 @@ def train_forest(
     if n == 0:
         raise ValueError("training set is empty")
     sub_n = int(settings.sample_fraction * n)
+    # upload the dataset once; per-fern bootstrap gathers happen on device
+    # (the dataset is the big transfer — hundreds of MB for real runs)
+    triplets_dev = jnp.asarray(triplets)
     ferns = []
     for k, scale in enumerate(settings.ferns):
         idx = rng.integers(0, n, size=sub_n)
-        sub = triplets[idx]
+        sub = jnp.take(triplets_dev, jnp.asarray(idx), axis=0)
         if verbose:
             print(f"Fern({k + 1}/{len(settings.ferns)}) num samples: {sub_n}")
             print("*" * 90)
