@@ -47,6 +47,8 @@ def main(argv=None) -> int:
                    help="optional text output, one 'x y d' line per support")
     p.add_argument("--repeats", type=int, default=1,
                    help="re-run the jitted matcher N times and report the best")
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace into LOGDIR")
     args = p.parse_args(argv)
 
     forest = load_forest(args.forest)
@@ -74,12 +76,15 @@ def main(argv=None) -> int:
     count.block_until_ready()
     t_first = time.perf_counter() - t0
 
+    from opengpc_tpu.utils import trace
+
     best = t_first
-    for _ in range(max(0, args.repeats - 1)):
-        t0 = time.perf_counter()
-        xs, ys, ds, count = match(left, right)
-        count.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    with trace(args.trace):
+        for _ in range(max(0, args.repeats - 1)):
+            t0 = time.perf_counter()
+            xs, ys, ds, count = match(left, right)
+            count.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
 
     supports = supports_to_numpy(xs, ys, ds, count)
     h, w = left.shape

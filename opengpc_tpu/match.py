@@ -62,15 +62,21 @@ def compact(mask: jnp.ndarray, values: Tuple[jnp.ndarray, ...], capacity: int):
     row-offset scan) instead of one long serial cumsum over H*W elements.
     """
     m32 = mask.astype(jnp.int32)
-    if mask.ndim >= 2:
-        within = jnp.cumsum(m32, axis=-1)
-        row_tot = within[..., -1]
-        row_off = jnp.cumsum(row_tot.reshape(-1)) - row_tot.reshape(-1)
-        pos = (within - 1 + row_off.reshape(row_tot.shape)[..., None]).reshape(-1)
-        count = row_tot.reshape(-1).sum()
-    else:
-        pos = jnp.cumsum(m32) - 1
-        count = jnp.sum(m32)
+    if mask.ndim == 1:
+        # chunk the flat scan so it runs row-parallel too (row-major
+        # chunking preserves the exact serial positions)
+        chunk = 2048
+        pad = (-m32.shape[0]) % chunk
+        m32 = jnp.pad(m32, (0, pad)).reshape(-1, chunk)
+        mask = jnp.pad(mask, (0, pad)).reshape(-1, chunk)
+        values = tuple(
+            jnp.pad(v.reshape(-1), (0, pad)).reshape(-1, chunk) for v in values
+        )
+    within = jnp.cumsum(m32, axis=-1)
+    row_tot = within[..., -1]
+    row_off = jnp.cumsum(row_tot.reshape(-1)) - row_tot.reshape(-1)
+    pos = (within - 1 + row_off.reshape(row_tot.shape)[..., None]).reshape(-1)
+    count = row_tot.reshape(-1).sum()
     mask_f = mask.reshape(-1)
     idx = jnp.where(mask_f & (pos < capacity), pos, capacity)
     outs = []
