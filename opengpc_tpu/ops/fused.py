@@ -21,11 +21,11 @@ ops/preprocess.box3 + sobel3 + candidate_mask and ops/codes.leaf_codes at
 every candidate pixel (pinned by tests/test_pallas.py against both the jnp
 path and the C++ oracle).
 
-Sizing: the kernel holds the padded image and a few same-sized int16/int32
-temporaries in VMEM; it accepts images up to ~2 Mpix (Sintel 1024x436 and
-KITTI 1242x375 fit comfortably).  ``fused_codes`` raises for larger
-images — callers fall back to the jnp path (infer.build_sparsematch does
-this automatically).
+Sizing: the tile height adapts to image width so the per-tile temporaries
+stay inside VMEM (see ``_pick_tile_h``); Sintel 1024x436, KITTI 1242x375
+and multi-Mpix frames up to ~3000 px wide all fit.  ``fused_codes`` raises
+beyond the budget — callers fall back to the jnp path
+(infer.build_sparsematch does this automatically).
 """
 
 from __future__ import annotations
@@ -43,12 +43,28 @@ from opengpc_tpu.forest import FilterMask, PATCH_HALF
 
 PAD = PATCH_HALF + 1  # 13-px code halo + 1-px box/sobel halo
 MARGIN = 13           # candidate interior margin (inference.hpp:318-325)
-# rough VMEM budget: padded int16 image + smooth + code/sobel temps
-MAX_PIXELS = 2_200_000
+
+# Mosaic stack-allocates ~33 live (tile_h+26, w+26) int32 temporaries for a
+# 30-test code loop (measured); tile height adapts to image width so the
+# stack stays inside VMEM, and the full padded uint8 input block gets the
+# rest.
+_TEMP_BYTES_PER_ELEM = 33 * 4
+_STACK_BUDGET = 14 * 2**20
+_INPUT_BUDGET = 8 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _pick_tile_h(w: int) -> int:
+    for th in (64, 32, 16, 8):
+        if (th + 26) * (w + 26) * _TEMP_BYTES_PER_ELEM <= _STACK_BUDGET:
+            return th
+    raise ValueError(
+        f"image width {w} exceeds the fused kernel's VMEM budget even at "
+        f"8-row tiles; use the jnp path"
+    )
 
 
 def _div9_floor(x32):
@@ -64,7 +80,7 @@ def _div9_trunc(x32):
     return jnp.where(x32 < 0, -q, q)
 
 
-TILE_H = 64  # output rows per grid step; temporaries scale with this
+
 
 
 def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
@@ -130,7 +146,7 @@ def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
 
 def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret: bool):
     h, w = img.shape
-    th = TILE_H
+    th = _pick_tile_h(w)
     n_tiles = (h + th - 1) // th
     wp = _round_up(w + 2 * PAD, 128)
     # pad so the last tile's halo read (rows [y0, y0 + th + 28)) stays in
@@ -184,10 +200,12 @@ def fused_codes(
     VMEM sizing budget — use the jnp path for those.
     """
     h, w = img.shape
-    if h * w > MAX_PIXELS:
+    _pick_tile_h(w)  # raises for over-wide images
+    wp = _round_up(w + 2 * PAD, 128)
+    if (h + 2 * PAD + 64) * wp > _INPUT_BUDGET:
         raise ValueError(
-            f"image {h}x{w} exceeds the fused kernel's VMEM budget; "
-            f"use the jnp path"
+            f"image {h}x{w}: padded input block exceeds the fused kernel's "
+            f"VMEM budget; use the jnp path"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -73,6 +73,9 @@ def test_pipeline_with_pallas_matches_without():
 def test_fused_rejects_oversized_images():
     forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
     mask = forest_mod.make_filter_mask(forest)
-    big = np.zeros((2048, 2048), np.uint8)
+    too_wide = np.zeros((64, 6000), np.uint8)
     with pytest.raises(ValueError):
-        fused_codes(big, mask, 5, interpret=True)
+        fused_codes(too_wide, mask, 5, interpret=True)
+    too_tall = np.zeros((6000, 2000), np.uint8)
+    with pytest.raises(ValueError):
+        fused_codes(too_tall, mask, 5, interpret=True)
