@@ -49,6 +49,8 @@ def main(argv=None) -> int:
                    help="re-run the jitted matcher N times and report the best")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace into LOGDIR")
+    p.add_argument("--pyramid", type=int, default=1, metavar="LEVELS",
+                   help="multi-scale matching over LEVELS pyramid levels")
     args = p.parse_args(argv)
 
     forest = load_forest(args.forest)
@@ -69,11 +71,28 @@ def main(argv=None) -> int:
         print(f"image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
         return 1
 
-    match = build_sparsematch(forest, settings)
+    if args.pyramid > 1:
+        from opengpc_tpu.pyramid import (
+            build_pyramid_sparsematch,
+            pyramid_supports_to_numpy,
+        )
+
+        pmatch = build_pyramid_sparsematch(forest, settings, args.pyramid)
+
+        def run():
+            out = pmatch(left, right)
+            out[-1].block_until_ready()
+            return out
+    else:
+        match = build_sparsematch(forest, settings)
+
+        def run():
+            out = match(left, right)
+            out[-1].block_until_ready()
+            return out
 
     t0 = time.perf_counter()
-    xs, ys, ds, count = match(left, right)
-    count.block_until_ready()
+    result = run()
     t_first = time.perf_counter() - t0
 
     from opengpc_tpu.utils import trace
@@ -82,11 +101,16 @@ def main(argv=None) -> int:
     with trace(args.trace):
         for _ in range(max(0, args.repeats - 1)):
             t0 = time.perf_counter()
-            xs, ys, ds, count = match(left, right)
-            count.block_until_ready()
+            result = run()
             best = min(best, time.perf_counter() - t0)
 
-    supports = supports_to_numpy(xs, ys, ds, count)
+    if args.pyramid > 1:
+        rows = pyramid_supports_to_numpy(*result)
+        count = rows.shape[0]
+        supports = rows[:, :3]
+    else:
+        xs, ys, ds, count = result
+        supports = supports_to_numpy(xs, ys, ds, count)
     h, w = left.shape
     mpix_s = (2 * h * w / 1e6) / best if best > 0 else float("inf")
     print(

@@ -179,6 +179,11 @@ def supports_to_numpy(xs, ys, ds, count) -> np.ndarray:
     """Trim a fixed-capacity support buffer to an (n, 3) int array of
     (x, y, d) rows.  Overflow beyond capacity is dropped with a warning
     count available to the caller via ``count``."""
+    if np.ndim(xs) != 1:
+        raise ValueError(
+            "supports_to_numpy takes one pair's buffers; index the batch "
+            "axis first (e.g. supports_to_numpy(xs[i], ys[i], ds[i], count[i]))"
+        )
     n = min(int(count), xs.shape[0])
     out = np.stack(
         [np.asarray(xs)[:n], np.asarray(ys)[:n], np.asarray(ds)[:n]], axis=1

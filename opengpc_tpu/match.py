@@ -270,6 +270,58 @@ def match_global(
     return compact(keep, (src_x, src_y, d), capacity)
 
 
+def match_reference_quirk(
+    desc_src, desc_tar, epipolar: bool = False
+):
+    """Host-side, bug-compatible reimplementation of the reference's exact
+    sweep (findCorrespondences, inference.hpp:227-254), including its edge
+    quirks: a match landing on the last target element is never emitted,
+    and a duplicate pair occupying the last two target slots skips its
+    uniqueness check.
+
+    For users who need byte-identical behavior to the reference binary;
+    the on-device matchers implement the clean unique-collision rule.
+
+    ``desc_*``: (n, 3) int arrays of (x, y, state) rows (e.g. from
+    infer.extract_descriptors).  Returns (m, 4) int array of
+    (sx, sy, tx, ty).
+    """
+    import numpy as np
+
+    def keyed(d):
+        d = np.asarray(d, np.int64)
+        state = d[:, 2].astype(np.uint64)
+        if epipolar:
+            state = state | (d[:, 1].astype(np.uint64) << np.uint64(32))
+        order = np.argsort(state, kind="stable")
+        return state[order], d[order, 0], d[order, 1]
+
+    s_state, s_x, s_y = keyed(desc_src)
+    t_state, t_x, t_y = keyed(desc_tar)
+    out = []
+    n = len(t_state)
+    if n == 0:
+        return np.zeros((0, 4), np.int32)
+    j = 0
+    i = 0
+    while i < len(s_state):
+        unique = True
+        while i + 1 < len(s_state) and s_state[i] == s_state[i + 1]:
+            i += 1
+            unique = False
+        if unique:
+            while j < n - 1 and t_state[j] < s_state[i]:
+                j += 1
+            if (
+                j != n - 1
+                and t_state[j] == s_state[i]
+                and (j + 1 == n - 1 or t_state[j] != t_state[j + 1])
+            ):
+                out.append((s_x[i], s_y[i], t_x[j], t_y[j]))
+        i += 1
+    return np.asarray(out, np.int32).reshape(-1, 4)
+
+
 def match_correspondences(
     code_src: jnp.ndarray,
     code_tar: jnp.ndarray,

@@ -93,3 +93,40 @@ def test_support_pr_vs_reference_metric():
     b = np.array([[1, 2, 3], [7, 8, 9], [10, 11, 12]])
     prec, rec = support_pr_vs_reference(a, b)
     assert abs(prec - 0.5) < 1e-9 and abs(rec - 1 / 3) < 1e-9
+
+
+def test_match_reference_quirk_vs_oracle(oracle_path, tmp_path):
+    """Host quirk matcher reproduces the oracle's quirk-mode supports."""
+    import subprocess
+
+    from opengpc_tpu.io.raw import write_raw
+    from opengpc_tpu.match import match_reference_quirk
+
+    rng = np.random.default_rng(5)
+    h, w = 72, 104
+    left, right = make_pair(h, w, 4, seed=5)
+    forest_path = os.path.join(FORESTS, "defaultZeroForest.txt")
+    settings = InferenceSettings(gradient_threshold=5, disp_high=64,
+                                 vertical_tolerance=1, capacity=16384)
+
+    lp, rp, op = (str(tmp_path / n) for n in ("l.raw", "r.raw", "o.txt"))
+    write_raw(lp, left)
+    write_raw(rp, right)
+    subprocess.run(
+        [oracle_path, "sparsematch", forest_path, lp, rp, op,
+         "5", "1", "64", "1", "1"],  # epipolar, QUIRK mode
+        check=True,
+    )
+    with open(op) as f:
+        want = set(tuple(int(v) for v in line.split()) for line in f
+                   if line.strip())
+
+    forest = load_forest(forest_path)
+    dl = extract_descriptors(left, forest, settings, use_pallas=False)
+    dr = extract_descriptors(right, forest, settings, use_pallas=False)
+    corr = match_reference_quirk(dl, dr, epipolar=True)
+    got = set()
+    for sx, sy, tx, ty in corr:
+        if abs(int(sy) - int(ty)) <= 1 and abs(int(sx) - int(tx)) <= 64:
+            got.add((int(sx), int(sy), int(sx) - int(tx)))
+    assert got == want and len(want) > 0
