@@ -83,7 +83,9 @@ def _check_against_oracle(left, right, supp, settings):
     # supp may be capacity-trimmed; every returned support must be in the
     # oracle set and coverage must be essentially total
     assert got <= want, f"{len(got - want)} supports not in oracle set"
-    assert len(got) >= min(len(want), len(supp)) * 0.999
+    assert len(got) >= min(len(want), settings.capacity) * 0.999, (
+        f"only {len(got)} of {len(want)} oracle supports reproduced"
+    )
     print(f"oracle check: {len(got)}/{len(want)} supports, exact subset",
           file=sys.stderr)
 

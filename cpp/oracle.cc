@@ -394,10 +394,12 @@ void trainFern(const std::string& tripletPath, const std::string& candPath, int 
     }
     params[l] = best;
     if (onlyNonSplit) {
-      // markSplitSamples (Fern.hpp:271-291)
+      // markSplitSamples called with numParams = level (Fern.hpp:357):
+      // the prefix EXCLUDES the just-chosen test (empty at level 0,
+      // which vacuously marks pos.split for every sample)
       for (size_t n = 0; n < ts.data.size(); n++) {
         uint64_t code[3] = {0, 0, 0};
-        for (int m = 0; m <= l; m++)
+        for (int m = 0; m < l; m++)
           for (int k = 0; k < 3; k++) {
             code[k] <<= 1;
             if (int(ts.data[n][k][params[m][0]]) - int(ts.data[n][k][params[m][1]]) <

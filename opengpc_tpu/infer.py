@@ -44,14 +44,21 @@ def preprocess(img: jnp.ndarray, gradient_threshold: int):
 def _codes_and_candidates(img, mask: FilterMask, settings: InferenceSettings,
                           use_pallas: bool):
     if use_pallas:
-        from opengpc_tpu.ops.fused import fused_codes
+        from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_codes
 
         try:
             return fused_codes(img, mask, settings.gradient_threshold)
-        except ValueError:  # beyond the kernel's VMEM sizing budget
-            pass
+        except FusedKernelBudgetError:
+            pass  # image too large for the kernel; jnp path below
     smooth, cand = preprocess(img, settings.gradient_threshold)
     return leaf_codes(smooth, mask), cand
+
+
+def _packed_ok(mask: FilterMask, shape) -> bool:
+    """Sentinel-packed sorting needs codes < 2^30 (<= 30 tests) and all
+    descriptor positions below the sentinel base."""
+    h, w = shape
+    return mask.num_tests <= 30 and 2 * h * w < (1 << 30)
 
 
 def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings,
@@ -61,7 +68,7 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
     if settings.epipolar_mode:
         (xs, ys, ds), count = match_epipolar(
             codes_l, codes_r, cand_l, cand_r, settings.disp_high,
-            settings.capacity, packed=mask.num_tests <= 30,
+            settings.capacity, packed=_packed_ok(mask, left.shape),
         )
     else:
         (xs, ys, ds), count = match_global(
@@ -72,7 +79,7 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
             settings.disp_high,
             settings.vertical_tolerance,
             settings.capacity,
-            packed=mask.num_tests <= 30,
+            packed=_packed_ok(mask, left.shape),
         )
     return xs, ys, ds, count
 
@@ -133,7 +140,7 @@ def build_stereomatch(
         codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
         (sx, sy, tx, ty), count = match_correspondences(
             codes_l, codes_r, cand_l, cand_r, settings.capacity,
-            packed=mask.num_tests <= 30,
+            packed=_packed_ok(mask, left.shape),
         )
         return sx, sy, tx, ty, count
 
@@ -144,6 +151,29 @@ def build_stereomatch(
         return fn(left, right)
 
     return run
+
+
+_CODES_FN_CACHE = {}
+
+
+def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
+                     use_pallas: bool):
+    """Memoize the jitted codes+candidates function so repeated
+    extract_descriptors calls (e.g. per frame of a sequence) don't retrace."""
+    key = (
+        tuple(map(tuple, np.asarray(mask.i_off))),
+        tuple(map(tuple, np.asarray(mask.j_off))),
+        tuple(np.asarray(mask.tau)),
+        mask.type, settings, use_pallas,
+    )
+    fn = _CODES_FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(
+            _codes_and_candidates, mask=mask, settings=settings,
+            use_pallas=use_pallas,
+        ))
+        _CODES_FN_CACHE[key] = fn
+    return fn
 
 
 def extract_descriptors(
@@ -163,12 +193,7 @@ def extract_descriptors(
     )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    codes, cand = jax.jit(
-        functools.partial(
-            _codes_and_candidates, mask=mask, settings=settings,
-            use_pallas=use_pallas,
-        )
-    )(img)
+    codes, cand = _cached_codes_fn(mask, settings, use_pallas)(img)
     cand = np.asarray(cand)
     ys, xs = np.nonzero(cand)
     states = np.asarray(codes).astype(np.uint32)[ys, xs]

@@ -53,6 +53,11 @@ _STACK_BUDGET = 14 * 2**20
 _INPUT_BUDGET = 8 * 2**20
 
 
+class FusedKernelBudgetError(ValueError):
+    """Image exceeds the fused kernel's VMEM sizing budget (callers fall
+    back to the jnp path on exactly this error, nothing broader)."""
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -61,7 +66,7 @@ def _pick_tile_h(w: int) -> int:
     for th in (64, 32, 16, 8):
         if (th + 26) * (w + 26) * _TEMP_BYTES_PER_ELEM <= _STACK_BUDGET:
             return th
-    raise ValueError(
+    raise FusedKernelBudgetError(
         f"image width {w} exceeds the fused kernel's VMEM budget even at "
         f"8-row tiles; use the jnp path"
     )
@@ -203,7 +208,7 @@ def fused_codes(
     _pick_tile_h(w)  # raises for over-wide images
     wp = _round_up(w + 2 * PAD, 128)
     if (h + 2 * PAD + 64) * wp > _INPUT_BUDGET:
-        raise ValueError(
+        raise FusedKernelBudgetError(
             f"image {h}x{w}: padded input block exceeds the fused kernel's "
             f"VMEM budget; use the jnp path"
         )

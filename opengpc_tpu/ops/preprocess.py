@@ -14,7 +14,7 @@ image instead of row loops + index-list sparsity.  Semantics follow the
   (inference.hpp:318-325).
 
 These are elementwise shift/add chains that XLA fuses into a handful of
-VPU loops; the fused Pallas kernel in ops/pallas_fused.py goes further
+VPU loops; the fused Pallas kernel in ops/fused.py goes further
 and merges them with leaf-code extraction.
 """
 

@@ -6,12 +6,11 @@ device time).  This kernel sorts each row of a (R, N) int32 key array
 stages of compare-exchange, each implemented as a circular roll + select
 across lanes — no data-dependent control flow, everything in VMEM.
 
-Ordering: lexicographic on (key, payload).  The matcher's payload is the
-descriptor position, which is unique per row, so the comparator is a
-total order — this reproduces exactly what a *stable* sort by key gives
-(equal keys ordered by original position, i.e. source-image entries
-before target-image entries), which the unique-collision pair rule
-relies on.
+Ordering: by key only, NOT stable — equal keys never swap, but bitonic
+exchanges may deliver an equal run's elements in any relative order.  The
+matcher therefore recovers the src/tar role of each element of a pair
+from the position payload (min/max normalization in
+match._match_epipolar_packed), never from the order within the run.
 
 N must be a power of two; the matcher pads rows with unique max-range
 sentinel keys (they sort to the end and can never pair).
@@ -66,8 +65,9 @@ def _kernel(key_ref, pay_ref, key_out, pay_out, *, n, tr):
 def bitonic_sort_rows(
     key: jnp.ndarray, payload: jnp.ndarray, interpret: Optional[bool] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sort each row of (R, N) int32 ``key`` ascending (ties by payload),
-    permuting ``payload`` alongside.  N must be a power of two >= 256.
+    """Sort each row of (R, N) int32 ``key`` ascending (equal keys in
+    unspecified relative order), permuting ``payload`` alongside.  N must
+    be a power of two >= 256.
     """
     r, n = key.shape
     if n & (n - 1) or n < 256:

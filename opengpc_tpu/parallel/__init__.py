@@ -45,7 +45,8 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
-def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh: Mesh):
+def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh: Mesh,
+                              use_pallas=None):
     """Jitted (B, H, W) x2 -> per-pair supports, batch sharded over the mesh.
 
     Per-pair work is independent; XLA inserts no collectives — the batch
@@ -54,7 +55,11 @@ def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh:
     downstream per-pair consumer; hosts gather only what they read).
     """
     mask = make_filter_mask(forest)
-    fn = jax.vmap(functools.partial(_sparsematch_impl, mask=mask, settings=settings))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = jax.vmap(functools.partial(
+        _sparsematch_impl, mask=mask, settings=settings, use_pallas=use_pallas
+    ))
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     return jax.jit(

@@ -257,13 +257,18 @@ def train_fern(
                     best_counts = (tp, fp, fn)
 
         bi, bj, btau = best
-        eq_pos, eq_neg = _apply_level(
-            patches, jnp.int32(bi), jnp.int32(bj), jnp.int32(btau), eq_pos, eq_neg
-        )
         if optimizer.only_score_non_split_samples:
+            # markSplitSamples is called with numParams=level
+            # (Fern.hpp:357,275): marks use the prefix EXCLUDING the
+            # just-chosen test — i.e. the eq flags before this level's
+            # fold.  (The level-0 call marks pos.split on the empty
+            # prefix, which is vacuously true for every sample.)
             ep, en = np.asarray(eq_pos), np.asarray(eq_neg)
             split_pos |= ep
             split_neg |= ~en
+        eq_pos, eq_neg = _apply_level(
+            patches, jnp.int32(bi), jnp.int32(bj), jnp.int32(btau), eq_pos, eq_neg
+        )
 
         tp, fp, fn = best_counts
         tot = int(np.asarray(include, bool).sum())
