@@ -174,3 +174,74 @@ class TestPng:
         pure, d2 = png_mod._read_python(p)
         assert d1 == d2 == 8
         np.testing.assert_array_equal(native, pure)
+
+
+class TestPNGVariants:
+    """Hand-constructed PNGs exercise the pure-python reader's 16-bit,
+    palette, and sub-byte paths (reference semantics: buffer.hpp:280-301)."""
+
+    @staticmethod
+    def _mk_png(width, height, bit_depth, color_type, raw_scanlines,
+                palette=None):
+        import struct
+        import zlib
+
+        def chunk(typ, body):
+            c = struct.pack(">I", len(body)) + typ + body
+            return c + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                           0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette)
+        out += chunk(b"IDAT", zlib.compress(raw_scanlines))
+        out += chunk(b"IEND", b"")
+        return out
+
+    def test_16bit_gray_truncates_low_byte(self, tmp_path):
+        from opengpc_tpu.io.png import read_gray, read_png
+
+        # 2x2 16-bit gray, big-endian samples
+        vals = [0x0102, 0xFFEE, 0x0080, 0xABCD]
+        rows = b""
+        for r in range(2):
+            rows += b"\x00"  # filter 0
+            for v in vals[2 * r: 2 * r + 2]:
+                rows += bytes([(v >> 8) & 0xFF, v & 0xFF])
+        p = str(tmp_path / "g16.png")
+        with open(p, "wb") as f:
+            f.write(self._mk_png(2, 2, 16, 0, rows))
+        arr, depth = read_png(p)
+        assert depth == 16 and arr.dtype == np.uint16
+        np.testing.assert_array_equal(arr.reshape(-1), vals)
+        # read_gray truncates to the low byte like the reference's
+        # ``*ptr = val`` with T = uint8_t (buffer.hpp:284-286)
+        g = read_gray(p)
+        np.testing.assert_array_equal(
+            g.reshape(-1), [v & 0xFF for v in vals]
+        )
+
+    def test_palette_png(self, tmp_path):
+        from opengpc_tpu.io.png import read_gray
+
+        palette = bytes([10, 20, 30, 200, 100, 0])  # 2 entries
+        rows = b"\x00\x00\x01" + b"\x00\x01\x00"    # 2x2, 8-bit indices
+        p = str(tmp_path / "pal.png")
+        with open(p, "wb") as f:
+            f.write(self._mk_png(2, 2, 8, 3, rows, palette))
+        g = read_gray(p)
+        c0 = (10 + 20 + 30) // 3
+        c1 = (200 + 100 + 0) // 3
+        np.testing.assert_array_equal(g, [[c0, c1], [c1, c0]])
+
+    def test_1bit_gray(self, tmp_path):
+        from opengpc_tpu.io.png import read_gray
+
+        # 4x1, bits 1010 -> 255, 0, 255, 0
+        rows = b"\x00\xa0"
+        p = str(tmp_path / "b1.png")
+        with open(p, "wb") as f:
+            f.write(self._mk_png(4, 1, 1, 0, rows))
+        g = read_gray(p)
+        np.testing.assert_array_equal(g, [[255, 0, 255, 0]])
