@@ -113,6 +113,37 @@ def draw_line(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     img[ys[keep], xs[keep]] = color
 
 
+def draw_triangle(img: np.ndarray, pts, color) -> None:
+    """Fill a triangle in-place on an (h, w, 3) uint8 image.
+
+    Host-side equivalent of the reference Buffer's triangle rasterizer
+    (buffer.hpp:655-752 — dead code there, kept as a supported viz
+    primitive here); barycentric point-in-triangle test over the bounding
+    box instead of a scanline span walker."""
+    (x0, y0), (x1, y1), (x2, y2) = pts
+    h, w = img.shape[:2]
+    xmin = max(0, min(x0, x1, x2))
+    xmax = min(w - 1, max(x0, x1, x2))
+    ymin = max(0, min(y0, y1, y2))
+    ymax = min(h - 1, max(y0, y1, y2))
+    if xmin > xmax or ymin > ymax:
+        return
+    xs = np.arange(xmin, xmax + 1)
+    ys = np.arange(ymin, ymax + 1)
+    px, py = np.meshgrid(xs, ys)
+
+    def edge(ax, ay, bx, by):
+        return (px - ax) * (by - ay) - (py - ay) * (bx - ax)
+
+    e0 = edge(x0, y0, x1, y1)
+    e1 = edge(x1, y1, x2, y2)
+    e2 = edge(x2, y2, x0, y0)
+    inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | (
+        (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+    )
+    img[py[inside], px[inside]] = color
+
+
 def draw_correspondences(
     gray_src: np.ndarray,
     supports: np.ndarray,

@@ -76,3 +76,15 @@ def test_draw_correspondences():
     out = draw_correspondences(gray, sup)
     # line from (30,10) to (22,10)
     assert (out[10, 22:31].sum(axis=1) > 0).all()
+
+
+def test_draw_triangle():
+    from opengpc_tpu.viz import draw_triangle
+
+    img = np.zeros((20, 20, 3), np.uint8)
+    draw_triangle(img, [(2, 2), (16, 2), (2, 16)], (0, 255, 0))
+    assert tuple(img[3, 3]) == (0, 255, 0)    # inside
+    assert tuple(img[15, 15]) == (0, 0, 0)    # outside the hypotenuse
+    assert tuple(img[2, 2]) == (0, 255, 0)    # vertex
+    # clipping: off-canvas vertices don't crash
+    draw_triangle(img, [(-5, -5), (25, 0), (0, 25)], (255, 0, 0))
