@@ -1,0 +1,95 @@
+"""End-to-end demo: mine -> train -> match -> visualize, no dataset needed.
+
+Generates a small synthetic rectified stereo "dataset" with known
+ground-truth disparity, mines patch triplets from it, trains a fresh GPC
+forest, runs sparse matching with both the fresh forest and the pretrained
+reference forest, and writes disparity visualizations.
+
+Run:  python examples/demo.py [out_dir]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opengpc_tpu import (
+    InferenceSettings,
+    build_sparsematch,
+    fern_factory,
+    load_forest,
+    save_forest,
+    supports_to_numpy,
+    zero_optimizer,
+)
+from opengpc_tpu.metrics import support_precision
+from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
+from opengpc_tpu.io.png import write_png
+from opengpc_tpu.train import train_forest
+from opengpc_tpu.viz import disparity_visualization
+
+
+def make_scene(rng, h, w, max_disp=24):
+    """Textured scene with a slanted disparity plane + a raised block."""
+    base = rng.integers(0, 256, (h, w + max_disp)).astype(np.float32)
+    for _ in range(2):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    scene = base.astype(np.uint8)
+
+    disp = np.zeros((h, w), np.int32) + 6
+    disp[:, w // 3:] = 12
+    disp[h // 4: h // 2, w // 2: 3 * w // 4] = 20  # raised block
+
+    left = scene[:, :w].copy()
+    right = np.zeros_like(left)
+    xs = np.arange(w)
+    for y in range(h):
+        right[y] = scene[y, xs + disp[y]]  # right(x) = scene(x + d(x))
+    return left, right, disp
+
+
+def main(out_dir="demo_out"):
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    h, w = 320, 640
+    left, right, gt = make_scene(rng, h, w)
+    write_png(os.path.join(out_dir, "left.png"), left)
+    write_png(os.path.join(out_dir, "right.png"), right)
+
+    # --- mine triplets straight from the ground truth -------------------
+    zeros = np.zeros((h, w), np.uint8)
+    kl, kr, kn = mine_stereo_pair(gt, zeros, zeros, 3000, 10, 25, rng)
+    triplets = extract_triplets(left, right, kl, kr, kn)
+    print(f"mined {len(triplets)} triplets")
+
+    # --- train a fresh zero forest --------------------------------------
+    t0 = time.perf_counter()
+    forest = train_forest(triplets, fern_factory(2, 2, 2, 5),
+                          zero_optimizer(), seed=1, verbose=False)
+    print(f"trained fresh forest in {time.perf_counter() - t0:.1f} s")
+    save_forest(forest, os.path.join(out_dir, "fresh_forest.txt"))
+
+    # --- match with the fresh forest and the pretrained one -------------
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 17)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pretrained = load_forest(os.path.join(repo, "forests",
+                                          "defaultZeroForest.txt"))
+    for name, f in (("fresh", forest), ("pretrained", pretrained)):
+        match = build_sparsematch(f, settings)
+        supp = supports_to_numpy(*match(left, right))
+        prec, n = support_precision(supp, gt, tol=0)
+        print(f"{name:>10}: {len(supp)} supports, "
+              f"exact-disparity precision {prec:.3f} over {n}")
+        vis = disparity_visualization(left, supp, max_disparity=32)
+        write_png(os.path.join(out_dir, f"disparity_{name}.png"), vis)
+    print(f"outputs in {out_dir}/")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
