@@ -62,7 +62,26 @@ def _packed_ok(mask: FilterMask, shape) -> bool:
 
 
 def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, fused_match: bool = False):
+    if fused_match and settings.epipolar_mode and _packed_ok(mask, left.shape):
+        from opengpc_tpu.match import compact
+        from opengpc_tpu.ops.fused import FusedKernelBudgetError
+        from opengpc_tpu.ops.fused_match import fused_sparsematch_rows
+
+        try:
+            keep, src_x, d = fused_sparsematch_rows(
+                left, right, mask, settings.gradient_threshold,
+                settings.disp_high,
+            )
+            ycoord = jnp.broadcast_to(
+                jnp.arange(keep.shape[0], dtype=jnp.int32)[:, None], keep.shape
+            )
+            (xs, ys, ds), count = compact(
+                keep, (src_x, ycoord, d), settings.capacity
+            )
+            return xs, ys, ds, count
+        except FusedKernelBudgetError:
+            pass  # fall through to the split pipeline
     codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
     codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
     if settings.epipolar_mode:
