@@ -253,6 +253,20 @@ def read_rgb(path: str) -> np.ndarray:
     return arr[:, :, :3].astype(np.uint8)
 
 
+def read_gray_batch(paths, max_workers: int = 8):
+    """Read many grayscale PNGs in parallel (native data-loader path).
+
+    The libpng decoder (cpp/io.cc via ctypes) releases the GIL during the
+    foreign call, so a thread pool gives real parallel decode — the
+    TPU-framework equivalent of a native multi-threaded loader for the
+    mining/training input pipeline.  Order of results matches ``paths``.
+    """
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(read_gray, paths))
+
+
 def write_png(path: str, arr: np.ndarray) -> None:
     """Write uint8 grayscale (H, W) or RGB (H, W, 3) PNG."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)

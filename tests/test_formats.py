@@ -245,3 +245,20 @@ class TestPNGVariants:
             f.write(self._mk_png(4, 1, 1, 0, rows))
         g = read_gray(p)
         np.testing.assert_array_equal(g, [[255, 0, 255, 0]])
+
+
+def test_read_gray_batch(tmp_path):
+    from opengpc_tpu.io.png import read_gray, read_gray_batch, write_png
+
+    rng = np.random.default_rng(0)
+    paths = []
+    imgs = []
+    for i in range(6):
+        img = rng.integers(0, 256, (20 + i, 30)).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.png")
+        write_png(p, img)
+        paths.append(p)
+        imgs.append(img)
+    out = read_gray_batch(paths, max_workers=4)
+    for got, want in zip(out, imgs):
+        np.testing.assert_array_equal(got, want)
