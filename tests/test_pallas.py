@@ -79,3 +79,21 @@ def test_fused_rejects_oversized_images():
     too_tall = np.zeros((6000, 2000), np.uint8)
     with pytest.raises(ValueError):
         fused_codes(too_tall, mask, 5, interpret=True)
+
+
+def test_oversize_image_falls_back_to_jnp_end_to_end():
+    """use_pallas=True on an over-budget image silently uses the jnp path
+    and still produces correct supports."""
+    rng = np.random.default_rng(21)
+    h, w = 40, 6000  # width beyond the fused kernel's budget
+    left = structured_image(rng, h, w)
+    right = np.roll(left, -2, axis=1)
+    forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 disp_high=16, capacity=65536)
+    ref = build_sparsematch(forest, settings, use_pallas=False)
+    pal = build_sparsematch(forest, settings, use_pallas=True)
+    want = supports_to_numpy(*ref(left, right))
+    got = supports_to_numpy(*pal(left, right))
+    assert len(want) > 100
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
