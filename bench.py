@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_MPIX_S = 50.0  # BASELINE.json: >= 50 Mpix/s per v5e chip
 H, W = 436, 1024        # Sintel frame size
 TRUE_DISP = 16
-N_SHORT, N_LONG = 3, 23
+N_SHORT, N_LONG = 3, 43
 
 
 def make_pair(h, w, d, seed=42):
@@ -138,7 +138,7 @@ def main():
         return (l, r)
 
     best = device_time_per_iter(
-        step, (left, right), make_dep, N_SHORT, N_LONG, repeats=3
+        step, (left, right), make_dep, N_SHORT, N_LONG, repeats=5
     )
     mpix_s = (2 * H * W / 1e6) / best
     print(
