@@ -1,0 +1,49 @@
+"""Sparse-to-dense densification tests."""
+
+import numpy as np
+
+from opengpc_tpu.densify import densify_supports
+
+
+def test_constant_disparity_fills_constant():
+    sup = np.array([[10, 10, 7], [30, 20, 7], [50, 15, 7]])
+    dense, filled = densify_supports(sup, (32, 64), num_iters=100)
+    assert filled.all()
+    np.testing.assert_allclose(dense, 7.0, atol=1e-4)
+
+
+def test_known_pixels_pinned():
+    sup = np.array([[5, 5, 2], [20, 20, 10]])
+    dense, filled = densify_supports(sup, (28, 28), num_iters=60)
+    assert dense[5, 5] == 2.0 and dense[20, 20] == 10.0
+    assert filled.all()
+    # interpolated values stay within the support range
+    assert dense.min() >= 2.0 - 1e-4 and dense.max() <= 10.0 + 1e-4
+
+
+def test_limited_iters_leave_far_pixels_unfilled():
+    sup = np.array([[0, 0, 3]])
+    dense, filled = densify_supports(sup, (16, 16), num_iters=4)
+    assert filled[0, 0] and filled[4, 0] and not filled[15, 15]
+
+
+def test_empty_supports():
+    dense, filled = densify_supports(np.zeros((0, 3)), (8, 8), num_iters=4)
+    assert not filled.any()
+
+
+def test_two_plane_scene_accuracy():
+    rng = np.random.default_rng(0)
+    h, w = 48, 96
+    gt = np.where(np.arange(w)[None, :] < w // 2, 4, 12).astype(np.int32)
+    gt = np.broadcast_to(gt, (h, w))
+    ys = rng.integers(0, h, 300)
+    xs = rng.integers(0, w, 300)
+    sup = np.stack([xs, ys, gt[ys, xs]], axis=1)
+    dense, filled = densify_supports(sup, (h, w), num_iters=80)
+    assert filled.all()
+    # away from the plane boundary, the fill should be near-exact
+    err = np.abs(dense - gt)
+    interior = np.ones((h, w), bool)
+    interior[:, w // 2 - 6: w // 2 + 6] = False
+    assert np.median(err[interior]) < 1.0
