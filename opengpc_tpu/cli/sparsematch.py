@@ -51,6 +51,8 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler trace into LOGDIR")
     p.add_argument("--pyramid", type=int, default=1, metavar="LEVELS",
                    help="multi-scale matching over LEVELS pyramid levels")
+    p.add_argument("--densify", default=None, metavar="PNG",
+                   help="also write a diffusion-densified disparity PNG")
     args = p.parse_args(argv)
 
     forest = load_forest(args.forest)
@@ -122,6 +124,15 @@ def main(argv=None) -> int:
     vis = disparity_visualization(left, supports, max_disparity=args.disp_high)
     write_png(args.out, vis)
     print(f"wrote {args.out}")
+    if args.densify:
+        from opengpc_tpu.densify import densify_supports
+        from opengpc_tpu.viz import dense_disparity_visualization
+
+        dense, filled = densify_supports(supports, left.shape)
+        write_png(args.densify,
+                  dense_disparity_visualization(left, dense, filled,
+                                                max_disparity=args.disp_high))
+        print(f"wrote {args.densify}")
     if args.supports_out:
         np.savetxt(args.supports_out, supports, fmt="%d")
         print(f"wrote {args.supports_out}")
