@@ -33,36 +33,52 @@ from opengpc_tpu.viz import disparity_visualization
 
 
 def make_scene(rng, h, w, max_disp=24):
-    """Textured scene with a slanted disparity plane + a raised block."""
+    """Textured multi-plane scene with LEFT-indexed ground-truth disparity.
+
+    The right image is built by forward-warping left pixels (right[x-d] =
+    left[x]) painting planes in ascending-d order so nearer surfaces win,
+    exactly the convention the miner and the precision metric assume
+    (x_r = x_l - d(x_l)); ``occ`` marks left pixels whose right-image
+    target was overwritten by a nearer surface or fell out of frame."""
     base = rng.integers(0, 256, (h, w + max_disp)).astype(np.float32)
     for _ in range(2):
         base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
                 + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
-    scene = base.astype(np.uint8)
+    left = base[:, :w].astype(np.uint8)
 
     disp = np.zeros((h, w), np.int32) + 6
     disp[:, w // 3:] = 12
     disp[h // 4: h // 2, w // 2: 3 * w // 4] = 20  # raised block
 
-    left = scene[:, :w].copy()
-    right = np.zeros_like(left)
-    xs = np.arange(w)
-    for y in range(h):
-        right[y] = scene[y, xs + disp[y]]  # right(x) = scene(x + d(x))
-    return left, right, disp
+    right = rng.integers(0, 256, (h, w)).astype(np.uint8)  # bg noise
+    owner_d = np.full((h, w), -1, np.int32)  # per right pixel: painter's d
+    for d in sorted(np.unique(disp)):
+        sel = disp == d
+        ys, xs = np.nonzero(sel)
+        xr = xs - d
+        ok = xr >= 0
+        right[ys[ok], xr[ok]] = left[ys[ok], xs[ok]]
+        owner_d[ys[ok], xr[ok]] = d
+    # left pixel occluded iff its right target is owned by a different d
+    # (or fell out of frame)
+    xr_all = np.arange(w)[None, :] - disp
+    occ = (xr_all < 0) | (
+        np.take_along_axis(owner_d, np.clip(xr_all, 0, w - 1), axis=1) != disp
+    )
+    return left, right, disp, occ.astype(np.uint8) * 255
 
 
 def main(out_dir="demo_out"):
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(0)
     h, w = 320, 640
-    left, right, gt = make_scene(rng, h, w)
+    left, right, gt, occ = make_scene(rng, h, w)
     write_png(os.path.join(out_dir, "left.png"), left)
     write_png(os.path.join(out_dir, "right.png"), right)
 
     # --- mine triplets straight from the ground truth -------------------
     zeros = np.zeros((h, w), np.uint8)
-    kl, kr, kn = mine_stereo_pair(gt, zeros, zeros, 3000, 10, 25, rng)
+    kl, kr, kn = mine_stereo_pair(gt, occ, zeros, 3000, 10, 25, rng)
     triplets = extract_triplets(left, right, kl, kr, kn)
     print(f"mined {len(triplets)} triplets")
 
@@ -83,7 +99,7 @@ def main(out_dir="demo_out"):
     for name, f in (("fresh", forest), ("pretrained", pretrained)):
         match = build_sparsematch(f, settings)
         supp = supports_to_numpy(*match(left, right))
-        prec, n = support_precision(supp, gt, tol=0)
+        prec, n = support_precision(supp, gt, valid=(occ == 0), tol=0)
         print(f"{name:>10}: {len(supp)} supports, "
               f"exact-disparity precision {prec:.3f} over {n}")
         vis = disparity_visualization(left, supp, max_disparity=32)

@@ -57,9 +57,11 @@ def _densify(xs, ys, ds, count, shape: Tuple[int, int], num_iters: int):
             + jnp.pad(f, ((0, 0), (1, 0)))[:, :-1]
         )
         grown = nsum > 0
-        new_val = jnp.where(filled, val, jnp.where(grown, vsum / jnp.maximum(nsum, 1.0), 0.0))
-        # known pixels stay pinned; newly grown pixels keep averaging on
-        # later sweeps only via their neighbors (filled set grows monotonically)
+        upd = vsum / jnp.maximum(nsum, 1.0)
+        # support (seed) pixels stay pinned; every other filled-or-grown
+        # pixel RELAXES each sweep (true masked Jacobi — the filled set
+        # grows by one ring per sweep and keeps diffusing behind the front)
+        new_val = jnp.where(known, val, jnp.where(grown, upd, 0.0))
         return new_val, filled | grown
 
     value, filled = jax.lax.fori_loop(0, num_iters, sweep, (value, known))

@@ -178,12 +178,15 @@ _CODES_FN_CACHE = {}
 def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
                      use_pallas: bool):
     """Memoize the jitted codes+candidates function so repeated
-    extract_descriptors calls (e.g. per frame of a sequence) don't retrace."""
+    extract_descriptors calls (e.g. per frame of a sequence) don't retrace.
+
+    Keyed only on what code extraction reads (mask + gradient threshold +
+    backend choice) — other settings fields don't force a recompile."""
     key = (
         tuple(map(tuple, np.asarray(mask.i_off))),
         tuple(map(tuple, np.asarray(mask.j_off))),
         tuple(np.asarray(mask.tau)),
-        mask.type, settings, use_pallas,
+        mask.type, settings.gradient_threshold, use_pallas,
     )
     fn = _CODES_FN_CACHE.get(key)
     if fn is None:

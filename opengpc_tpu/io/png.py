@@ -32,13 +32,29 @@ _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _NATIVE = None
 _NATIVE_TRIED = False
+_NATIVE_LOCK = __import__("threading").Lock()
 
 
 def _native_lib() -> Optional[ctypes.CDLL]:
     global _NATIVE, _NATIVE_TRIED
     if _NATIVE_TRIED:
         return _NATIVE
-    _NATIVE_TRIED = True
+    with _NATIVE_LOCK:
+        return _native_lib_locked()
+
+
+def _native_lib_locked() -> Optional[ctypes.CDLL]:
+    """dlopen + symbol setup under _NATIVE_LOCK; _NATIVE_TRIED is set LAST
+    so concurrent first calls (read_gray_batch's pool) can't observe the
+    tried-but-not-loaded state and fall back to the slow python decoder."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE, _NATIVE_TRIED = _native_lib_load(), True
+    return _NATIVE
+
+
+def _native_lib_load() -> Optional[ctypes.CDLL]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cand = os.path.join(here, "cpp", "build", "libopengpc_io.so")
     if not os.path.exists(cand):

@@ -88,20 +88,14 @@ def _div9_trunc(x32):
 
 
 
-def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
-    """One row-tile of the fused pipeline.
+def tile_codes_and_cand(x32, y0, h, w, th, tests, thr2):
+    """In-kernel (codes int32, cand bool) for one (th+28, wp) int32 tile.
 
-    ``img_ref`` holds the full halo-padded image in VMEM (uint8, small);
-    each grid step reads its tile + 28-row halo with a dynamic row slice
-    and writes a (th, w) block of codes and candidates.  Tiling keeps the
-    ~2T live int32 slice temporaries at (th+26, wp) instead of image-sized
-    (Mosaic stack-allocates them; a whole-image variant OOMs VMEM).
-
-    tests: tuple of (iy, ix, jy, jx, tau) python ints.
+    The single source of the contract math for every Pallas kernel (this
+    module's split kernel AND ops/fused_match.py): box 3x3 + zeroed
+    boundary, <=32 code tests MSB-first, binary sobel + margin-13
+    candidates.  tests: tuple of (iy, ix, jy, jx, tau) python ints.
     """
-    t = pl.program_id(0)
-    y0 = t * th  # first output image row of this tile == padded row offset
-    x32 = img_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
     hc, wc = th + 26, w + 26  # code-support region of this tile
 
     # --- box 3x3 on the code-support region -----------------------------
@@ -127,7 +121,6 @@ def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
         b = jax.lax.slice(smooth, (13 + jy, 13 + jx), (13 + jy + th, 13 + jx + w))
         bit = (a > b - jnp.int32(tau)).astype(jnp.int32)
         code = code * 2 + bit
-    codes_ref[:] = code
 
     # --- sobel 3x3 on the raw image + margin -> candidate mask ----------
     def raw(dy, dx):
@@ -146,7 +139,24 @@ def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
     yy = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + y0
     xx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
     interior = (yy >= MARGIN) & (yy < h - MARGIN) & (xx >= MARGIN) & (xx < w - MARGIN)
-    cand_ref[:] = (grad & interior).astype(jnp.uint8)
+    return code, grad & interior
+
+
+def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
+    """One row-tile of the fused pipeline.
+
+    ``img_ref`` holds the full halo-padded image in VMEM (uint8, small);
+    each grid step reads its tile + 28-row halo with a dynamic row slice
+    and writes a (th, w) block of codes and candidates.  Tiling keeps the
+    ~2T live int32 slice temporaries at (th+26, wp) instead of image-sized
+    (Mosaic stack-allocates them; a whole-image variant OOMs VMEM).
+    """
+    t = pl.program_id(0)
+    y0 = t * th  # first output image row of this tile == padded row offset
+    x32 = img_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
+    code, cand = tile_codes_and_cand(x32, y0, h, w, th, tests, thr2)
+    codes_ref[:] = code
+    cand_ref[:] = cand.astype(jnp.uint8)
 
 
 def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret: bool):

@@ -39,54 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 from opengpc_tpu.forest import FilterMask, PATCH_HALF
 from opengpc_tpu.ops.fused import (
     FusedKernelBudgetError,
-    MARGIN,
     PAD,
-    _div9_floor,
-    _div9_trunc,
     _round_up,
+    tile_codes_and_cand,
 )
+from opengpc_tpu.ops.sort import bitonic_network
 
 SENTINEL_BASE = 0x40000000
 PAD_KEY_BASE = 0x7F000000
-
-
-def _codes_tile(x32, y0, h, w, th, tests, thr2):
-    """(codes, cand) for one image tile — same math as ops/fused._kernel."""
-    hc, wc = th + 26, w + 26
-    total = jnp.zeros((hc, wc), jnp.int32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            total = total + jax.lax.slice(
-                x32, (1 + dy, 1 + dx), (1 + dy + hc, 1 + dx + wc)
-            )
-    blurred = _div9_floor(total)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0) + y0
-    cc = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
-    box_valid = (rr >= 14) & (rr <= h + 10) & (cc >= 15) & (cc <= w + 11)
-    smooth = jnp.where(box_valid, blurred, jnp.int32(0))
-
-    code = jnp.zeros((th, w), jnp.int32)
-    for iy, ix, jy, jx, tau in tests:
-        a = jax.lax.slice(smooth, (13 + iy, 13 + ix), (13 + iy + th, 13 + ix + w))
-        b = jax.lax.slice(smooth, (13 + jy, 13 + jx), (13 + jy + th, 13 + jx + w))
-        code = code * 2 + (a > b - jnp.int32(tau)).astype(jnp.int32)
-
-    def raw(dy, dx):
-        return jax.lax.slice(
-            x32, (PAD + dy, PAD + dx), (PAD + dy + th, PAD + dx + w)
-        )
-
-    sx_num = raw(-1, -1) + raw(1, -1) + 2 * raw(0, -1) \
-        - raw(-1, 1) - 2 * raw(0, 1) - raw(1, 1)
-    sy_num = raw(-1, -1) + raw(-1, 1) + 2 * raw(-1, 0) \
-        - raw(1, -1) - 2 * raw(1, 0) - raw(1, 1)
-    sx = _div9_trunc(sx_num)
-    sy = _div9_trunc(sy_num)
-    grad = sx * sx + sy * sy > jnp.int32(thr2)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + y0
-    xx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
-    interior = (yy >= MARGIN) & (yy < h - MARGIN) & (xx >= MARGIN) & (xx < w - MARGIN)
-    return code, grad & interior
 
 
 def _kernel(left_ref, right_ref, keep_ref, srcx_ref, d_ref, *,
@@ -96,8 +56,9 @@ def _kernel(left_ref, right_ref, keep_ref, srcx_ref, d_ref, *,
     xl = left_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
     xr = right_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
 
-    code_l, cand_l = _codes_tile(xl, y0, h, w, th, tests, thr2)
-    code_r, cand_r = _codes_tile(xr, y0, h, w, th, tests, thr2)
+    # shared contract math (ops/fused.py) — one source for all kernels
+    code_l, cand_l = tile_codes_and_cand(xl, y0, h, w, th, tests, thr2)
+    code_r, cand_r = tile_codes_and_cand(xr, y0, h, w, th, tests, thr2)
 
     pos2 = jax.lax.broadcasted_iota(jnp.int32, (th, 2 * w), 1)
     key = jnp.where(
@@ -112,24 +73,10 @@ def _kernel(left_ref, right_ref, keep_ref, srcx_ref, d_ref, *,
     else:
         pos = pos2
 
-    # --- keys-only bitonic sort with position payload (ops/sort.py) -----
-    s = jnp.concatenate([key, pos], axis=0)  # (2*th, n2)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (th, n2), 1)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * th, n2), 1)
-    size = 2
-    while size <= n2:
-        asc = (lane & size) == 0
-        j = size >> 1
-        while j > 0:
-            low2 = (lane2 & j) == 0
-            o = jnp.where(low2, pltpu.roll(s, n2 - j, 1), pltpu.roll(s, j, 1))
-            k, ok = s[:th], o[:th]
-            keep_min = ((lane & j) == 0) == asc
-            take = (keep_min & (ok < k)) | (~keep_min & (ok > k))
-            s = jnp.where(jnp.concatenate([take, take], axis=0), o, s)
-            j >>= 1
-        size <<= 1
+    # --- keys-only bitonic sort with position payload (shared network) --
+    s = bitonic_network(jnp.concatenate([key, pos], axis=0), th, n2)
     key_s, pos_s = s[:th], s[th:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th, n2), 1)
 
     # --- unique-collision pair detection (match._match_epipolar_packed) --
     nxt_k = pltpu.roll(key_s, n2 - 1, 1)   # key_s[i+1] (wraps at row end)

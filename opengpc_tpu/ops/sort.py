@@ -30,10 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_R = 16
 
 
-def _kernel(key_ref, pay_ref, key_out, pay_out, *, n, tr):
-    # stack key and payload row-blocks into ONE array: lane rolls act
-    # per-row, so each compare-exchange pass needs 2 rolls instead of 4
-    s = jnp.concatenate([key_ref[:], pay_ref[:]], axis=0)  # (2*tr, n)
+def bitonic_network(s: jnp.ndarray, tr: int, n: int) -> jnp.ndarray:
+    """Fully unrolled bitonic network over the stacked (2*tr, n) array
+    ``s`` = [key rows; payload rows].  Keys-only comparator, in-kernel use
+    (called by this module's kernel AND ops/fused_match.py — the single
+    source of the sort network)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * tr, n), 1)
 
@@ -57,7 +58,15 @@ def _kernel(key_ref, pay_ref, key_out, pay_out, *, n, tr):
             s = jnp.where(take2, o, s)
             j >>= 1
         size <<= 1
+    return s
 
+
+def _kernel(key_ref, pay_ref, key_out, pay_out, *, n, tr):
+    # stack key and payload row-blocks into ONE array: lane rolls act
+    # per-row, so each compare-exchange pass needs 2 rolls instead of 4
+    s = bitonic_network(
+        jnp.concatenate([key_ref[:], pay_ref[:]], axis=0), tr, n
+    )
     key_out[:] = s[:tr]
     pay_out[:] = s[tr:]
 

@@ -49,24 +49,37 @@ def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh:
                               use_pallas=None):
     """Jitted (B, H, W) x2 -> per-pair supports, batch sharded over the mesh.
 
-    Per-pair work is independent; XLA inserts no collectives — the batch
-    axis is laid out over chips and each chip vmaps its shard.  Outputs
-    keep the same batch sharding (supports stay device-resident for any
-    downstream per-pair consumer; hosts gather only what they read).
+    Per-pair work is independent, so the batch axis is split with
+    ``shard_map``: every chip runs the complete per-shard program (vmap
+    over its local pairs) and no collectives are inserted.  shard_map —
+    not jit-with-shardings — is deliberate: the pipeline contains Pallas
+    custom calls, which the GSPMD partitioner cannot split automatically;
+    under shard_map each device traces its own single-device kernel.
+
+    B must be divisible by the mesh size.  Outputs keep the batch
+    sharding (supports stay device-resident for downstream consumers).
     """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
     mask = make_filter_mask(forest)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    fn = jax.vmap(functools.partial(
+    local = jax.vmap(functools.partial(
         _sparsematch_impl, mask=mask, settings=settings, use_pallas=use_pallas
     ))
-    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
-
-    return jax.jit(
-        fn,
-        in_shardings=(batch_sharding, batch_sharding),
-        out_shardings=batch_sharding,
+    spec = P(DATA_AXIS)
+    # check_vma=False: the pipeline may contain pallas_call, whose
+    # out_shapes carry no varying-mesh-axis annotation
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False,
     )
+    return jax.jit(fn)
 
 
 def sharded_train_fern(

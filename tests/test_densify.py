@@ -47,3 +47,16 @@ def test_two_plane_scene_accuracy():
     interior = np.ones((h, w), bool)
     interior[:, w // 2 - 6: w // 2 + 6] = False
     assert np.median(err[interior]) < 1.0
+
+
+def test_jacobi_relaxes_toward_linear_ramp():
+    """Two pinned seeds on a narrow strip: enough sweeps approach the
+    linear (harmonic) interpolant between them, not a frozen step."""
+    sup = np.array([[2, 1, 0], [18, 1, 16]])
+    dense, filled = densify_supports(sup, (3, 21), num_iters=2000)
+    assert filled.all()
+    line = dense[1, 2:19]
+    want = np.linspace(0, 16, 17)
+    assert np.abs(line - want).max() < 1.5
+    # strictly increasing along the seed line (no plateau/step artifact)
+    assert (np.diff(line) > 0).all()
