@@ -118,11 +118,13 @@ def _score_level(
     passes over N instead of R*T scalar sweeps.
     """
     taus = tau_lo + jnp.arange(num_taus, dtype=jnp.int16)  # (T,)
-    p16 = patches.astype(jnp.int16)
 
     def one_resample(carry, ij):
-        vi = jnp.take(p16, ij[0], axis=2)  # (N, 3)
-        vj = jnp.take(p16, ij[1], axis=2)
+        # gather the two candidate pixels from the uint8 tensor FIRST and
+        # widen the tiny (N, 3) results — never materialize an int16 copy
+        # of the whole dataset (2x memory at production N)
+        vi = jnp.take(patches, ij[0], axis=2).astype(jnp.int16)  # (N, 3)
+        vj = jnp.take(patches, ij[1], axis=2).astype(jnp.int16)
         diff = vi - vj                      # (N, 3)
         bits = diff[:, :, None] < taus[None, None, :]     # (N, 3, T)
         beq_pos = bits[:, 0, :] == bits[:, 1, :]          # (N, T)
@@ -149,9 +151,8 @@ def _apply_level(
     eq_neg: jnp.ndarray,
 ):
     """Fold the chosen (i, j, tau) into the prefix equality flags."""
-    p16 = patches.astype(jnp.int16)
-    vi = jnp.take(p16, i, axis=2)
-    vj = jnp.take(p16, j, axis=2)
+    vi = jnp.take(patches, i, axis=2).astype(jnp.int16)
+    vj = jnp.take(patches, j, axis=2).astype(jnp.int16)
     bits = (vi - vj) < tau.astype(jnp.int16)  # (N, 3)
     return (
         eq_pos & (bits[:, 0] == bits[:, 1]),
