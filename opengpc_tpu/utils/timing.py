@@ -82,24 +82,26 @@ def device_time_per_iter(
             def body(_, carry):
                 acc, cur = carry
                 s = step(*cur)
-                return acc + s.astype(jnp.int64), make_dep(s, cur)
+                return acc + s.astype(acc.dtype), make_dep(s, cur)
 
-            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.int64(0), a))
+            # float accumulator: exact enough for a chained checksum and
+            # avoids the x64-disabled int64 truncation warning
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), a))
             return acc
 
         return run
 
     short, long_ = chained(n_short), chained(n_long)
     args = tuple(jax.device_put(a) for a in args)
-    int(np.asarray(short(*args)))  # compile + warm
-    int(np.asarray(long_(*args)))
+    float(np.asarray(short(*args)))  # compile + warm
+    float(np.asarray(long_(*args)))
     best_s = best_l = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        int(np.asarray(short(*args)))
+        float(np.asarray(short(*args)))
         best_s = min(best_s, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        int(np.asarray(long_(*args)))
+        float(np.asarray(long_(*args)))
         best_l = min(best_l, time.perf_counter() - t0)
     # difference the per-length minima (robust to one-off relay stalls);
     # sub-noise-floor work can still come out slightly negative — clamp
