@@ -32,19 +32,7 @@ TRUE_DISP = 16
 N_SHORT, N_LONG = 3, 43
 
 
-def make_pair(h, w, d, seed=42):
-    """Textured scene shifted by exactly d px: left(x) == right(x - d)."""
-    rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, (h, w + d)).astype(np.float32)
-    for _ in range(2):
-        base = (
-            np.roll(base, 1, 0) + np.roll(base, -1, 0)
-            + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base
-        ) / 5
-    scene = base.astype(np.uint8)
-    left = scene[:, :w].copy()   # feature at scene col c -> left x = c
-    right = scene[:, d:].copy()  # -> right x = c - d; disparity = +d
-    return left, right
+from opengpc_tpu.utils.scenes import make_pair, make_scene  # noqa: E402
 
 
 def _check_against_oracle(left, right, supp, settings):

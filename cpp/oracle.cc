@@ -258,6 +258,61 @@ std::vector<Corr> matchQuirk(std::vector<Desc> src, std::vector<Desc> tar) {
   return out;
 }
 
+// Literal emulation of the reference's hash-table matcher
+// (hashmatch.hpp:42-273): open hash over state % indexSize buckets; each
+// bucket is an ordered insert (stable after equal states) CAPPED at 10
+// elements (hashmatch.hpp:93-98) — later arrivals are silently dropped;
+// then a per-bucket adjacent-pair sweep emits states present exactly twice
+// and from different images (hashmatch.hpp:162-197), including its two edge
+// behaviors: the early bucket return when an equal-third element is the
+// bucket's last, and the skip-ahead after a same-image pair followed by a
+// cross-image element.  Inserts happen src-list first, then tar-list, in
+// candidate scan order (inference.hpp:204-224 depthPriorFast).
+struct HDesc {
+  uint64_t state;
+  int x, y;
+  bool src;
+};
+
+std::vector<Corr> matchHash(const std::vector<Desc>& srcv, const std::vector<Desc>& tarv,
+                            int indexSize) {
+  std::vector<std::vector<HDesc>> buckets(indexSize);
+  auto insert = [&](const Desc& d, bool isSrc) {
+    std::vector<HDesc>& b = buckets[size_t(d.state % uint64_t(indexSize))];
+    if (int(b.size()) >= 10) return;  // bucket cap, drop silently
+    size_t pos = 0;
+    while (pos < b.size() && b[pos].state <= d.state) pos++;  // after equals
+    b.insert(b.begin() + pos, HDesc{d.state, d.x, d.y, isSrc});
+  };
+  for (const Desc& d : srcv) insert(d, true);
+  for (const Desc& d : tarv) insert(d, false);
+
+  std::vector<Corr> out;
+  for (const std::vector<HDesc>& b : buckets) {
+    size_t n = b.size();
+    size_t idx = 0;  // the list walk: prev/idx mirror prev/next pointers
+    while (idx < n) {
+      size_t prev = idx;
+      idx++;
+      if (idx < n && b[prev].state == b[idx].state) {
+        if (b[prev].src != b[idx].src) {
+          if (idx + 1 < n) {  // a third element exists
+            if (b[idx + 1].state != b[idx].state)
+              out.push_back({b[prev].x, b[prev].y, b[idx].x, b[idx].y});
+            if (idx + 2 >= n) break;  // "checked the last triplet, leave"
+          } else {
+            out.push_back({b[prev].x, b[prev].y, b[idx].x, b[idx].y});
+          }
+        } else if (idx + 1 < n && b[idx].src != b[idx + 1].src) {
+          // same-image pair then cross-image element: skip the false pair
+          idx++;
+        }
+      }
+    }
+  }
+  return out;
+}
+
 // 5x5 census transform, 24-bit codes (filter.hpp:692-712): bit i set iff
 // neighbor > center, neighbors scanned px (outer, -2..2) then py, skipping
 // the center; valid rows y in [2, h-4], all x with full window.
@@ -446,7 +501,8 @@ int main(int argc, char** argv) {
     writeRaw(out, argv[5]);
   } else if (cmd == "sparsematch" && argc == 11) {
     // sparsematch <forest> <left.raw> <right.raw> <out.txt>
-    //             <gradThresh> <vertTol> <dispHigh> <epipolar 0/1> <quirk 0/1>
+    //             <gradThresh> <vertTol> <dispHigh> <epipolar 0/1>
+    //             <matcher: 0=clean 1=quirk 2=hashmatch>
     ForestDef fd = readForest(argv[2]);
     Img left = readRaw(argv[3]);
     Img right = readRaw(argv[4]);
@@ -454,13 +510,39 @@ int main(int argc, char** argv) {
     int vt = atoi(argv[7]);
     int dispHigh = atoi(argv[8]);
     bool epipolar = atoi(argv[9]) != 0;
-    bool quirk = atoi(argv[10]) != 0;
+    int matcher = atoi(argv[10]);
     Img sl = box3(left), sr = box3(right);
     Img gl = sobel3(left, gradThresh), gr = sobel3(right, gradThresh);
     auto dl = descriptors(sl, gl, fd, epipolar);
     auto dr = descriptors(sr, gr, fd, epipolar);
-    auto corr = quirk ? matchQuirk(dl, dr) : matchClean(dl, dr);
+    auto corr = matcher == 2   ? matchHash(dl, dr, 214673)
+                : matcher == 1 ? matchQuirk(dl, dr)
+                               : matchClean(dl, dr);
     writeSupports(corr, vt, dispHigh, argv[5]);
+  } else if (cmd == "hashmatch" && argc == 6) {
+    // hashmatch <desc.txt> <out.txt> <matcher: 0=clean 1=quirk 2=hash> <indexSize>
+    // desc.txt lines: "img state x y" (img 0=src, 1=tar), file order =
+    // insertion order.  Emits unfiltered pairs "sx sy tx ty" — matcher-level
+    // differential testing on constructed descriptor sets.
+    std::ifstream df(argv[2]);
+    std::vector<Desc> src, tar;
+    int img, x, y;
+    uint64_t state;
+    while (df >> img >> state >> x >> y) {
+      Desc d;
+      d.state = state;
+      d.x = x;
+      d.y = y;
+      (img == 0 ? src : tar).push_back(d);
+    }
+    int matcher = atoi(argv[4]);
+    int indexSize = atoi(argv[5]);
+    auto corr = matcher == 2   ? matchHash(src, tar, indexSize)
+                : matcher == 1 ? matchQuirk(src, tar)
+                               : matchClean(src, tar);
+    std::ofstream f(argv[3]);
+    for (const Corr& c : corr)
+      f << c.sx << " " << c.sy << " " << c.tx << " " << c.ty << "\n";
   } else if (cmd == "trainfern" && argc == 10) {
     // trainfern <triplets.bin> <cands.txt> <depth> <taulo> <tauhi> <w1>
     //           <onlyNonSplit 0/1> <out.txt>

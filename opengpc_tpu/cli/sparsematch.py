@@ -53,6 +53,13 @@ def main(argv=None) -> int:
                    help="multi-scale matching over LEVELS pyramid levels")
     p.add_argument("--densify", default=None, metavar="PNG",
                    help="also write a diffusion-densified disparity PNG")
+    p.add_argument(
+        "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
+        help="sort: on-device clean unique-collision matcher (default); "
+        "quirk: host-side bit-exact reference sweep incl. its edge quirks "
+        "(useHashtable=false); hashmatch: host-side bit-exact reference "
+        "hash-table matcher (useHashtable=true)",
+    )
     args = p.parse_args(argv)
 
     forest = load_forest(args.forest)
@@ -72,6 +79,9 @@ def main(argv=None) -> int:
     if left.shape != right.shape:
         print(f"image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
         return 1
+
+    if args.matcher != "sort":
+        return _run_host_matcher(args, forest, settings, left, right)
 
     if args.pyramid > 1:
         from opengpc_tpu.pyramid import (
@@ -113,6 +123,13 @@ def main(argv=None) -> int:
     else:
         xs, ys, ds, count = result
         supports = supports_to_numpy(xs, ys, ds, count)
+        if int(count) > xs.shape[0]:
+            print(
+                f"WARNING: support buffer overflow — {int(count)} matches, "
+                f"capacity {xs.shape[0]}; {int(count) - xs.shape[0]} dropped. "
+                f"Re-run with --capacity {1 << (int(count) - 1).bit_length()}",
+                file=sys.stderr,
+            )
     h, w = left.shape
     mpix_s = (2 * h * w / 1e6) / best if best > 0 else float("inf")
     print(
@@ -133,6 +150,46 @@ def main(argv=None) -> int:
                   dense_disparity_visualization(left, dense, filled,
                                                 max_disparity=args.disp_high))
         print(f"wrote {args.densify}")
+    if args.supports_out:
+        np.savetxt(args.supports_out, supports, fmt="%d")
+        print(f"wrote {args.supports_out}")
+    return 0
+
+
+def _run_host_matcher(args, forest, settings, left, right) -> int:
+    """Bit-exact reference matcher modes: descriptors are extracted on
+    device (same dense pipeline), matched host-side with the reference's
+    exact sweep (``--matcher quirk``; inference.hpp:227-254) or its
+    hash-table matcher (``--matcher hashmatch``; hashmatch.hpp:42-273),
+    then filtered like rectifiedMatch (inference.hpp:384-391)."""
+    from opengpc_tpu.infer import extract_descriptors
+    from opengpc_tpu.match import match_hashmatch, match_reference_quirk
+
+    t0 = time.perf_counter()
+    desc_l = extract_descriptors(left, forest, settings)
+    desc_r = extract_descriptors(right, forest, settings)
+    matcher = (
+        match_reference_quirk if args.matcher == "quirk" else match_hashmatch
+    )
+    pairs = matcher(desc_l, desc_r, epipolar=settings.epipolar_mode)
+    dt = time.perf_counter() - t0
+    if len(pairs):
+        d = pairs[:, 0] - pairs[:, 2]
+        keep = (np.abs(pairs[:, 1] - pairs[:, 3]) <= settings.vertical_tolerance) & (
+            np.abs(d) <= settings.disp_high
+        )
+        supports = np.stack(
+            [pairs[keep, 0], pairs[keep, 1], d[keep]], axis=1
+        ).astype(np.int32)
+    else:
+        supports = np.zeros((0, 3), np.int32)
+    print(
+        f"tTotal: {dt * 1e3:.2f} ms (host-side {args.matcher} matcher, "
+        f"incl. compile), num matches: {len(supports)}"
+    )
+    vis = disparity_visualization(left, supports, max_disparity=args.disp_high)
+    write_png(args.out, vis)
+    print(f"wrote {args.out}")
     if args.supports_out:
         np.savetxt(args.supports_out, supports, fmt="%d")
         print(f"wrote {args.supports_out}")

