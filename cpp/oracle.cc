@@ -448,6 +448,10 @@ void trainFern(const std::string& tripletPath, const std::string& candPath, int 
       }
     }
     params[l] = best;
+    // stats actually used for selection: the chosen candidate scored with
+    // the exclusion masks in force during the search (before this level's
+    // markSplitSamples update) — Fern.hpp:236,333-334
+    Stats ex = evalSplit(ts, params, splitPos, splitNeg, l, w1);
     if (onlyNonSplit) {
       // markSplitSamples called with numParams = level (Fern.hpp:357):
       // the prefix EXCLUDES the just-chosen test (empty at level 0,
@@ -467,8 +471,10 @@ void trainFern(const std::string& tripletPath, const std::string& candPath, int 
     }
     Stats s = evalSplit(ts, params, std::vector<bool>(ts.data.size(), false),
                         std::vector<bool>(ts.data.size(), false), l, w1);
+    // line: level i j tau  tp fp fn (unmasked)  score  tp fp fn tot (masked)
     out << l << " " << best[0] << " " << best[1] << " " << best[2] << " " << s.tp << " "
-        << s.fp << " " << s.fn << " " << maxScore << "\n";
+        << s.fp << " " << s.fn << " " << maxScore << " " << ex.tp << " " << ex.fp << " "
+        << ex.fn << " " << ex.tot << "\n";
   }
 }
 

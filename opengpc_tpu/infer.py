@@ -16,6 +16,7 @@ multi-chip scale-out shards the batch axis (opengpc_tpu.parallel).
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import Callable, Optional, Tuple
 
@@ -172,7 +173,8 @@ def build_stereomatch(
     return run
 
 
-_CODES_FN_CACHE = {}
+_CODES_FN_CACHE = collections.OrderedDict()
+_CODES_FN_CACHE_MAX = 32  # LRU bound: forests/thresholds cycled in one process
 
 
 def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
@@ -181,7 +183,9 @@ def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
     extract_descriptors calls (e.g. per frame of a sequence) don't retrace.
 
     Keyed only on what code extraction reads (mask + gradient threshold +
-    backend choice) — other settings fields don't force a recompile."""
+    backend choice) — other settings fields don't force a recompile.
+    LRU-bounded so long-running processes that cycle through many forests
+    don't grow without bound (jitted fns pin their compiled executables)."""
     key = (
         tuple(map(tuple, np.asarray(mask.i_off))),
         tuple(map(tuple, np.asarray(mask.j_off))),
@@ -195,6 +199,10 @@ def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
             use_pallas=use_pallas,
         ))
         _CODES_FN_CACHE[key] = fn
+        if len(_CODES_FN_CACHE) > _CODES_FN_CACHE_MAX:
+            _CODES_FN_CACHE.popitem(last=False)
+    else:
+        _CODES_FN_CACHE.move_to_end(key)
     return fn
 
 

@@ -34,8 +34,14 @@ def init_distributed(**kwargs) -> int:
     DCN across hosts, with no further code changes (SPMD)."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # single-process / already initialized
+    except (RuntimeError, ValueError) as e:
+        # single-process / already initialized — but say what happened so a
+        # genuine multi-host misconfiguration isn't silently masked
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed.initialize skipped: %s", e
+        )
     return jax.process_count()
 
 

@@ -38,8 +38,8 @@ def downscale2(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
-                  num_levels: int, use_pallas: bool):
-    xs_all, ys_all, ds_all, lv_all, counts = [], [], [], [], []
+                  num_levels: int, use_pallas: bool, dedup: bool):
+    xs_all, ys_all, ds_all, lv_all = [], [], [], []
     l_img, r_img = left, right
     for level in range(num_levels):
         xs, ys, ds, count = _sparsematch_impl(
@@ -57,17 +57,43 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
         ys_all[-1] = jnp.where(valid, ys_all[-1], 0)
         ds_all[-1] = jnp.where(valid, ds_all[-1], 0)
         lv_all[-1] = jnp.where(valid, lv_all[-1], -1)
-        counts.append(jnp.minimum(count, xs.shape[0]))
         if level + 1 < num_levels:
             l_img = downscale2(l_img)
             r_img = downscale2(r_img)
-    return (
-        jnp.concatenate(xs_all),
-        jnp.concatenate(ys_all),
-        jnp.concatenate(ds_all),
-        jnp.concatenate(lv_all),
-        jnp.stack(counts),
+    xs_c = jnp.concatenate(xs_all)
+    ys_c = jnp.concatenate(ys_all)
+    ds_c = jnp.concatenate(ds_all)
+    lv_c = jnp.concatenate(lv_all)
+    if dedup:
+        # cross-level merge policy: FINEST LEVEL WINS.  A level-0 pixel can
+        # also match (with scaled coordinates landing on the same (x, y))
+        # at coarser levels with a conflicting disparity; keep only the
+        # lowest-level support per pixel.  Sort (pixel, level) keys, keep
+        # the first entry of each pixel run, scatter the mask back.
+        h0, w0 = left.shape
+        mult = 1
+        while mult <= num_levels:
+            mult <<= 1
+        valid = lv_c >= 0
+        pix = ys_c * w0 + xs_c
+        sentinel = jnp.int32(h0 * w0 * mult)
+        key = jnp.where(valid, pix * mult + lv_c, sentinel)
+        order = jnp.argsort(key)
+        sk = key[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] // mult != sk[:-1] // mult]
+        )
+        keep_sorted = first & (sk < sentinel)
+        keep = jnp.zeros_like(valid).at[order].set(keep_sorted)
+        xs_c = jnp.where(keep, xs_c, 0)
+        ys_c = jnp.where(keep, ys_c, 0)
+        ds_c = jnp.where(keep, ds_c, 0)
+        lv_c = jnp.where(keep, lv_c, -1)
+    # per-level counts of the supports actually emitted (post-dedup)
+    counts = jnp.stack(
+        [jnp.sum(lv_c == level) for level in range(num_levels)]
     )
+    return xs_c, ys_c, ds_c, lv_c, counts
 
 
 def build_pyramid_sparsematch(
@@ -75,13 +101,16 @@ def build_pyramid_sparsematch(
     settings: InferenceSettings,
     num_levels: int = 3,
     use_pallas: Optional[bool] = None,
+    dedup: bool = True,
 ) -> Callable:
     """Jitted ``(left, right) -> (x, y, d, level, counts)`` pyramid matcher.
 
     Outputs are level-0 coordinates/disparities; ``level[i]`` tells which
     pyramid level produced support i (-1 marks empty slots), ``counts`` is
-    the per-level match count.  Works on (H, W) images and (B, H, W)
-    batches via vmap, like build_sparsematch.
+    the per-level count of emitted supports.  With ``dedup`` (default) the
+    merge policy is finest-level-wins: at most one support per (x, y), and
+    a level-0 support is never overridden by a coarser level.  Works on
+    (H, W) images and (B, H, W) batches via vmap, like build_sparsematch.
     """
     mask = (
         make_filter_mask(forest_or_mask)
@@ -92,7 +121,7 @@ def build_pyramid_sparsematch(
         use_pallas = jax.default_backend() == "tpu"
     fn = functools.partial(
         _pyramid_impl, mask=mask, settings=settings,
-        num_levels=num_levels, use_pallas=use_pallas,
+        num_levels=num_levels, use_pallas=use_pallas, dedup=dedup,
     )
 
     @jax.jit
@@ -106,7 +135,8 @@ def build_pyramid_sparsematch(
 
 def pyramid_supports_to_numpy(xs, ys, ds, levels, counts) -> np.ndarray:
     """Trim merged pyramid buffers to an (n, 4) int array of
-    (x, y, d, level) rows (empty slots dropped)."""
+    (x, y, d, level) rows (empty slots dropped).  With the default dedup
+    policy the rows contain at most one support per (x, y)."""
     lv = np.asarray(levels)
     keep = lv >= 0
     return np.stack(

@@ -59,7 +59,14 @@ from opengpc_tpu.forest import (
 
 @dataclasses.dataclass
 class LevelStats:
-    """Stats of the chosen split at one level (Fern.hpp:53-69)."""
+    """Stats of the chosen split at one level (Fern.hpp:53-69).
+
+    ``tp/fp/fn/tot`` are the exclusion-masked counts the greedy selection
+    actually scored (evalSplit with the split markers in force,
+    Fern.hpp:236,333-334); with ``only_score_non_split_samples=False`` they
+    equal the unmasked counts.  ``tp_all/fp_all/fn_all`` classify ALL
+    samples by the ≤level code prefix regardless of markers — the
+    diagnostic the oracle's trainfern line also carries."""
 
     level: int
     i: int
@@ -72,6 +79,9 @@ class LevelStats:
     prec: float
     rec: float
     hmean: float
+    tp_all: int = 0
+    fp_all: int = 0
+    fn_all: int = 0
 
 
 def sample_candidates(
@@ -274,11 +284,19 @@ def train_fern(
         tp, fp, fn = best_counts
         tot = int(np.asarray(include, bool).sum())
         prec, rec, hm = _hmean(tp, fp, fn, optimizer.w1)
+        # unmasked diagnostic counts, free from the post-fold eq flags
+        # (the ≤level code-equality prefix): TP = eqPos & !eqNeg,
+        # FP = !eqPos & eqNeg, FN = eqPos == eqNeg (Fern.hpp:236-252)
+        ep, en = np.asarray(eq_pos), np.asarray(eq_neg)
+        tp_all = int((ep & ~en).sum())
+        fp_all = int((~ep & en).sum())
+        fn_all = int(n - tp_all - fp_all)
         ix, iy = _lin_to_xy(bi)
         jx, jy = _lin_to_xy(bj)
         chosen.append(Test(ix, iy, jx, jy, btau))
         stats_out.append(
-            LevelStats(level, bi, bj, btau, tp, fp, fn, tot, prec, rec, hm)
+            LevelStats(level, bi, bj, btau, tp, fp, fn, tot, prec, rec, hm,
+                       tp_all, fp_all, fn_all)
         )
         if verbose:
             print(

@@ -130,3 +130,40 @@ def test_match_reference_quirk_vs_oracle(oracle_path, tmp_path):
         if abs(int(sy) - int(ty)) <= 1 and abs(int(sx) - int(tx)) <= 64:
             got.add((int(sx), int(sy), int(sx) - int(tx)))
     assert got == want and len(want) > 0
+
+
+def test_match_hashmatch_pipeline_vs_oracle(oracle_path, tmp_path):
+    """Full pipeline (device descriptors -> host hashmatch -> rectified
+    filter) reproduces the oracle's useHashtable-mode supports, in order."""
+    import subprocess
+
+    from opengpc_tpu.io.raw import write_raw
+    from opengpc_tpu.match import match_hashmatch
+
+    left, right = make_pair(72, 104, 4, seed=5)
+    forest_path = os.path.join(FORESTS, "defaultZeroForest.txt")
+    settings = InferenceSettings(gradient_threshold=5, disp_high=64,
+                                 vertical_tolerance=1, capacity=16384)
+
+    lp, rp, op = (str(tmp_path / n) for n in ("l.raw", "r.raw", "o.txt"))
+    write_raw(lp, left)
+    write_raw(rp, right)
+    subprocess.run(
+        [oracle_path, "sparsematch", forest_path, lp, rp, op,
+         "5", "1", "64", "1", "2"],  # epipolar, HASHMATCH mode
+        check=True,
+    )
+    with open(op) as f:
+        want = [tuple(int(v) for v in line.split()) for line in f
+                if line.strip()]
+
+    forest = load_forest(forest_path)
+    dl = extract_descriptors(left, forest, settings, use_pallas=False)
+    dr = extract_descriptors(right, forest, settings, use_pallas=False)
+    corr = match_hashmatch(dl, dr, epipolar=True)
+    got = [
+        (int(sx), int(sy), int(sx) - int(tx))
+        for sx, sy, tx, ty in corr
+        if abs(int(sy) - int(ty)) <= 1 and abs(int(sx) - int(tx)) <= 64
+    ]
+    assert got == want and len(want) > 0

@@ -168,6 +168,102 @@ def test_extract_stereo_dataset_end_to_end(sintel_tree):
     assert neq.all()
 
 
+def _write_png16(path, img8, rng):
+    """Hand-built 16-bit big-endian gray PNG whose LOW byte is ``img8``
+    and whose high byte is noise — the reference's ``*ptr = val`` with
+    T=uint8_t C-truncates 16-bit samples to the LOW byte
+    (buffer.hpp:280-288), a quirk pinned in test_formats.py; readers must
+    reproduce it."""
+    import struct
+    import zlib
+
+    h, w = img8.shape
+    samples = (
+        rng.integers(0, 256, img8.shape).astype(np.uint16) << 8
+    ) | img8.astype(np.uint16)
+    raw = b"".join(
+        b"\x00" + samples[y].astype(">u2").tobytes() for y in range(h)
+    )
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+@pytest.fixture
+def hard_sintel_tree(tmp_path):
+    """Harder synthetic Sintel stereo tree (VERDICT r1 item 8): 16-bit
+    clean PNGs, a multi-plane variable-disparity scene with STRUCTURED
+    occlusion maps (from the forward-warp painter), and an invalid strip
+    in the outofframe map."""
+    from opengpc_tpu.utils.scenes import make_scene
+
+    rng = np.random.default_rng(21)
+    root = tmp_path / "sintel_hard"
+    tr = root / "training"
+    scene = "market_5"
+    for sub in ("clean_left", "clean_right", "disparities", "occlusions",
+                "outofframe"):
+        os.makedirs(tr / sub / scene, exist_ok=True)
+    h, w = 160, 224
+    for i in range(2):
+        left, right, disp, occ = make_scene(rng, h, w)
+        _write_png16(str(tr / "clean_left" / scene / f"frame_{i+1:04d}.png"),
+                     left, rng)
+        _write_png16(str(tr / "clean_right" / scene / f"frame_{i+1:04d}.png"),
+                     right, rng)
+        # per-pixel disparity PNG: d = 4R + G/64 (SintelStereo.hpp:421-422)
+        disp_rgb = np.zeros((h, w, 3), np.uint8)
+        disp_rgb[:, :, 0] = (disp // 4).astype(np.uint8)
+        disp_rgb[:, :, 1] = ((disp % 4) * 64).astype(np.uint8)
+        write_png(str(tr / "disparities" / scene / f"frame_{i+1:04d}.png"),
+                  disp_rgb)
+        write_png(str(tr / "occlusions" / scene / f"frame_{i+1:04d}.png"), occ)
+        oof = np.zeros((h, w), np.uint8)
+        oof[:, :24] = 255  # left strip: right-image target out of frame
+        write_png(str(tr / "outofframe" / scene / f"frame_{i+1:04d}.png"), oof)
+    return str(root), h, w
+
+
+def test_extract_hard_stereo_dataset(hard_sintel_tree):
+    """Variable disparity + structured occlusions + 16-bit PNGs: mined
+    positives must still align (ref == pos after blur) — which requires the
+    per-pixel disparity decode, the occlusion/out-of-frame rejection, and
+    the 16-bit truncation all to be right at once."""
+    root, h, w = hard_sintel_tree
+    from opengpc_tpu.io.png import read_gray
+
+    # 16-bit read truncates to the high byte (same as the reference)
+    img = read_gray(os.path.join(
+        root, "training", "clean_left", "market_5", "frame_0001.png"))
+    assert img.dtype == np.uint8 and img.shape == (h, w)
+    assert img.std() > 10  # content, not garbage
+
+    data = extract_stereo_dataset(root, triplets_per_pair=120,
+                                  radius_lo=10, radius_hi=20, seed=4,
+                                  verbose=False)
+    assert len(data) > 150
+    eq = data[:, 0] == data[:, 1]
+    # A multi-plane scene is not globally shift-invariant: 27x27 patches
+    # that straddle a plane boundary legitimately differ, so full-patch
+    # exactness is only ~0.57 here.  What the decode + rejection must
+    # guarantee: blurred CENTER pixels align almost always, and pixelwise
+    # agreement is high (a wrong per-pixel disparity decode or a missed
+    # occlusion rejection collapses all three numbers to ~chance).
+    center = data.shape[2] // 2
+    assert eq[:, center].mean() > 0.9, f"center {eq[:, center].mean():.3f}"
+    assert eq.mean() > 0.85, f"pixelwise {eq.mean():.3f}"
+    assert eq.all(axis=1).mean() > 0.4, f"exact {eq.all(axis=1).mean():.3f}"
+    assert (data[:, 1] != data[:, 2]).any(axis=1).all()
+
+
 def test_extract_then_train_then_match(sintel_tree, tmp_path):
     """Full workflow: extract -> train -> sparsematch with the fresh forest."""
     from opengpc_tpu.config import InferenceSettings, fern_factory, zero_optimizer

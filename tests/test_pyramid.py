@@ -67,6 +67,45 @@ def test_pyramid_coarse_levels_scale_back():
         assert acc > 0.95, f"level {level} disparity accuracy {acc}"
 
 
+def test_pyramid_dedup_finest_wins():
+    """Default merge policy: at most one support per (x, y); level-0
+    supports are never overridden by coarser levels (VERDICT r1 item 7)."""
+    left, right = make_pair(128, 256, 8, seed=2)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=8192)
+    raw = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                    use_pallas=False, dedup=False)
+    deduped = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                        use_pallas=False, dedup=True)
+    rows_raw = pyramid_supports_to_numpy(*raw(left, right))
+    rows = pyramid_supports_to_numpy(*deduped(left, right))
+
+    # the scene actually produces cross-level (x, y) conflicts
+    key_raw = rows_raw[:, 1].astype(np.int64) * 256 + rows_raw[:, 0]
+    assert len(np.unique(key_raw)) < len(key_raw), "fixture has no conflicts"
+
+    # dedup: unique pixels, and each survivor is the min level of its pixel
+    key = rows[:, 1].astype(np.int64) * 256 + rows[:, 0]
+    assert len(np.unique(key)) == len(key)
+    min_level = {}
+    for x, y, d, lv in rows_raw:
+        k = int(y) * 256 + int(x)
+        min_level[k] = min(min_level.get(k, 99), int(lv))
+    for x, y, d, lv in rows:
+        assert int(lv) == min_level[int(y) * 256 + int(x)]
+
+    # every level-0 support survives verbatim
+    lv0_raw = set(map(tuple, rows_raw[rows_raw[:, 3] == 0].tolist()))
+    lv0 = set(map(tuple, rows[rows[:, 3] == 0].tolist()))
+    assert lv0 == lv0_raw
+
+    # per-level counts reflect the post-dedup emission
+    _, _, _, lv_b, counts = deduped(left, right)
+    for level in range(3):
+        assert int(counts[level]) == int((np.asarray(lv_b) == level).sum())
+
+
 def test_pyramid_batched():
     left, right = make_pair(64, 128, 2, seed=3)
     lefts = np.stack([left, left])

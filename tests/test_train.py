@@ -66,6 +66,9 @@ def _oracle_train(oracle_path, tmp_path, trips, cands, depth, tau_lo, tau_hi,
                     level=int(parts[0]), i=int(parts[1]), j=int(parts[2]),
                     tau=int(parts[3]), tp=int(parts[4]), fp=int(parts[5]),
                     fn=int(parts[6]), score=float(parts[7]),
+                    # exclusion-masked stats the selection actually used
+                    tpx=int(parts[8]), fpx=int(parts[9]), fnx=int(parts[10]),
+                    totx=int(parts[11]),
                 )
             )
     return rows
@@ -95,8 +98,13 @@ def test_train_fern_oracle_parity(oracle_path, tmp_path, tau_lo, tau_hi,
         assert (s.i, s.j, s.tau) == (w["i"], w["j"], w["tau"]), f"level {lvl}"
         # oracle prints %g (6 significant digits)
         assert s.hmean == pytest.approx(w["score"], rel=1e-5)
-        if not only_non_split:
-            assert (s.tp, s.fp, s.fn) == (w["tp"], w["fp"], w["fn"])
+        # full-stats parity in BOTH modes: the exclusion-masked counts the
+        # selection scored, the sample count it saw, and the unmasked
+        # diagnostic counts (equal to the masked ones when exclusion is off)
+        assert (s.tp, s.fp, s.fn, s.tot) == (
+            w["tpx"], w["fpx"], w["fnx"], w["totx"]), f"level {lvl} masked"
+        assert (s.tp_all, s.fp_all, s.fn_all) == (
+            w["tp"], w["fp"], w["fn"]), f"level {lvl} unmasked"
 
 
 def test_sample_candidates_in_window():
