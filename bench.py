@@ -1,46 +1,62 @@
-"""Headline benchmark: sparsematch throughput on a Sintel-sized stereo pair.
+"""Headline benchmark: sparsematch throughput on Sintel-sized stereo pairs.
+
+Covers every BASELINE.json config with a device-timed metric and a
+correctness gate (VERDICT r1 items 3+6):
+
+  1. config 1 — defaultZeroForest, single pair (the headline number,
+     gated on exact true disparity AND oracle support-set identity)
+  2. config 2 — defaultTauForest (tau-threshold splits), device-timed,
+     oracle-gated
+  3. config 3 — multi-scale pyramid matching and batched pairs (vmap B=4)
+     aggregate Mpix/s on one chip
+  plus a multi-plane variable-disparity scene gate (a matcher that only
+  works for constant disparity fails it).
 
 Reference benchmark config (/root/reference/samples/sparsematch.cpp:29-34):
-defaultZeroForest, gradient threshold 5, vertical tolerance 0, dispHigh 128,
-epipolar mode.  Image size matches Sintel (1024x436,
-SintelOpticalFlow.hpp:492-493); real Sintel frames are not downloadable in
-this environment, so the pair is a reproducible synthetic textured scene
-with known ground-truth disparity (which also lets the bench assert
-correctness: every support must hit the true disparity).
+gradient threshold 5, vertical tolerance 0, dispHigh 128, epipolar mode.
+Image size matches Sintel (1024x436, SintelOpticalFlow.hpp:492-493); real
+Sintel frames are not downloadable in this environment, so pairs are
+reproducible synthetic textured scenes with known ground-truth disparity.
 
 Timing methodology: on tunneled TPU setups ``block_until_ready`` can be a
 no-op and host<->device transfers are slow, so wall-clocking single calls
 measures the tunnel, not the chip.  Instead we run N chained pipeline
 iterations inside one jitted ``lax.fori_loop`` (each iteration's input
 depends on the previous match count, so nothing can be elided or
-overlapped), fetch one scalar, and difference two loop lengths.
+overlapped), fetch one scalar, and difference two loop lengths
+(utils.device_time_per_iter).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-baseline is the BASELINE.json north-star of 50 Mpix/s per chip.
+Output contract: ONE JSON line on stdout (the headline config-1 metric,
+what the driver parses); auxiliary config metrics are printed as JSON
+lines on stderr.
 """
 
-import functools
 import json
-import time
+import sys
 
 import numpy as np
 
+from opengpc_tpu.utils.scenes import make_pair, make_scene  # noqa: E402
 
 BASELINE_MPIX_S = 50.0  # BASELINE.json: >= 50 Mpix/s per v5e chip
 H, W = 436, 1024        # Sintel frame size
 TRUE_DISP = 16
 N_SHORT, N_LONG = 3, 43
+BATCH = 4
 
 
-from opengpc_tpu.utils.scenes import make_pair, make_scene  # noqa: E402
+def _aux(metric, value, unit, note=""):
+    print(json.dumps({"metric": metric, "value": round(value, 1),
+                      "unit": unit, "vs_baseline": round(value / BASELINE_MPIX_S, 2),
+                      "note": note}), file=sys.stderr, flush=True)
 
 
-def _check_against_oracle(left, right, supp, settings):
+def _check_against_oracle(left, right, supp, settings, forest_file,
+                          label=""):
     """P/R gate vs the native CPU oracle (BASELINE: within 1%; we require
     exact).  Skipped silently if the oracle can't be built on this host."""
     import os
     import subprocess
-    import sys
     import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -57,8 +73,7 @@ def _check_against_oracle(left, right, supp, settings):
         write_raw(lp, left)
         write_raw(rp, right)
         subprocess.run(
-            [oracle, "sparsematch", os.path.join(repo, "forests",
-                                                 "defaultZeroForest.txt"),
+            [oracle, "sparsematch", os.path.join(repo, "forests", forest_file),
              lp, rp, op, str(settings.gradient_threshold),
              str(settings.vertical_tolerance), str(settings.disp_high),
              "1", "0"],
@@ -70,23 +85,26 @@ def _check_against_oracle(left, right, supp, settings):
     got = set(map(tuple, supp.tolist()))
     # supp may be capacity-trimmed; every returned support must be in the
     # oracle set and coverage must be essentially total
-    assert got <= want, f"{len(got - want)} supports not in oracle set"
+    assert got <= want, f"{label}: {len(got - want)} supports not in oracle set"
     assert len(got) >= min(len(want), settings.capacity) * 0.999, (
-        f"only {len(got)} of {len(want)} oracle supports reproduced"
+        f"{label}: only {len(got)} of {len(want)} oracle supports reproduced"
     )
-    print(f"oracle check: {len(got)}/{len(want)} supports, exact subset",
-          file=sys.stderr)
+    print(f"oracle check [{label}]: {len(got)}/{len(want)} supports, "
+          f"exact subset", file=sys.stderr)
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from opengpc_tpu.config import InferenceSettings
     from opengpc_tpu.forest import load_forest, make_filter_mask
-    from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+    from opengpc_tpu.infer import (_sparsematch_impl, build_sparsematch,
+                                   supports_to_numpy)
+    from opengpc_tpu.metrics import support_precision
+    from opengpc_tpu.utils import device_time_per_iter
 
-    forest = load_forest("forests/defaultZeroForest.txt")
-    mask = make_filter_mask(forest)
+    use_pallas = jax.default_backend() == "tpu"
     settings = InferenceSettings(
         gradient_threshold=5,
         vertical_tolerance=0,
@@ -96,39 +114,134 @@ def main():
     )
     left, right = make_pair(H, W, TRUE_DISP)
 
-    # correctness gate: every support must hit the true disparity
+    def timed_mpix(mask, l, r, n_long=N_LONG):
+        """Device-time the jitted pipeline on (possibly batched) pairs.
+
+        The step consumes EVERY output buffer, not just the count —
+        otherwise XLA dead-code-eliminates the support compaction and the
+        "throughput" measures a program no user can run (this bug hid a
+        16 ms scatter in round 1's numbers; see README roofline ledger).
+        """
+        def one(x, y):
+            xs, ys, ds, count = _sparsematch_impl(
+                x, y, mask=mask, settings=settings, use_pallas=use_pallas)
+            return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                    + ds.sum(dtype=jnp.int32) + count)
+
+        def stepb(a, b):
+            if a.ndim == 3:
+                # lax.map like build_sparsematch: vmap's batched flat sort
+                # is ~2.8x slower than B independent sorts on TPU
+                return jnp.sum(jax.lax.map(lambda ab: one(*ab), (a, b)))
+            return jnp.sum(one(a, b))
+
+        def make_dep(count, args):
+            a, b = args
+            upd = (count & 1).astype(jnp.uint8).reshape((1,) * a.ndim)
+            a = jax.lax.dynamic_update_slice(a, upd, (0,) * a.ndim)
+            return (a, b)
+
+        best = device_time_per_iter(stepb, (l, r), make_dep, N_SHORT, n_long,
+                                    repeats=5)
+        npix = 2 * l.size  # both images
+        return (npix / 1e6) / best
+
+    # ------------------------------------------------------------------
+    # config 1: defaultZeroForest single pair (headline) + gates
+    # ------------------------------------------------------------------
+    forest = load_forest("forests/defaultZeroForest.txt")
+    mask = make_filter_mask(forest)
     match = build_sparsematch(forest, settings)
     supp = supports_to_numpy(*match(left, right))
     assert len(supp) > 1000, f"too few supports: {len(supp)}"
     correct = float((supp[:, 2] == TRUE_DISP).mean())
     assert correct > 0.99, f"support accuracy {correct:.3f} < 0.99"
-    _check_against_oracle(left, right, supp, settings)
+    _check_against_oracle(left, right, supp, settings,
+                          "defaultZeroForest.txt", "config1 zero")
 
-    import jax.numpy as jnp
+    # multi-plane variable-disparity gate (VERDICT r1 item 6): the same
+    # pipeline must be correct where disparity varies across the image
+    mp_left, mp_right, mp_disp, mp_occ = make_scene(
+        np.random.default_rng(0), H, W)
+    mp_supp = supports_to_numpy(*match(mp_left, mp_right))
+    assert len(mp_supp) > 1000, f"multi-plane: too few supports {len(mp_supp)}"
+    prec, n_valid = support_precision(mp_supp, mp_disp, mp_occ == 0, tol=0.0)
+    assert prec > 0.97, f"multi-plane precision {prec:.3f} <= 0.97"
+    print(f"multi-plane gate: {n_valid} non-occluded supports, "
+          f"exact-disparity precision {prec:.4f}", file=sys.stderr)
+    _check_against_oracle(mp_left, mp_right, mp_supp, settings,
+                          "defaultZeroForest.txt", "config1 multi-plane")
 
-    from opengpc_tpu.infer import _sparsematch_impl
-    from opengpc_tpu.utils import device_time_per_iter
+    mpix_s = timed_mpix(mask, left, right)
 
-    use_pallas = jax.default_backend() == "tpu"
+    # ------------------------------------------------------------------
+    # config 2: defaultTauForest (sequence stands on per-pair throughput;
+    # frames stream through the same compiled program)
+    # ------------------------------------------------------------------
+    tau_forest = load_forest("forests/defaultTauForest.txt")
+    tau_mask = make_filter_mask(tau_forest)
+    tau_match = build_sparsematch(tau_forest, settings)
+    tau_supp = supports_to_numpy(*tau_match(left, right))
+    tau_acc = float((tau_supp[:, 2] == TRUE_DISP).mean())
+    assert tau_acc > 0.99, f"tau support accuracy {tau_acc:.3f}"
+    _check_against_oracle(left, right, tau_supp, settings,
+                          "defaultTauForest.txt", "config2 tau")
+    tau_mpix = timed_mpix(tau_mask, left, right)
+    _aux("tau_sparsematch_throughput", tau_mpix, "Mpix/s",
+         "config 2: defaultTauForest per-pair device-timed")
 
-    def step(l, r):
-        return _sparsematch_impl(
-            l, r, mask=mask, settings=settings, use_pallas=use_pallas
-        )[3]
+    # ------------------------------------------------------------------
+    # config 3a: batched pairs (vmap B=4) aggregate throughput per chip
+    # ------------------------------------------------------------------
+    lefts, rights = [], []
+    for b in range(BATCH):
+        l2, r2 = make_pair(H, W, TRUE_DISP, seed=100 + b)
+        lefts.append(l2)
+        rights.append(r2)
+    lb = np.stack(lefts)
+    rb = np.stack(rights)
+    batch_supp = match(lb, rb)
+    s0 = supports_to_numpy(batch_supp[0][0], batch_supp[1][0],
+                           batch_supp[2][0], batch_supp[3][0])
+    acc0 = float((s0[:, 2] == TRUE_DISP).mean())
+    assert acc0 > 0.99, f"batched pair-0 accuracy {acc0:.3f}"
+    batch_mpix = timed_mpix(mask, lb, rb, n_long=23)
+    _aux("batched_pairs_throughput", batch_mpix, "Mpix/s",
+         f"config 3: B={BATCH} batch (lax.map) aggregate per chip")
 
-    def make_dep(count, args):
-        # fold the match count's low bit into a boundary pixel (cleared by
-        # preprocessing, so results are unchanged) to chain iterations
-        l, r = args
-        l = jax.lax.dynamic_update_slice(
-            l, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0)
-        )
-        return (l, r)
+    # ------------------------------------------------------------------
+    # config 3b: 3-level pyramid multi-scale matching
+    # ------------------------------------------------------------------
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
 
-    best = device_time_per_iter(
-        step, (left, right), make_dep, N_SHORT, N_LONG, repeats=5
-    )
-    mpix_s = (2 * H * W / 1e6) / best
+    pmatch = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                       use_pallas=use_pallas)
+    rows = pyramid_supports_to_numpy(*pmatch(left, right))
+    lv0 = rows[rows[:, 3] == 0]
+    pacc = float((lv0[:, 2] == TRUE_DISP).mean())
+    assert pacc > 0.99, f"pyramid level-0 accuracy {pacc:.3f}"
+
+    def pstep(a, b):
+        xs, ys, ds, lv, counts = pmatch(a, b)
+        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
+                + jnp.sum(counts))
+
+    def pdep(count, args):
+        a, b = args
+        a = jax.lax.dynamic_update_slice(
+            a, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0))
+        return (a, b)
+
+    pbest = device_time_per_iter(pstep, (left, right), pdep, N_SHORT, 23,
+                                 repeats=5)
+    # pyramid processes 2*(1 + 1/4 + 1/16) H*W pixels
+    ppix = 2 * H * W * (1 + 0.25 + 0.0625)
+    _aux("pyramid_throughput", ppix / 1e6 / pbest, "Mpix/s",
+         "config 3: 3-level pyramid, all-level pixels counted")
+
+    # headline LAST on stdout — the driver parses this line
     print(
         json.dumps(
             {

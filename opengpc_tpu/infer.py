@@ -9,7 +9,7 @@ The TPU-native equivalent of the reference inference layer
       -> fixed-capacity support buffer (x, y, d) + count
 
 Everything from raw uint8 images to supports is one jitted function with
-static shapes; multi-pair batching is ``jax.vmap`` over the leading axis
+static shapes; multi-pair batching is ``jax.lax.map`` over the leading axis
 (the analog of the reference's parFor threading, filter.hpp:128-145) and
 multi-chip scale-out shards the batch axis (opengpc_tpu.parallel).
 """
@@ -83,6 +83,27 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
             return xs, ys, ds, count
         except FusedKernelBudgetError:
             pass  # fall through to the split pipeline
+    if use_pallas and settings.epipolar_mode and _packed_ok(mask, left.shape):
+        # fast path: the fused kernel emits the sentinel-packed sort keys
+        # directly, skipping one HBM round-trip of (codes, candidates)
+        from opengpc_tpu.match import _match_epipolar_packed
+        from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_keys
+        from opengpc_tpu.match import SENTINEL_BASE
+
+        try:
+            w = left.shape[1]
+            key_l = fused_keys(left, mask, settings.gradient_threshold,
+                               pos_base=0, sentinel_base=SENTINEL_BASE)
+            key_r = fused_keys(right, mask, settings.gradient_threshold,
+                               pos_base=w, sentinel_base=SENTINEL_BASE)
+            key = jnp.concatenate([key_l, key_r], axis=1)
+            (xs, ys, ds), count = _match_epipolar_packed(
+                None, None, None, None, settings.disp_high,
+                settings.capacity, key=key,
+            )
+            return xs, ys, ds, count
+        except FusedKernelBudgetError:
+            pass  # image too large for the kernel; split pipeline below
     codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
     codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
     if settings.epipolar_mode:
@@ -112,7 +133,7 @@ def build_sparsematch(
     The forest is baked into the computation as static constants (the
     analog of readForest producing a width-specific FilterMask,
     inference.hpp:404-446 — but width-independent here).  Works on single
-    images (H, W) and, via vmap, on batches (B, H, W).
+    images (H, W) and on batches (B, H, W) (sequential lax.map — see run()).
 
     ``use_pallas=None`` selects the fused Pallas preprocessing+code kernel
     automatically on TPU (falling back to the jnp ops off-TPU or for
@@ -132,7 +153,11 @@ def build_sparsematch(
     @jax.jit
     def run(left: jnp.ndarray, right: jnp.ndarray):
         if left.ndim == 3:
-            return jax.vmap(fn)(left, right)
+            # lax.map, not vmap: vmap turns the flat compaction sort into
+            # one (B, 893k) batched-row sort, which XLA runs ~2.8x slower
+            # than B independent sorts (measured in experiments; README
+            # roofline ledger).  Outputs are identical.
+            return jax.lax.map(lambda ab: fn(*ab), (left, right))
         return fn(left, right)
 
     return run
@@ -144,7 +169,7 @@ def build_stereomatch(
     """Jitted ``(left, right) -> (sx, sy, tx, ty, count)`` correspondence
     matcher — the reference's stereoMatch surface (inference.hpp:344-361):
     global unique-collision correspondences with *no* epipolar/disparity
-    filtering.  Batched via vmap like build_sparsematch."""
+    filtering.  Batched via lax.map like build_sparsematch."""
     from opengpc_tpu.match import match_correspondences
 
     mask = (
@@ -167,7 +192,7 @@ def build_stereomatch(
     @jax.jit
     def run(left, right):
         if left.ndim == 3:
-            return jax.vmap(fn)(left, right)
+            return jax.lax.map(lambda ab: fn(*ab), (left, right))
         return fn(left, right)
 
     return run

@@ -18,7 +18,8 @@ Two layouts:
   filter (inference.hpp:384-391) applies afterwards.
 
 Output is a fixed-capacity support buffer plus a match count (device
-pipelines keep static shapes; compaction is cumsum + scatter).
+pipelines keep static shapes; compaction is a sort by position/packed key
+— XLA TPU scatter is ~35x slower, see compact()).
 
 Deliberate deviation from the reference, pinned by tests: the reference
 sweep never emits a match landing on the last target element and skips
@@ -53,38 +54,86 @@ def _pair_starts(invalid: jnp.ndarray, code: jnp.ndarray, flag: jnp.ndarray):
 
 
 def compact(mask: jnp.ndarray, values: Tuple[jnp.ndarray, ...], capacity: int):
-    """Gather ``values[mask]`` into fixed-size buffers (cumsum + scatter).
+    """Gather ``values[mask]`` into fixed-size buffers, preserving flat
+    mask order.  Returns (compacted values, count).  Entries beyond
+    ``capacity`` are dropped; ``count`` is the true number of matches.
 
-    Returns (compacted values, count).  Entries beyond ``capacity`` are
-    dropped; ``count`` is the true number of matches.
-
-    For 2-D masks the scan runs row-parallel (per-row cumsum + a short
-    row-offset scan) instead of one long serial cumsum over H*W elements.
+    Implemented as ONE unstable flat sort by a position key (matched
+    entries keep their flat index, others get the max sentinel) with the
+    values as payload operands.  The obvious cumsum+scatter formulation is
+    10-35x slower on v5e — XLA TPU scatter costs ~7 us per thousand
+    updates (measured: 16 ms of a 0.4 ms pipeline went to compacting the
+    support buffers; experiments/exp_sort2.py + README roofline ledger).
+    Prefer :func:`compact_packed` in hot paths — packing the payload into
+    the key makes the sort single-operand.
     """
-    m32 = mask.astype(jnp.int32)
-    if mask.ndim == 1:
-        # chunk the flat scan so it runs row-parallel too (row-major
-        # chunking preserves the exact serial positions)
-        chunk = 2048
-        pad = (-m32.shape[0]) % chunk
-        m32 = jnp.pad(m32, (0, pad)).reshape(-1, chunk)
-        mask = jnp.pad(mask, (0, pad)).reshape(-1, chunk)
-        values = tuple(
-            jnp.pad(v.reshape(-1), (0, pad)).reshape(-1, chunk) for v in values
-        )
-    within = jnp.cumsum(m32, axis=-1)
-    row_tot = within[..., -1]
-    row_off = jnp.cumsum(row_tot.reshape(-1)) - row_tot.reshape(-1)
-    pos = (within - 1 + row_off.reshape(row_tot.shape)[..., None]).reshape(-1)
-    count = row_tot.reshape(-1).sum()
     mask_f = mask.reshape(-1)
-    idx = jnp.where(mask_f & (pos < capacity), pos, capacity)
+    n = mask_f.shape[0]
+    count = jnp.sum(mask_f, dtype=jnp.int32)
+    key = jnp.where(mask_f, jnp.arange(n, dtype=jnp.int32),
+                    jnp.int32(0x7FFFFFFF))
+    ops = jax.lax.sort(
+        (key,) + tuple(v.reshape(-1) for v in values),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    k = min(n, capacity)
+    slot_ok = jnp.arange(capacity, dtype=jnp.int32) < count
     outs = []
-    for v in values:
-        buf = jnp.zeros((capacity + 1,), v.dtype)
-        buf = buf.at[idx].set(v.reshape(-1), mode="drop")
-        outs.append(buf[:capacity])
+    for o in ops[1:]:
+        buf = o[:k]
+        if k < capacity:
+            buf = jnp.pad(buf, (0, capacity - k))
+        outs.append(jnp.where(slot_ok, buf, 0).astype(o.dtype))
     return tuple(outs), count
+
+
+def compact_packed(mask: jnp.ndarray, fields, capacity: int):
+    """Single-operand sort compaction: every payload field is bit-packed
+    into the int32 sort key, so compaction costs one key-only flat sort.
+
+    ``fields``: tuple of ``(array, n_bits)`` with values already offset to
+    non-negative ints below ``2**n_bits``; total bits must be <= 30
+    (callers check — the sentinel must stay above every packed value).
+    Returns (unpacked fields, count).  Output order is by packed tuple
+    value — row-major (y, x, ...) for the matchers' (y, x, d) layout —
+    not flat mask order like :func:`compact`.
+    """
+    total = sum(b for _, b in fields)
+    assert total <= 30, total
+    key = jnp.zeros(mask.shape, jnp.int32)
+    for arr, b in fields:
+        key = (key << b) | arr.astype(jnp.int32)
+    key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF)).reshape(-1)
+    n = key.shape[0]
+    count = jnp.sum(mask, dtype=jnp.int32)
+    key_s = jax.lax.sort((key,), dimension=0, num_keys=1, is_stable=False)[0]
+    k = min(n, capacity)
+    buf = key_s[:k]
+    if k < capacity:
+        buf = jnp.pad(buf, (0, capacity - k), constant_values=0x7FFFFFFF)
+    slot_ok = jnp.arange(capacity, dtype=jnp.int32) < count
+    outs = []
+    shift = total
+    for _, b in fields:
+        shift -= b
+        outs.append(jnp.where(slot_ok, (buf >> shift) & ((1 << b) - 1), 0))
+    return tuple(outs), count
+
+
+def _compact_supports(keep, src_x, ycoord, d, capacity, w, h, disp_high):
+    """(x, y, d) support compaction: packed single-operand sort when the
+    coordinate/disparity ranges fit in 30 bits (any image under ~1 Gpix),
+    generic payload sort otherwise."""
+    bx = max(1, int(w - 1).bit_length())
+    by = max(1, int(h - 1).bit_length())
+    bd = max(1, int(2 * disp_high).bit_length())
+    if by + bx + bd <= 30:
+        (ys, xs, dp), count = compact_packed(
+            keep, ((ycoord, by), (src_x, bx), (d + disp_high, bd)), capacity
+        )
+        slot_ok = jnp.arange(capacity, dtype=jnp.int32) < count
+        return (xs, ys, jnp.where(slot_ok, dp - disp_high, 0)), count
+    return compact(keep, (src_x, ycoord, d), capacity)
 
 
 SENTINEL_BASE = 0x40000000  # above any <=30-bit leaf code
@@ -137,20 +186,29 @@ def match_epipolar(
     d = src_x - tar_x
     keep = is_match & (jnp.abs(d) <= disp_high)
     ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
-    return compact(keep, (src_x, ycoord, d), capacity)
+    return _compact_supports(keep, src_x, ycoord, d, capacity, w, h, disp_high)
 
 
 def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
-                           disp_high, capacity, sort_impl="auto"):
-    h, w = code_src.shape
-    code = jnp.concatenate([code_src, code_tar], axis=1)       # (H, 2W)
-    valid = jnp.concatenate([valid_src, valid_tar], axis=1)
-    pos = jnp.broadcast_to(
-        jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
-    )
-    # invalid pixels get unique-per-row sentinel keys: they can never form
-    # a run of two equal keys, so no validity operand is needed in the sort
-    key = jnp.where(valid, code, SENTINEL_BASE + pos)
+                           disp_high, capacity, sort_impl="auto", key=None):
+    if key is not None:
+        # prebuilt (H, 2W) sentinel-packed key image (ops/fused.fused_keys)
+        h, w2 = key.shape
+        w = w2 // 2
+        pos = jnp.broadcast_to(
+            jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
+        )
+    else:
+        h, w = code_src.shape
+        code = jnp.concatenate([code_src, code_tar], axis=1)   # (H, 2W)
+        valid = jnp.concatenate([valid_src, valid_tar], axis=1)
+        pos = jnp.broadcast_to(
+            jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
+        )
+        # invalid pixels get unique-per-row sentinel keys: they can never
+        # form a run of two equal keys, so no validity operand is needed in
+        # the sort
+        key = jnp.where(valid, code, SENTINEL_BASE + pos)
 
     if sort_impl == "auto":
         # measured on v5e: the bitonic Pallas kernel beats lax.sort
@@ -174,9 +232,15 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
             pos = jnp.concatenate([pos, pad_pos], axis=1)
         key_s, pos_s = bitonic_sort_rows(key, pos)
     else:
-        # stable sort keeps src (pos < w) before tar within an equal code
+        # UNSTABLE sort: pair detection below is order-insensitive (key
+        # equality + lo/hi position normalization), and the emitted support
+        # set is identical either way — two matched pairs always have
+        # different codes, hence distinct sorted positions.  XLA implements
+        # a stable sort by adding an iota tiebreaker to the comparator;
+        # dropping it removes real comparator work (measured A/B in
+        # experiments/exp_sort.py)
         key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
-                                    is_stable=True)
+                                    is_stable=False)
     eq = key_s[:, :-1] == key_s[:, 1:]
     zeros = jnp.zeros_like(eq[:, :1])
     prev = jnp.concatenate([zeros, eq[:, :-1]], axis=1)
@@ -193,7 +257,7 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
     d = src_x - tar_x
     keep = pair & cross & (jnp.abs(d) <= disp_high)
     ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
-    return compact(keep, (src_x, ycoord, d), capacity)
+    return _compact_supports(keep, src_x, ycoord, d, capacity, w, h, disp_high)
 
 
 def _global_pairs(code_src, code_tar, valid_src, valid_tar, packed=False):
@@ -212,17 +276,18 @@ def _global_pairs(code_src, code_tar, valid_src, valid_tar, packed=False):
         pos = jnp.arange(2 * n, dtype=jnp.int32)
         key = jnp.where(valid, code, SENTINEL_BASE + pos)
         key_s, pos_s = jax.lax.sort((key, pos), dimension=0, num_keys=1,
-                                    is_stable=True)
+                                    is_stable=False)
         eq = key_s[:-1] == key_s[1:]
         zeros = jnp.zeros_like(eq[:1])
         prev = jnp.concatenate([zeros, eq[:-1]])
         nxt = jnp.concatenate([eq[1:], zeros])
-        # stable sort keeps src (pos < n) before tar for equal codes
-        is_match = (
-            eq & ~prev & ~nxt & (pos_s[:-1] < n) & (pos_s[1:] >= n)
-        )
-        src_idx = pos_s[:-1]
-        tar_idx = pos_s[1:] - n
+        # unstable sort: normalize the (src, tar) pair order by position
+        # (src positions are < n); see _match_epipolar_packed
+        lo = jnp.minimum(pos_s[:-1], pos_s[1:])
+        hi = jnp.maximum(pos_s[:-1], pos_s[1:])
+        is_match = eq & ~prev & ~nxt & (lo < n) & (hi >= n)
+        src_idx = lo
+        tar_idx = hi - n
         return (
             is_match,
             src_idx % w, src_idx // w,
@@ -267,7 +332,8 @@ def match_global(
         & (jnp.abs(d) <= disp_high)
         & (jnp.abs(src_y - tar_y) <= vertical_tolerance)
     )
-    return compact(keep, (src_x, src_y, d), capacity)
+    h, w = code_src.shape
+    return _compact_supports(keep, src_x, src_y, d, capacity, w, h, disp_high)
 
 
 def match_reference_quirk(

@@ -159,7 +159,23 @@ def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
     cand_ref[:] = cand.astype(jnp.uint8)
 
 
-def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret: bool):
+def _kernel_keys(img_ref, key_ref, *, h, w, th, tests, thr2, pos_base,
+                 sentinel_base):
+    """Key-emitting variant: one (th, w) block of sentinel-packed sort keys
+    ``candidate ? code : sentinel_base + pos_base + x`` — the exact key
+    layout match._match_epipolar_packed builds, fused into the kernel so
+    the codes/candidate arrays never round-trip through HBM (measured
+    ~0.06 ms/pair saved on v5e, experiments/exp_sort2.py)."""
+    t = pl.program_id(0)
+    y0 = t * th
+    x32 = img_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
+    code, cand = tile_codes_and_cand(x32, y0, h, w, th, tests, thr2)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
+
+
+def _prep(img, mask: FilterMask, gradient_threshold: int):
+    """Shared pallas_call scaffolding: padded input + static test tuple."""
     h, w = img.shape
     th = _pick_tile_h(w)
     n_tiles = (h + th - 1) // th
@@ -179,9 +195,14 @@ def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret:
          int(tau[t]))
         for t in range(mask.num_tests)
     )
+    thr2 = int(gradient_threshold) * int(gradient_threshold)
+    return padded, h, w, th, n_tiles, tests, thr2
+
+
+def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret: bool):
+    padded, h, w, th, n_tiles, tests, thr2 = _prep(img, mask, gradient_threshold)
     kernel = functools.partial(
-        _kernel, h=h, w=w, th=th, tests=tests,
-        thr2=int(gradient_threshold) * int(gradient_threshold),
+        _kernel, h=h, w=w, th=th, tests=tests, thr2=thr2,
     )
     codes, cand = pl.pallas_call(
         kernel,
@@ -202,6 +223,17 @@ def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret:
     return codes[:h], cand[:h] != 0
 
 
+def _check_budget(img):
+    h, w = img.shape
+    _pick_tile_h(w)  # raises for over-wide images
+    wp = _round_up(w + 2 * PAD, 128)
+    if (h + 2 * PAD + 64) * wp > _INPUT_BUDGET:
+        raise FusedKernelBudgetError(
+            f"image {h}x{w}: padded input block exceeds the fused kernel's "
+            f"VMEM budget; use the jnp path"
+        )
+
+
 def fused_codes(
     img: jnp.ndarray,
     mask: FilterMask,
@@ -214,14 +246,45 @@ def fused_codes(
     same kernel logic on CPU).  Raises ValueError for images beyond the
     VMEM sizing budget — use the jnp path for those.
     """
-    h, w = img.shape
-    _pick_tile_h(w)  # raises for over-wide images
-    wp = _round_up(w + 2 * PAD, 128)
-    if (h + 2 * PAD + 64) * wp > _INPUT_BUDGET:
-        raise FusedKernelBudgetError(
-            f"image {h}x{w}: padded input block exceeds the fused kernel's "
-            f"VMEM budget; use the jnp path"
-        )
+    _check_budget(img)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _fused_codes_impl(img, mask, gradient_threshold, bool(interpret))
+
+
+def fused_keys(
+    img: jnp.ndarray,
+    mask: FilterMask,
+    gradient_threshold: int,
+    pos_base: int,
+    sentinel_base: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(H, W) int32 sentinel-packed matcher sort keys in one fused pass:
+    ``candidate ? leaf_code : sentinel_base + pos_base + x``.
+
+    ``pos_base`` is 0 for the source image and W for the target, so the
+    concatenated (H, 2W) key image has unique per-row sentinels — exactly
+    what match._match_epipolar_packed builds from (codes, candidates), with
+    one less HBM round-trip.  Same budget/interpret contract as
+    fused_codes."""
+    _check_budget(img)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    padded, h, w, th, n_tiles, tests, thr2 = _prep(img, mask, gradient_threshold)
+    kernel = functools.partial(
+        _kernel_keys, h=h, w=w, th=th, tests=tests, thr2=thr2,
+        pos_base=int(pos_base), sentinel_base=int(sentinel_base),
+    )
+    keys = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * th, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(padded.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=bool(interpret),
+    )(padded)
+    return keys[:h]

@@ -73,9 +73,15 @@ def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh:
     mask = make_filter_mask(forest)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    local = jax.vmap(functools.partial(
+    _one = functools.partial(
         _sparsematch_impl, mask=mask, settings=settings, use_pallas=use_pallas
-    ))
+    )
+
+    def local(ls, rs):
+        # sequential scan over the per-chip shard, not vmap: batched flat
+        # compaction sorts are pathological under vmap on TPU (see
+        # infer.build_sparsematch); chips still run shards in parallel
+        return jax.lax.map(lambda ab: _one(*ab), (ls, rs))
     spec = P(DATA_AXIS)
     # check_vma=False: the pipeline may contain pallas_call, whose
     # out_shapes carry no varying-mesh-axis annotation

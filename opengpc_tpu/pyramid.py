@@ -27,28 +27,41 @@ from opengpc_tpu.infer import _sparsematch_impl
 
 
 def downscale2(img: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) uint8 -> (H//2, W//2) uint8 by 2x2 mean (floor)."""
+    """(H, W) uint8 -> (H//2, W//2) uint8 by 2x2 mean (floor).
+
+    Implemented with ``lax.reduce_window`` — the strided-slice formulation
+    (``x[0::2, 0::2] + ...``) costs 4.8 ms/image on v5e (lane-dim stride-2
+    slices lower to cross-lane data movement) vs 0.018 ms for the window
+    reduction (267x; measured, see README roofline ledger)."""
     h, w = img.shape
     h2, w2 = h // 2, w // 2
-    x = img[: 2 * h2, : 2 * w2].astype(jnp.int16)
-    pooled = (
-        x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
-    ) // 4
-    return pooled.astype(jnp.uint8)
+    s = jax.lax.reduce_window(
+        img[: 2 * h2, : 2 * w2].astype(jnp.int32), 0, jax.lax.add,
+        (2, 2), (2, 2), "VALID",
+    )
+    return (s // 4).astype(jnp.uint8)
 
 
 def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                   num_levels: int, use_pallas: bool, dedup: bool):
+    import dataclasses
+
     xs_all, ys_all, ds_all, lv_all = [], [], [], []
     l_img, r_img = left, right
     for level in range(num_levels):
+        # coarse levels have 4^-l the pixels; scale their support capacity
+        # the same way (keeps the merged buffer — and the dedup sort — small)
+        lvl_settings = dataclasses.replace(
+            settings, capacity=max(1024, settings.capacity >> (2 * level))
+        )
         xs, ys, ds, count = _sparsematch_impl(
-            l_img, r_img, mask=mask, settings=settings, use_pallas=use_pallas
+            l_img, r_img, mask=mask, settings=lvl_settings,
+            use_pallas=use_pallas
         )
         scale = 1 << level
         xs_all.append(xs.astype(jnp.int32) * scale)
         ys_all.append(ys.astype(jnp.int32) * scale)
-        ds_all.append(ds.astype(jnp.int32) * scale)
+        ds_all.append(ds.astype(jnp.int32))  # UNSCALED; scaled at the end
         lv_all.append(jnp.full_like(xs, level))
         # zero out slots beyond this level's count so merged buffers carry
         # no stale coordinates
@@ -62,33 +75,69 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
             r_img = downscale2(r_img)
     xs_c = jnp.concatenate(xs_all)
     ys_c = jnp.concatenate(ys_all)
-    ds_c = jnp.concatenate(ds_all)
+    ds_c = jnp.concatenate(ds_all)  # per-level (unscaled) disparities
     lv_c = jnp.concatenate(lv_all)
+    h0, w0 = left.shape
     if dedup:
         # cross-level merge policy: FINEST LEVEL WINS.  A level-0 pixel can
         # also match (with scaled coordinates landing on the same (x, y))
         # at coarser levels with a conflicting disparity; keep only the
-        # lowest-level support per pixel.  Sort (pixel, level) keys, keep
-        # the first entry of each pixel run, scatter the mask back.
-        h0, w0 = left.shape
+        # lowest-level support per pixel.
+        #
+        # Implementation: pack (pixel, level, unscaled d) into ONE int32
+        # sort key and emit the buffers in sorted order.  Both halves
+        # matter on v5e (measured): un-sorting via gather/scatter costs
+        # ~11 ms/1.5M elements, and every extra sort operand is real
+        # comparator work — the packed 1-operand flat sort is ~0.4 ms.
+        # The unscaled |d| <= disp_high fits the low bits regardless of
+        # pyramid depth; x/y/level unpack from the key.
         mult = 1
-        while mult <= num_levels:
+        while mult < num_levels:
             mult <<= 1
+        nbd = int(2 * settings.disp_high + 1).bit_length()
+        sent = jnp.int32(0x7FFFFFFF)
+        packable = (h0 * w0 * mult) << nbd < 0x7FFFFFFF
         valid = lv_c >= 0
         pix = ys_c * w0 + xs_c
-        sentinel = jnp.int32(h0 * w0 * mult)
-        key = jnp.where(valid, pix * mult + lv_c, sentinel)
-        order = jnp.argsort(key)
-        sk = key[order]
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), sk[1:] // mult != sk[:-1] // mult]
-        )
-        keep_sorted = first & (sk < sentinel)
-        keep = jnp.zeros_like(valid).at[order].set(keep_sorted)
-        xs_c = jnp.where(keep, xs_c, 0)
-        ys_c = jnp.where(keep, ys_c, 0)
-        ds_c = jnp.where(keep, ds_c, 0)
-        lv_c = jnp.where(keep, lv_c, -1)
+        if packable:
+            key = jnp.where(
+                valid,
+                ((pix * mult + lv_c) << nbd) | (ds_c + settings.disp_high),
+                sent,
+            )
+            key_s = jax.lax.sort((key,), dimension=0, num_keys=1,
+                                 is_stable=False)[0]
+            grp = key_s >> nbd  # pix * mult + level
+            pixg = grp // mult
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), pixg[1:] != pixg[:-1]]
+            )
+            keep = first & (key_s != sent)
+            lv_c = jnp.where(keep, grp % mult, -1)
+            xs_c = jnp.where(keep, pixg % w0, 0)
+            ys_c = jnp.where(keep, pixg // w0, 0)
+            ds_c = jnp.where(
+                keep, (key_s & ((1 << nbd) - 1)) - settings.disp_high, 0
+            )
+        else:
+            # images/settings too large for the 31-bit packing: sort all
+            # payloads together (sorted output, still no gather/scatter)
+            key = jnp.where(valid, pix * mult + lv_c, sent)
+            key_s, xs_c, ys_c, ds_c, lv_c = jax.lax.sort(
+                (key, xs_c, ys_c, ds_c, lv_c), dimension=0, num_keys=1,
+                is_stable=False,
+            )
+            pixg = key_s // mult
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), pixg[1:] != pixg[:-1]]
+            )
+            keep = first & (key_s != sent)
+            xs_c = jnp.where(keep, xs_c, 0)
+            ys_c = jnp.where(keep, ys_c, 0)
+            ds_c = jnp.where(keep, ds_c, 0)
+            lv_c = jnp.where(keep, lv_c, -1)
+    # scale per-level disparities to level-0 units
+    ds_c = jnp.where(lv_c >= 0, ds_c << jnp.maximum(lv_c, 0), 0)
     # per-level counts of the supports actually emitted (post-dedup)
     counts = jnp.stack(
         [jnp.sum(lv_c == level) for level in range(num_levels)]
@@ -110,7 +159,7 @@ def build_pyramid_sparsematch(
     the per-level count of emitted supports.  With ``dedup`` (default) the
     merge policy is finest-level-wins: at most one support per (x, y), and
     a level-0 support is never overridden by a coarser level.  Works on
-    (H, W) images and (B, H, W) batches via vmap, like build_sparsematch.
+    (H, W) images and (B, H, W) batches (lax.map), like build_sparsematch.
     """
     mask = (
         make_filter_mask(forest_or_mask)
@@ -127,7 +176,9 @@ def build_pyramid_sparsematch(
     @jax.jit
     def run(left, right):
         if left.ndim == 3:
-            return jax.vmap(fn)(left, right)
+            # lax.map for the same reason as build_sparsematch: batched
+            # flat sorts are pathological under vmap on TPU
+            return jax.lax.map(lambda ab: fn(*ab), (left, right))
         return fn(left, right)
 
     return run

@@ -54,6 +54,31 @@ def test_fused_matches_jnp_ops(shape, forest_file):
     )
 
 
+@pytest.mark.parametrize("forest_file",
+                         ["defaultZeroForest.txt", "defaultTauForest.txt"])
+def test_fused_keys_matches_jnp_key_build(forest_file):
+    """The key-emitting kernel must produce exactly the sentinel-packed key
+    image match._match_epipolar_packed builds from (codes, candidates)."""
+    from opengpc_tpu.match import SENTINEL_BASE
+    from opengpc_tpu.ops.fused import fused_keys
+
+    rng = np.random.default_rng(3)
+    h, w = 100, 250
+    img = structured_image(rng, h, w)
+    forest = forest_mod.load_forest(os.path.join(FORESTS, forest_file))
+    mask = forest_mod.make_filter_mask(forest)
+
+    for pos_base in (0, w):
+        got = np.asarray(fused_keys(img, mask, 5, pos_base=pos_base,
+                                    sentinel_base=SENTINEL_BASE,
+                                    interpret=True))
+        cand = np.asarray(candidate_mask(sobel3(img, 5)))
+        codes = np.asarray(leaf_codes(box3(img), mask))
+        want = np.where(cand, codes,
+                        SENTINEL_BASE + pos_base + np.arange(w)[None, :])
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pipeline_with_pallas_matches_without():
     rng = np.random.default_rng(9)
     h, w = 96, 160
