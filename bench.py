@@ -175,6 +175,38 @@ def main():
     mpix_s = timed_mpix(mask, left, right)
 
     # ------------------------------------------------------------------
+    # row-form output contract (maximum-throughput path): same support
+    # set, per-row packed buffers, no flat assembly
+    # ------------------------------------------------------------------
+    from opengpc_tpu.infer import (_sparsematch_rows_impl,
+                                   row_supports_to_numpy)
+
+    rows_fn = jax.jit(lambda l, r: _sparsematch_rows_impl(
+        l, r, mask=mask, settings=settings, use_pallas=use_pallas))
+    (rxs, rds), rcounts = rows_fn(left, right)
+    row_supp = row_supports_to_numpy(rxs, rds, rcounts)
+    assert set(map(tuple, row_supp.tolist())) == set(map(tuple, supp.tolist())), \
+        "row-form support set != flat support set"
+
+    def rstep(a, b):
+        (xs, ds), counts = _sparsematch_rows_impl(
+            a, b, mask=mask, settings=settings, use_pallas=use_pallas)
+        return (xs.sum(dtype=jnp.int32) + ds.sum(dtype=jnp.int32)
+                + counts.sum(dtype=jnp.int32))
+
+    def rdep(count, args):
+        a, b = args
+        a = jax.lax.dynamic_update_slice(
+            a, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0))
+        return (a, b)
+
+    rbest = device_time_per_iter(rstep, (left, right), rdep, N_SHORT, N_LONG,
+                                 repeats=5)
+    _aux("rowform_throughput", 2 * H * W / 1e6 / rbest, "Mpix/s",
+         "row-form output contract (build_sparsematch_rows), same support "
+         "set as flat")
+
+    # ------------------------------------------------------------------
     # config 2: defaultTauForest (sequence stands on per-pair throughput;
     # frames stream through the same compiled program)
     # ------------------------------------------------------------------

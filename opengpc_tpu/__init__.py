@@ -37,8 +37,10 @@ from opengpc_tpu.config import (
 )
 from opengpc_tpu.infer import (
     build_sparsematch,
+    build_sparsematch_rows,
     build_stereomatch,
     extract_descriptors,
+    row_supports_to_numpy,
     supports_to_numpy,
 )
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support

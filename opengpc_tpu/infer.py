@@ -163,6 +163,86 @@ def build_sparsematch(
     return run
 
 
+def _sparsematch_rows_impl(left, right, mask: FilterMask,
+                           settings: InferenceSettings, use_pallas: bool):
+    """Row-form pipeline: ((xs, ds) (H, W) each, row_counts (H,))."""
+    from opengpc_tpu.match import SENTINEL_BASE, match_epipolar_rows
+
+    if not settings.epipolar_mode:
+        raise ValueError("row-form output is epipolar-only")
+    if not _packed_ok(mask, left.shape):
+        raise ValueError("row-form output needs <=30-test forests")
+    key = None
+    if use_pallas:
+        from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_keys
+
+        try:
+            w = left.shape[1]
+            key_l = fused_keys(left, mask, settings.gradient_threshold,
+                               pos_base=0, sentinel_base=SENTINEL_BASE)
+            key_r = fused_keys(right, mask, settings.gradient_threshold,
+                               pos_base=w, sentinel_base=SENTINEL_BASE)
+            key = jnp.concatenate([key_l, key_r], axis=1)
+        except FusedKernelBudgetError:
+            key = None
+    if key is not None:
+        return match_epipolar_rows(None, None, None, None,
+                                   settings.disp_high, key=key)
+    codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
+    codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
+    return match_epipolar_rows(codes_l, codes_r, cand_l, cand_r,
+                               settings.disp_high)
+
+
+def build_sparsematch_rows(
+    forest_or_mask, settings: InferenceSettings,
+    use_pallas: Optional[bool] = None,
+) -> Callable:
+    """Jitted ``(left, right) -> ((xs, ds), row_counts)`` ROW-FORM matcher
+    — the maximum-throughput output contract.
+
+    Instead of one flat fixed-capacity support buffer, supports stay in
+    per-row left-packed (H, W) buffers with a per-row count: row y emits
+    (xs[y, :c], y, ds[y, :c]).  This skips the flat compaction sort — the
+    single costliest stage of the flat pipeline — and transfers less.
+    Convert with :func:`row_supports_to_numpy`; the resulting (n, 3) array
+    equals build_sparsematch's output set exactly (row-major, x-ascending
+    order).  Epipolar mode with <=30-test forests only.
+    """
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = functools.partial(
+        _sparsematch_rows_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim == 3:
+            return jax.lax.map(lambda ab: fn(*ab), (left, right))
+        return fn(left, right)
+
+    return run
+
+
+def row_supports_to_numpy(xs_rows, ds_rows, row_counts) -> np.ndarray:
+    """Assemble row-form outputs into the (n, 3) int (x, y, d) array —
+    identical content/order to the flat pipeline's supports_to_numpy."""
+    xs = np.asarray(xs_rows)
+    ds = np.asarray(ds_rows)
+    c = np.asarray(row_counts)
+    sel = np.arange(xs.shape[1])[None, :] < c[:, None]
+    ys = np.broadcast_to(
+        np.arange(xs.shape[0], dtype=np.int32)[:, None], xs.shape
+    )
+    return np.stack([xs[sel], ys[sel], ds[sel]], axis=1).astype(np.int32)
+
+
 def build_stereomatch(
     forest_or_mask, settings: InferenceSettings, use_pallas: Optional[bool] = None
 ) -> Callable:

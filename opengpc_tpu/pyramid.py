@@ -86,11 +86,11 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
         #
         # Implementation: pack (pixel, level, unscaled d) into ONE int32
         # sort key and emit the buffers in sorted order.  Both halves
-        # matter on v5e (measured): un-sorting via gather/scatter costs
-        # ~11 ms/1.5M elements, and every extra sort operand is real
-        # comparator work — the packed 1-operand flat sort is ~0.4 ms.
-        # The unscaled |d| <= disp_high fits the low bits regardless of
-        # pyramid depth; x/y/level unpack from the key.
+        # matter on v5e (measured, experiments/exp_dedup.py): un-sorting
+        # via gather/scatter costs ~11 ms/1.5M elements, and every extra
+        # sort operand is real comparator work — the packed 1-operand flat
+        # sort is ~0.4 ms.  The unscaled |d| <= disp_high fits the low
+        # bits regardless of pyramid depth; x/y/level unpack from the key.
         mult = 1
         while mult < num_levels:
             mult <<= 1

@@ -132,6 +132,38 @@ def test_match_reference_quirk_vs_oracle(oracle_path, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_row_form_equals_flat_pipeline():
+    """Row-form matcher (maximum-throughput contract) emits exactly the
+    flat pipeline's support set, in the same (y, x) order, on both the
+    jnp and kernel (interpret) paths and for batches."""
+    from opengpc_tpu.infer import (build_sparsematch, build_sparsematch_rows,
+                                   row_supports_to_numpy, supports_to_numpy)
+
+    left, right = make_pair(96, 160, 5, seed=9)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=16384)
+    for use_pallas in (False, True):
+        flat = build_sparsematch(forest, settings, use_pallas=use_pallas)
+        rows = build_sparsematch_rows(forest, settings, use_pallas=use_pallas)
+        want = supports_to_numpy(*flat(left, right))
+        (xs, ds), counts = rows(left, right)
+        got = row_supports_to_numpy(xs, ds, counts)
+        assert len(want) > 100
+        np.testing.assert_array_equal(
+            got[np.lexsort((got[:, 0], got[:, 1]))],
+            want[np.lexsort((want[:, 0], want[:, 1]))],
+        )
+    # batch path
+    lb = np.stack([left, left])
+    rb = np.stack([right, right])
+    (xs_b, ds_b), counts_b = rows(lb, rb)
+    a = row_supports_to_numpy(xs_b[0], ds_b[0], counts_b[0])
+    b = row_supports_to_numpy(xs_b[1], ds_b[1], counts_b[1])
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == len(got)
+
+
 def test_match_hashmatch_pipeline_vs_oracle(oracle_path, tmp_path):
     """Full pipeline (device descriptors -> host hashmatch -> rectified
     filter) reproduces the oracle's useHashtable-mode supports, in order."""
