@@ -202,9 +202,10 @@ def main():
 
     rbest = device_time_per_iter(rstep, (left, right), rdep, N_SHORT, N_LONG,
                                  repeats=5)
-    _aux("rowform_throughput", 2 * H * W / 1e6 / rbest, "Mpix/s",
-         "row-form output contract (build_sparsematch_rows), same support "
-         "set as flat")
+    rowform_mpix = 2 * H * W / 1e6 / rbest
+    _aux("flat_buffer_throughput", mpix_s, "Mpix/s",
+         "config 1 with the flat fixed-capacity buffer contract "
+         "(build_sparsematch)")
 
     # ------------------------------------------------------------------
     # config 2: defaultTauForest (sequence stands on per-pair throughput;
@@ -273,14 +274,24 @@ def main():
     _aux("pyramid_throughput", ppix / 1e6 / pbest, "Mpix/s",
          "config 3: 3-level pyramid, all-level pixels counted")
 
-    # headline LAST on stdout — the driver parses this line
+    # headline LAST on stdout — the driver parses this line.  The headline
+    # is the row-form pipeline (build_sparsematch_rows): full sparse-match
+    # with every output buffer consumed, support set asserted identical to
+    # the flat contract and gated against the oracle above.
+    print(
+        "methodology note: all steps consume every output buffer; round 1's "
+        "1362 Mpix/s timed a count-only program whose support compaction "
+        "XLA dead-code-eliminated (honest equivalent: 54.7 Mpix/s — see "
+        "README 'Methodology warning').",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
                 "metric": "sintel_sparsematch_throughput",
-                "value": round(mpix_s, 1),
+                "value": round(rowform_mpix, 1),
                 "unit": "Mpix/s",
-                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+                "vs_baseline": round(rowform_mpix / BASELINE_MPIX_S, 2),
             }
         )
     )
