@@ -184,12 +184,22 @@ def mine_stereo_pair(
 
 
 def _blur(img: np.ndarray) -> np.ndarray:
-    """Box-blur via the same op the inference path uses (parity with
+    """Box-blur with exactly the inference path's semantics (parity with
     extractAllTriplets, Feature.hpp:199-207: training patches come from
-    blurred images, matching what inference codes see)."""
-    from opengpc_tpu.ops.preprocess import box3
+    blurred images, matching what inference codes see).
 
-    return np.asarray(box3(img))
+    Pure numpy, element-identical to ops.preprocess.box3 (pinned by
+    tests/test_mine.py::test_blur_matches_box3) — the host mining pipeline
+    must not dispatch to a device (a tunneled TPU turns one blur into
+    seconds of transfer + compile)."""
+    h, w = img.shape
+    x = img.astype(np.int32)
+    sv = x[:-2, :] + x[1:-1, :] + x[2:, :]
+    sums = sv[:, :-2] + sv[:, 1:-1] + sv[:, 2:]  # 3x3 sums at centers
+    out = np.zeros_like(img)
+    # valid region after boxNaive + clearBoundary: y in [1, h-3], x in [2, w-2]
+    out[1:h - 2, 2:w - 1] = (sums[0:h - 3, 1:w - 2] // 9).astype(img.dtype)
+    return out
 
 
 def extract_patches_xmajor(img: np.ndarray, kpts: np.ndarray) -> np.ndarray:

@@ -168,6 +168,18 @@ def test_extract_stereo_dataset_end_to_end(sintel_tree):
     assert neq.all()
 
 
+def test_blur_matches_box3():
+    """mine._blur (pure numpy, device-free) must be element-identical to
+    the inference path's ops.preprocess.box3."""
+    from opengpc_tpu.mine import _blur
+    from opengpc_tpu.ops.preprocess import box3
+
+    rng = np.random.default_rng(0)
+    for h, w in ((48, 64), (61, 97), (130, 250)):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        np.testing.assert_array_equal(_blur(img), np.asarray(box3(img)))
+
+
 def _write_png16(path, img8, rng):
     """Hand-built 16-bit big-endian gray PNG whose LOW byte is ``img8``
     and whose high byte is noise — the reference's ``*ptr = val`` with
