@@ -45,6 +45,12 @@ N_SHORT, N_LONG = 3, 43
 BATCH = 4
 
 
+def _nonzero(seconds):
+    """device_time_per_iter clamps a timing-noise inversion to 0.0; never
+    divide by it (a relay stall would otherwise kill the whole bench)."""
+    return max(seconds, 1e-9)
+
+
 def _aux(metric, value, unit, note=""):
     rec = {"metric": metric, "value": round(value, 1), "unit": unit,
            "note": note}
@@ -146,7 +152,7 @@ def main():
         best = device_time_per_iter(stepb, (l, r), make_dep, N_SHORT, n_long,
                                     repeats=5)
         npix = 2 * l.size  # both images
-        return (npix / 1e6) / best
+        return (npix / 1e6) / _nonzero(best)
 
     # ------------------------------------------------------------------
     # config 1: defaultZeroForest single pair (headline) + gates
@@ -204,7 +210,7 @@ def main():
 
     rbest = device_time_per_iter(rstep, (left, right), rdep, N_SHORT, N_LONG,
                                  repeats=5)
-    rowform_mpix = 2 * H * W / 1e6 / rbest
+    rowform_mpix = 2 * H * W / 1e6 / _nonzero(rbest)
     _aux("flat_buffer_throughput", mpix_s, "Mpix/s",
          "config 1 with the flat fixed-capacity buffer contract "
          "(build_sparsematch)")
@@ -273,7 +279,7 @@ def main():
                                  repeats=5)
     # pyramid processes 2*(1 + 1/4 + 1/16) H*W pixels
     ppix = 2 * H * W * (1 + 0.25 + 0.0625)
-    _aux("pyramid_throughput", ppix / 1e6 / pbest, "Mpix/s",
+    _aux("pyramid_throughput", ppix / 1e6 / _nonzero(pbest), "Mpix/s",
          "config 3: 3-level pyramid, all-level pixels counted")
 
     # ------------------------------------------------------------------
@@ -297,7 +303,7 @@ def main():
     ok = (m_right[kr[:, 1], kr[:, 0]] == m_left[kl[:, 1], kl[:, 0]]).mean()
     assert ok > 0.999, f"mining keypoint correctness {ok:.4f}"
     assert len(trips) >= 0.9 * n_trip
-    _aux("mining_triplets_per_s", len(trips) / mine_dt, "triplets/s",
+    _aux("mining_triplets_per_s", len(trips) / _nonzero(mine_dt), "triplets/s",
          "config 4: extract (mine_stereo_pair + 27x27 patch crops, host)")
 
     # ------------------------------------------------------------------
@@ -334,7 +340,7 @@ def main():
     assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
     tbest = device_time_per_iter(tstep, (patches,), tdep, 2, 12, repeats=3)
     evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
-    _aux("train_split_evals_per_s", evals / tbest / 1e9, "G evals/s",
+    _aux("train_split_evals_per_s", evals / _nonzero(tbest) / 1e9, "G evals/s",
          "config 5: vectorized greedy split scorer (_score_level), "
          "32k triplets x 10 resamples x 20 taus")
 

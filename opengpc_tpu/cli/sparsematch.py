@@ -81,6 +81,21 @@ def main(argv=None) -> int:
         return 1
 
     if args.matcher != "sort":
+        dropped = [
+            name for name, on in (
+                ("--pyramid", args.pyramid > 1),
+                ("--densify", bool(args.densify)),
+                ("--trace", bool(args.trace)),
+                ("--repeats", args.repeats > 1),
+            ) if on
+        ]
+        if dropped:
+            print(
+                f"--matcher {args.matcher} (host-side reference matcher) "
+                f"does not support: {', '.join(dropped)}",
+                file=sys.stderr,
+            )
+            return 1
         return _run_host_matcher(args, forest, settings, left, right)
 
     if args.pyramid > 1:

@@ -62,6 +62,25 @@ def _packed_ok(mask: FilterMask, shape) -> bool:
     return mask.num_tests <= 30 and 2 * h * w < (1 << 30)
 
 
+def _fused_key_image(left, right, mask: FilterMask,
+                     settings: InferenceSettings):
+    """(H, 2W) sentinel-packed matcher key image straight from the Pallas
+    kernel (ops/fused.fused_keys), or None when the image exceeds the
+    kernel's VMEM budget.  Shared by the flat and row-form pipelines."""
+    from opengpc_tpu.match import SENTINEL_BASE
+    from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_keys
+
+    try:
+        w = left.shape[1]
+        key_l = fused_keys(left, mask, settings.gradient_threshold,
+                           pos_base=0, sentinel_base=SENTINEL_BASE)
+        key_r = fused_keys(right, mask, settings.gradient_threshold,
+                           pos_base=w, sentinel_base=SENTINEL_BASE)
+        return jnp.concatenate([key_l, key_r], axis=1)
+    except FusedKernelBudgetError:
+        return None
+
+
 def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                       use_pallas: bool = False, fused_match: bool = False):
     if fused_match and settings.epipolar_mode and _packed_ok(mask, left.shape):
@@ -87,23 +106,15 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
         # fast path: the fused kernel emits the sentinel-packed sort keys
         # directly, skipping one HBM round-trip of (codes, candidates)
         from opengpc_tpu.match import _match_epipolar_packed
-        from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_keys
-        from opengpc_tpu.match import SENTINEL_BASE
 
-        try:
-            w = left.shape[1]
-            key_l = fused_keys(left, mask, settings.gradient_threshold,
-                               pos_base=0, sentinel_base=SENTINEL_BASE)
-            key_r = fused_keys(right, mask, settings.gradient_threshold,
-                               pos_base=w, sentinel_base=SENTINEL_BASE)
-            key = jnp.concatenate([key_l, key_r], axis=1)
+        key = _fused_key_image(left, right, mask, settings)
+        if key is not None:
             (xs, ys, ds), count = _match_epipolar_packed(
                 None, None, None, None, settings.disp_high,
                 settings.capacity, key=key,
             )
             return xs, ys, ds, count
-        except FusedKernelBudgetError:
-            pass  # image too large for the kernel; split pipeline below
+        # image too large for the kernel; split pipeline below
     codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
     codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
     if settings.epipolar_mode:
@@ -166,25 +177,13 @@ def build_sparsematch(
 def _sparsematch_rows_impl(left, right, mask: FilterMask,
                            settings: InferenceSettings, use_pallas: bool):
     """Row-form pipeline: ((xs, ds) (H, W) each, row_counts (H,))."""
-    from opengpc_tpu.match import SENTINEL_BASE, match_epipolar_rows
+    from opengpc_tpu.match import match_epipolar_rows
 
     if not settings.epipolar_mode:
         raise ValueError("row-form output is epipolar-only")
     if not _packed_ok(mask, left.shape):
         raise ValueError("row-form output needs <=30-test forests")
-    key = None
-    if use_pallas:
-        from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_keys
-
-        try:
-            w = left.shape[1]
-            key_l = fused_keys(left, mask, settings.gradient_threshold,
-                               pos_base=0, sentinel_base=SENTINEL_BASE)
-            key_r = fused_keys(right, mask, settings.gradient_threshold,
-                               pos_base=w, sentinel_base=SENTINEL_BASE)
-            key = jnp.concatenate([key_l, key_r], axis=1)
-        except FusedKernelBudgetError:
-            key = None
+    key = _fused_key_image(left, right, mask, settings) if use_pallas else None
     if key is not None:
         return match_epipolar_rows(None, None, None, None,
                                    settings.disp_high, key=key)
@@ -233,6 +232,12 @@ def build_sparsematch_rows(
 def row_supports_to_numpy(xs_rows, ds_rows, row_counts) -> np.ndarray:
     """Assemble row-form outputs into the (n, 3) int (x, y, d) array —
     identical content/order to the flat pipeline's supports_to_numpy."""
+    if np.ndim(xs_rows) != 2:
+        raise ValueError(
+            "row_supports_to_numpy takes one pair's (H, W) buffers; index "
+            "the batch axis first (e.g. row_supports_to_numpy(xs[i], "
+            "ds[i], counts[i]))"
+        )
     xs = np.asarray(xs_rows)
     ds = np.asarray(ds_rows)
     c = np.asarray(row_counts)

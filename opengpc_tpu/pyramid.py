@@ -49,10 +49,14 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
     xs_all, ys_all, ds_all, lv_all = [], [], [], []
     l_img, r_img = left, right
     for level in range(num_levels):
-        # coarse levels have 4^-l the pixels; scale their support capacity
-        # the same way (keeps the merged buffer — and the dedup sort — small)
+        # a level can never emit more supports than it has pixels (one
+        # support per unique source pixel), so capping the coarse levels'
+        # buffers at their pixel count loses nothing while keeping the
+        # merged buffer — and the dedup sort — small
         lvl_settings = dataclasses.replace(
-            settings, capacity=max(1024, settings.capacity >> (2 * level))
+            settings,
+            capacity=min(settings.capacity,
+                         l_img.shape[0] * l_img.shape[1]),
         )
         xs, ys, ds, count = _sparsematch_impl(
             l_img, r_img, mask=mask, settings=lvl_settings,

@@ -252,7 +252,8 @@ def test_extract_hard_stereo_dataset(hard_sintel_tree):
     root, h, w = hard_sintel_tree
     from opengpc_tpu.io.png import read_gray
 
-    # 16-bit read truncates to the high byte (same as the reference)
+    # 16-bit read C-truncates to the LOW byte (same as the reference's
+    # ``*ptr = val``, buffer.hpp:280-288; the fixture puts the image there)
     img = read_gray(os.path.join(
         root, "training", "clean_left", "market_5", "frame_0001.png"))
     assert img.dtype == np.uint8 and img.shape == (h, w)
