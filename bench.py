@@ -338,7 +338,9 @@ def main():
     counts0 = np.asarray(jax.jit(lambda p: _score_level(
         p, cand, jnp.int32(-10), num_taus, ones, ones, ones))(patches))
     assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
-    tbest = device_time_per_iter(tstep, (patches,), tdep, 2, 12, repeats=3)
+    # one scorer pass is ~50 us on chip; chain thousands of iterations so
+    # the loop-length difference dwarfs relay jitter
+    tbest = device_time_per_iter(tstep, (patches,), tdep, 3, 2003, repeats=3)
     evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
     _aux("train_split_evals_per_s", evals / _nonzero(tbest) / 1e9, "G evals/s",
          "config 5: vectorized greedy split scorer (_score_level), "
