@@ -127,6 +127,60 @@ def test_hashmatch_matches_reference_binary(refmatch_path, oracle_path,
         assert ref == ora, f"{name}: hashmatch disagreement"
 
 
+@pytest.fixture(scope="module")
+def reftrain_path():
+    path = os.path.join(REPO, "cpp", "build", "reftrain")
+    if not os.path.exists(path):
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO, "cpp"), "reftrain",
+             f"REFERENCE={REFERENCE}"],
+            check=True, capture_output=True,
+        )
+    return path
+
+
+@pytest.mark.parametrize("tau_lo,tau_hi", [(0, 1), (-10, 10)])
+@pytest.mark.parametrize("only_non_split", [False, True])
+def test_trainfern_matches_reference_code(reftrain_path, oracle_path,
+                                          tmp_path, tau_lo, tau_hi,
+                                          only_non_split):
+    """Training semantics vs the REAL reference: cpp/reftrain drives the
+    unmodified Fern::evalSplit/markSplitSamples (Fern.hpp:209-291) with
+    injected candidates; its per-level (i, j, tau) selections and
+    masked/unmasked TP/FP/FN must equal the oracle's trainfern line for
+    line (and, transitively via tests/test_train.py, the JAX trainer's)."""
+    from opengpc_tpu.io.triplets import save_triplets
+    from opengpc_tpu.train import sample_candidates
+
+    rng = np.random.default_rng(11)
+    n, depth, resamples = 300, 4, 6
+    ref = rng.integers(0, 256, (n, 729))
+    pos = np.clip(ref + rng.integers(-8, 9, (n, 729)), 0, 255)
+    neg = rng.integers(0, 256, (n, 729))
+    trips = np.stack([ref, pos, neg], axis=1).astype(np.uint8)
+    tp = str(tmp_path / "trips.bin")
+    cp = str(tmp_path / "cands.txt")
+    save_triplets(trips, tp)
+    with open(cp, "w") as f:
+        for level in range(depth):
+            for i, j in sample_candidates(rng, 0, resamples):
+                f.write(f"{level} {i} {j}\n")
+
+    op, rp = str(tmp_path / "o.txt"), str(tmp_path / "r.txt")
+    args = [tp, cp, str(depth), str(tau_lo), str(tau_hi), "0.5",
+            "1" if only_non_split else "0"]
+    subprocess.run([oracle_path, "trainfern"] + args + [op], check=True)
+    subprocess.run([reftrain_path] + args + [rp], check=True)
+    with open(op) as f:
+        want = [line.split() for line in f if line.strip()]
+    with open(rp) as f:
+        got = [line.split() for line in f if line.strip()]
+    assert len(want) == depth and len(got) == depth
+    for w, g in zip(want, got):
+        assert w[:7] == g[:7] and w[8:] == g[8:], (w, g)
+        assert float(w[7]) == pytest.approx(float(g[7]), abs=1e-9)
+
+
 def test_refmatch_width_padding(refmatch_path, oracle_path, tmp_path):
     """Non-16-multiple widths: the reference pads rows to ALIGN16 with
     column-preserving conservativeResize (buffer.hpp:307), so its output
