@@ -98,6 +98,7 @@ def main(argv=None) -> int:
             return 1
         return _run_host_matcher(args, forest, settings, left, right)
 
+    row_form = False
     if args.pyramid > 1:
         from opengpc_tpu.pyramid import (
             build_pyramid_sparsematch,
@@ -111,11 +112,27 @@ def main(argv=None) -> int:
             out[-1].block_until_ready()
             return out
     else:
-        match = build_sparsematch(forest, settings)
+        # row-form contract when available (epipolar, <=30 tests): ~1.6x the
+        # flat pipeline's throughput, identical support set, and lossless
+        # (at most W supports per row fit the per-row buffers)
+        from opengpc_tpu.forest import make_filter_mask
+        from opengpc_tpu.infer import _packed_ok
+
+        row_form = settings.epipolar_mode and _packed_ok(
+            make_filter_mask(forest), left.shape
+        )
+        if row_form:
+            from opengpc_tpu.infer import (build_sparsematch_rows,
+                                           row_supports_to_numpy)
+
+            match = build_sparsematch_rows(forest, settings)
+        else:
+            match = build_sparsematch(forest, settings)
 
         def run():
             out = match(left, right)
-            out[-1].block_until_ready()
+            jax_leaf = out[1] if row_form else out[-1]
+            jax_leaf.block_until_ready()
             return out
 
     t0 = time.perf_counter()
@@ -135,6 +152,10 @@ def main(argv=None) -> int:
         rows = pyramid_supports_to_numpy(*result)
         count = rows.shape[0]
         supports = rows[:, :3]
+    elif row_form:
+        (rxs, rds), rcounts = result
+        supports = row_supports_to_numpy(rxs, rds, rcounts)
+        count = supports.shape[0]
     else:
         xs, ys, ds, count = result
         supports = supports_to_numpy(xs, ys, ds, count)
