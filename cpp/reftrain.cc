@@ -68,7 +68,14 @@ int main(int argc, char** argv) {
   std::ifstream cf(candPath);
   std::vector<std::vector<std::pair<int, int>>> cands(depth);
   int level, ci, cj;
-  while (cf >> level >> ci >> cj) cands[level].emplace_back(ci, cj);
+  while (cf >> level >> ci >> cj) {
+    if (level < 0 || level >= depth) {
+      std::fprintf(stderr, "reftrain: candidate level %d out of range\n",
+                   level);
+      return 2;
+    }
+    cands[level].emplace_back(ci, cj);
+  }
 
   gpc::training::FernSettings fs(depth, 0);
   gpc::training::Fern fern(fs);

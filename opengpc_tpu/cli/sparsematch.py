@@ -118,16 +118,15 @@ def main(argv=None) -> int:
         from opengpc_tpu.forest import make_filter_mask
         from opengpc_tpu.infer import _packed_ok
 
-        row_form = settings.epipolar_mode and _packed_ok(
-            make_filter_mask(forest), left.shape
-        )
+        fmask = make_filter_mask(forest)
+        row_form = settings.epipolar_mode and _packed_ok(fmask, left.shape)
         if row_form:
             from opengpc_tpu.infer import (build_sparsematch_rows,
                                            row_supports_to_numpy)
 
-            match = build_sparsematch_rows(forest, settings)
+            match = build_sparsematch_rows(fmask, settings)
         else:
-            match = build_sparsematch(forest, settings)
+            match = build_sparsematch(fmask, settings)
 
         def run():
             out = match(left, right)
@@ -156,6 +155,15 @@ def main(argv=None) -> int:
         (rxs, rds), rcounts = result
         supports = row_supports_to_numpy(rxs, rds, rcounts)
         count = supports.shape[0]
+        if count > args.capacity:
+            # honor --capacity like the flat contract (first `capacity`
+            # supports in output order), with the same overflow warning
+            print(
+                f"WARNING: {count} matches exceed --capacity "
+                f"{args.capacity}; {count - args.capacity} dropped",
+                file=sys.stderr,
+            )
+            supports = supports[: args.capacity]
     else:
         xs, ys, ds, count = result
         supports = supports_to_numpy(xs, ys, ds, count)

@@ -55,7 +55,7 @@ def test_compact_packed_matches_compact_set(capacity):
     (ga, gb), count = jax.jit(
         lambda m, x, y: compact_packed(m, ((x, 6), (y, 9)), capacity)
     )(jnp.asarray(mask), jnp.asarray(a), jnp.asarray(b))
-    (wa, wb), want_count = reference_compact(mask, (a, b), capacity)
+    want_count = int(mask.sum())
     assert int(count) == want_count
     n = min(want_count, capacity)
     got_rows = sorted(zip(np.asarray(ga)[:n].tolist(),

@@ -42,12 +42,13 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def refmatch_path():
-    if not os.path.exists(REFMATCH):
-        subprocess.run(
-            ["make", "-C", os.path.join(REPO, "cpp"), "refmatch",
-             f"REFERENCE={REFERENCE}"],
-            check=True, capture_output=True,
-        )
+    # always invoke make: its timestamp check is cheap and an edited
+    # refmatch.cc must never be tested against a stale binary
+    subprocess.run(
+        ["make", "-C", os.path.join(REPO, "cpp"), "refmatch",
+         f"REFERENCE={REFERENCE}"],
+        check=True, capture_output=True,
+    )
     return REFMATCH
 
 
@@ -130,12 +131,11 @@ def test_hashmatch_matches_reference_binary(refmatch_path, oracle_path,
 @pytest.fixture(scope="module")
 def reftrain_path():
     path = os.path.join(REPO, "cpp", "build", "reftrain")
-    if not os.path.exists(path):
-        subprocess.run(
-            ["make", "-C", os.path.join(REPO, "cpp"), "reftrain",
-             f"REFERENCE={REFERENCE}"],
-            check=True, capture_output=True,
-        )
+    subprocess.run(  # make's timestamp check keeps this cheap
+        ["make", "-C", os.path.join(REPO, "cpp"), "reftrain",
+         f"REFERENCE={REFERENCE}"],
+        check=True, capture_output=True,
+    )
     return path
 
 
