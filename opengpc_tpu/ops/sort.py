@@ -1,7 +1,11 @@
-"""Pallas row-wise bitonic sort for the matcher.
+"""Pallas row-wise bitonic sort for the matcher (historical A/B artifact).
 
-``jax.lax.sort`` is the single largest cost in the match pipeline (~65% of
-device time).  This kernel sorts each row of a (R, N) int32 key array
+Round-1 status: beat the then-default STABLE ``lax.sort`` standalone
+(0.40 vs 0.47 ms on 436x2048) but lost in-pipeline to fusion.  Round 2
+switched the pipeline to UNSTABLE ``lax.sort`` (0.30 ms — XLA's stable
+sort adds an iota tiebreaker operand), which this kernel no longer beats
+even standalone; kept selectable (``sort_impl="bitonic"``) as a measured
+baseline.  This kernel sorts each row of a (R, N) int32 key array
 (with an int32 payload) with a fully unrolled bitonic network: log2(N)
 stages of compare-exchange, each implemented as a circular roll + select
 across lanes — no data-dependent control flow, everything in VMEM.
