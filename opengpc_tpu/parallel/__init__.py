@@ -94,6 +94,41 @@ def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh:
     return jax.jit(fn)
 
 
+def build_batched_sparsematch_rows(forest: Forest, settings: InferenceSettings,
+                                   mesh: Mesh, use_pallas=None):
+    """Row-form variant of build_batched_sparsematch — the maximum-
+    throughput contract sharded over the mesh: (B, H, W) x2 ->
+    ((xs, ds) (B, H, W) each, row_counts (B, H)), batch axis split with
+    shard_map like the flat variant.  Epipolar, <=30-test forests only
+    (infer.build_sparsematch_rows)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _sparsematch_rows_impl
+
+    mask = make_filter_mask(forest)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    _one = functools.partial(
+        _sparsematch_rows_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
+
+    def local(ls, rs):
+        return jax.lax.map(lambda ab: _one(*ab), (ls, rs))
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=((spec, spec), spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_train_fern(
     triplets, scale, optimizer, max_depth, mesh: Mesh, seed: int = 0,
     verbose: bool = False,
