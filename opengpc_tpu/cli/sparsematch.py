@@ -253,7 +253,19 @@ def _run_sequence(args, forest, settings) -> int:
         print(f"sequence mismatch: {len(lefts)} left vs {len(rights)} right",
               file=sys.stderr)
         return 1
-    match = build_sparsematch(forest, settings)
+    from opengpc_tpu.forest import make_filter_mask
+    from opengpc_tpu.infer import _packed_ok
+
+    probe = read_gray(lefts[0])
+    fmask = make_filter_mask(forest)
+    row_form = settings.epipolar_mode and _packed_ok(fmask, probe.shape)
+    if row_form:
+        from opengpc_tpu.infer import (build_sparsematch_rows,
+                                       row_supports_to_numpy)
+
+        match = build_sparsematch_rows(fmask, settings)
+    else:
+        match = build_sparsematch(fmask, settings)
     out_dir = os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
@@ -262,7 +274,14 @@ def _run_sequence(args, forest, settings) -> int:
     for i, (lp, rp) in enumerate(zip(lefts, rights)):
         left = read_gray(lp)
         right = read_gray(rp)
-        supports = supports_to_numpy(*match(left, right))
+        if row_form and left.shape == probe.shape:
+            (rxs, rds), rcounts = match(left, right)
+            supports = row_supports_to_numpy(rxs, rds, rcounts)
+        else:
+            # shape change mid-sequence: fall back to the flat pipeline
+            # (row_form eligibility was probed on the first frame)
+            supports = supports_to_numpy(
+                *build_sparsematch(fmask, settings)(left, right))
         total_px += 2 * left.size
         total_matches += len(supports)
         np.savetxt(
