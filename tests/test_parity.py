@@ -194,3 +194,45 @@ def test_sparsematch_parity_wide_forest(oracle_path, tmp_path, num_tests,
     got = set(map(tuple, supports_to_numpy(*match(left, right)).tolist()))
     assert got == want
     assert len(want) > 0
+
+
+def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
+    """Seeded settings/scene fuzz: random thresholds, tolerances, disparity
+    caps, modes, forests, image shapes (incl. odd widths) and scene types —
+    full-pipeline support sets must equal the oracle on every draw.  Widens
+    parity coverage beyond the fixed combos above (the knobs interact:
+    margin vs shape, vert_tol in global mode, |d| windows vs scene)."""
+    from opengpc_tpu.utils.scenes import make_scene
+
+    rng = np.random.default_rng(2024)
+    for trial in range(10):
+        h = int(rng.integers(40, 140))
+        w = int(rng.integers(48, 200))
+        grad_thresh = int(rng.integers(1, 41))
+        vert_tol = int(rng.integers(0, 3))
+        disp_high = int(rng.choice([8, 32, 64, 128]))
+        epipolar = bool(rng.integers(0, 2))
+        forest_file = str(rng.choice(
+            ["defaultZeroForest.txt", "defaultTauForest.txt"]))
+        if rng.integers(0, 2):
+            left = random_image(rng, h, w)
+            shift = int(rng.integers(1, 6))
+            right = np.roll(left, -shift, axis=1)
+            right[:, -shift:] = rng.integers(0, 256, (h, shift)).astype(np.uint8)
+        else:
+            left, right, _, _ = make_scene(rng, h, w)
+
+        settings = InferenceSettings(
+            gradient_threshold=grad_thresh, disp_high=disp_high,
+            vertical_tolerance=vert_tol, epipolar_mode=epipolar,
+            capacity=65536,
+        )
+        forest_path = os.path.join(FORESTS, forest_file)
+        want = _oracle_supports(oracle_path, tmp_path, forest_path,
+                                left, right, settings, epipolar)
+        forest = forest_mod.load_forest(forest_path)
+        match = build_sparsematch(forest, settings, use_pallas=False)
+        got = set(map(tuple, supports_to_numpy(*match(left, right)).tolist()))
+        ctx = (f"trial {trial}: {h}x{w} thr={grad_thresh} vt={vert_tol} "
+               f"dh={disp_high} epi={epipolar} {forest_file}")
+        assert got == want, ctx
