@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import load_forest
@@ -162,6 +163,23 @@ def test_row_form_equals_flat_pipeline():
     b = row_supports_to_numpy(xs_b[1], ds_b[1], counts_b[1])
     np.testing.assert_array_equal(a, b)
     assert len(a) == len(got)
+
+
+def test_row_form_rejects_unsupported_modes():
+    from opengpc_tpu.infer import build_sparsematch_rows, row_supports_to_numpy
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    left, right = make_pair(48, 64, 2, seed=1)
+    rows = build_sparsematch_rows(
+        forest, InferenceSettings(epipolar_mode=False), use_pallas=False
+    )
+    with pytest.raises(ValueError, match="epipolar"):
+        rows(left, right)
+    with pytest.raises(ValueError, match="batch"):
+        row_supports_to_numpy(
+            np.zeros((2, 4, 8), np.int32), np.zeros((2, 4, 8), np.int32),
+            np.zeros((2, 4), np.int32),
+        )
 
 
 def test_match_hashmatch_pipeline_vs_oracle(oracle_path, tmp_path):

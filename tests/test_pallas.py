@@ -28,7 +28,14 @@ def structured_image(rng, h, w):
     return np.clip(img + rng.integers(-12, 13, (h, w)), 0, 255).astype(np.uint8)
 
 
-@pytest.mark.parametrize("shape", [(64, 96), (100, 250), (436, 1024)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (64, 96), (100, 250), (436, 1024),
+        (37, 130),    # image shorter than one tile (padding-heavy)
+        (129, 1023),  # width just under the 128-lane round-up boundary
+    ],
+)
 @pytest.mark.parametrize(
     "forest_file", ["defaultZeroForest.txt", "defaultTauForest.txt"]
 )
