@@ -175,14 +175,18 @@ def match_epipolar(
     xcoord = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
     xcoord = jnp.concatenate([xcoord, xcoord], axis=1)
 
-    # stable sort: within an equal (validity, code) group, source entries
-    # precede target entries, so a cross pair is always (src, tar)
+    # UNSTABLE sort (stable adds an iota tiebreaker operand — measured in
+    # experiments/exp_sort.py); a cross pair's (src, tar) order is
+    # recovered from the flag, not from sort stability
     invalid_s, code_s, flag_s, x_s = jax.lax.sort(
-        (invalid, code, flag, xcoord), dimension=1, num_keys=2, is_stable=True
+        (invalid, code, flag, xcoord), dimension=1, num_keys=2,
+        is_stable=False,
     )
     is_match = _pair_starts(invalid_s, code_s, flag_s)  # (H, 2W-1)
-    src_x = x_s[:, :-1]
-    tar_x = x_s[:, 1:]
+    left_flag = flag_s[:, :-1]
+    left_x, right_x = x_s[:, :-1], x_s[:, 1:]
+    src_x = jnp.where(left_flag == 0, left_x, right_x)
+    tar_x = jnp.where(left_flag == 0, right_x, left_x)
     d = src_x - tar_x
     keep = is_match & (jnp.abs(d) <= disp_high)
     ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
@@ -342,10 +346,17 @@ def _global_pairs(code_src, code_tar, valid_src, valid_tar, packed=False):
     ycoord = jnp.concatenate([yc, yc])
 
     invalid_s, code_s, flag_s, x_s, y_s = jax.lax.sort(
-        (invalid, code, flag, xcoord, ycoord), dimension=0, num_keys=2, is_stable=True
+        (invalid, code, flag, xcoord, ycoord), dimension=0, num_keys=2,
+        is_stable=False,
     )
     is_match = _pair_starts(invalid_s, code_s, flag_s)
-    return is_match, x_s[:-1], y_s[:-1], x_s[1:], y_s[1:]
+    # unstable sort: recover each pair's (src, tar) order from the flag
+    src_is_left = flag_s[:-1] == 0
+    src_x = jnp.where(src_is_left, x_s[:-1], x_s[1:])
+    src_y = jnp.where(src_is_left, y_s[:-1], y_s[1:])
+    tar_x = jnp.where(src_is_left, x_s[1:], x_s[:-1])
+    tar_y = jnp.where(src_is_left, y_s[1:], y_s[:-1])
+    return is_match, src_x, src_y, tar_x, tar_y
 
 
 def match_global(
