@@ -45,4 +45,4 @@ from opengpc_tpu.infer import (
 )
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
