@@ -11,6 +11,13 @@
 // Usage:
 //   refmatch <forest.txt> <left.png> <right.png> <out.txt>
 //            <gradThresh> <vertTol> <dispHigh> <epipolar 0/1> <useHashtable 0/1>
+//            [vis.png]
+//
+// The optional [vis.png] writes the reference's own disparity
+// visualization (ndb::getDisparityVisualization Support overload +
+// Buffer::writePNGRGB, exactly samples/sparsematch.cpp:61-62) so the
+// Python CLI's --viz-compat reference output can be byte-diffed against
+// the real reference binary's PNG.
 //
 // Build: make -C cpp refmatch   (skipped gracefully when /root/reference is
 // absent; the pytest marks itself skipped in that case).
@@ -23,10 +30,11 @@
 #include "gpc/inference.hpp"  // the real reference header tree
 
 int main(int argc, char** argv) {
-  if (argc != 10) {
+  if (argc != 10 && argc != 11) {
     std::fprintf(stderr,
                  "usage: refmatch <forest> <left.png> <right.png> <out.txt> "
-                 "<gradThresh> <vertTol> <dispHigh> <epipolar> <useHashtable>\n");
+                 "<gradThresh> <vertTol> <dispHigh> <epipolar> <useHashtable> "
+                 "[vis.png]\n");
     return 1;
   }
   std::string forestPath = argv[1];
@@ -76,6 +84,13 @@ int main(int argc, char** argv) {
   for (const ndb::Support& s : supp)
     std::fprintf(f, "%d %d %d\n", s.x, s.y, (int)s.d);
   std::fclose(f);
+  if (argc == 11) {
+    // the reference sample's own visualization + PNG write
+    // (samples/sparsematch.cpp:61-62)
+    ndb::Buffer<ndb::RGBColor> renderDisp =
+        ndb::getDisparityVisualization(simg, supp);
+    renderDisp.writePNGRGB(argv[10]);
+  }
   std::fprintf(stderr, "refmatch: candL=%zu candR=%zu matches=%zu\n",
                simgP.mask.size(), timgP.mask.size(), supp.size());
   return 0;

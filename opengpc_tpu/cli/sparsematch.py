@@ -54,6 +54,13 @@ def main(argv=None) -> int:
     p.add_argument("--densify", default=None, metavar="PNG",
                    help="also write a diffusion-densified disparity PNG")
     p.add_argument(
+        "--viz-compat", choices=("canonical", "reference"),
+        default="canonical",
+        help="disparity.png colormap: canonical KITTI table (default) or "
+        "the reference binary's rotated-by-one table + hardcoded [0,128] "
+        "range (byte-identical to its output; buffer.hpp:960-963)",
+    )
+    p.add_argument(
         "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
         help="sort: on-device clean unique-collision matcher (default); "
         "quirk: host-side bit-exact reference sweep incl. its edge quirks "
@@ -112,14 +119,15 @@ def main(argv=None) -> int:
             out[-1].block_until_ready()
             return out
     else:
-        # row-form contract when available (epipolar, <=30 tests): ~1.6x the
-        # flat pipeline's throughput, identical support set, and lossless
-        # (at most W supports per row fit the per-row buffers)
+        # row-form contract when available (epipolar, <=30 tests, packable
+        # (x, d) key): ~1.6x the flat pipeline's throughput, identical
+        # support set, and lossless (at most W supports per row fit the
+        # per-row buffers)
         from opengpc_tpu.forest import make_filter_mask
-        from opengpc_tpu.infer import _packed_ok
+        from opengpc_tpu.infer import _rows_ok
 
         fmask = make_filter_mask(forest)
-        row_form = settings.epipolar_mode and _packed_ok(fmask, left.shape)
+        row_form = _rows_ok(fmask, left.shape, settings)
         if row_form:
             from opengpc_tpu.infer import (build_sparsematch_rows,
                                            row_supports_to_numpy)
@@ -147,33 +155,38 @@ def main(argv=None) -> int:
             result = run()
             best = min(best, time.perf_counter() - t0)
 
-    if args.pyramid > 1:
-        rows = pyramid_supports_to_numpy(*result)
-        count = rows.shape[0]
-        supports = rows[:, :3]
-    elif row_form:
-        (rxs, rds), rcounts = result
-        supports = row_supports_to_numpy(rxs, rds, rcounts)
-        count = supports.shape[0]
-        if count > args.capacity:
-            # honor --capacity like the flat contract (first `capacity`
-            # supports in output order), with the same overflow warning
-            print(
-                f"WARNING: {count} matches exceed --capacity "
-                f"{args.capacity}; {count - args.capacity} dropped",
-                file=sys.stderr,
-            )
-            supports = supports[: args.capacity]
-    else:
-        xs, ys, ds, count = result
-        supports = supports_to_numpy(xs, ys, ds, count)
-        if int(count) > xs.shape[0]:
-            print(
-                f"WARNING: support buffer overflow — {int(count)} matches, "
-                f"capacity {xs.shape[0]}; {int(count) - xs.shape[0]} dropped. "
-                f"Re-run with --capacity {1 << (int(count) - 1).bit_length()}",
-                file=sys.stderr,
-            )
+    from opengpc_tpu.utils.timing import PhaseTimer
+
+    pt = PhaseTimer()
+    pt.totals["match"] = best  # device pipeline (preprocess+match fused)
+    with pt.phase("assemble"):
+        if args.pyramid > 1:
+            rows = pyramid_supports_to_numpy(*result)
+            count = rows.shape[0]
+            supports = rows[:, :3]
+        elif row_form:
+            (rxs, rds), rcounts = result
+            supports = row_supports_to_numpy(rxs, rds, rcounts)
+            count = supports.shape[0]
+            if count > args.capacity:
+                # honor --capacity like the flat contract (first `capacity`
+                # supports in output order), with the same overflow warning
+                print(
+                    f"WARNING: {count} matches exceed --capacity "
+                    f"{args.capacity}; {count - args.capacity} dropped",
+                    file=sys.stderr,
+                )
+                supports = supports[: args.capacity]
+        else:
+            xs, ys, ds, count = result
+            supports = supports_to_numpy(xs, ys, ds, count)
+            if int(count) > xs.shape[0]:
+                print(
+                    f"WARNING: support buffer overflow — {int(count)} matches, "
+                    f"capacity {xs.shape[0]}; {int(count) - xs.shape[0]} dropped. "
+                    f"Re-run with --capacity {1 << (int(count) - 1).bit_length()}",
+                    file=sys.stderr,
+                )
     h, w = left.shape
     mpix_s = (2 * h * w / 1e6) / best if best > 0 else float("inf")
     print(
@@ -182,8 +195,12 @@ def main(argv=None) -> int:
         f" (count={int(count)}), throughput: {mpix_s:.1f} Mpix/s"
     )
 
-    vis = disparity_visualization(left, supports, max_disparity=args.disp_high)
-    write_png(args.out, vis)
+    with pt.phase("visualize"):
+        write_png(args.out, _viz(left, supports, args))
+    # per-phase report, the analog of the reference's tPreprocess/tMatch
+    # lines (samples/sparsematch.cpp:53-57) — our preprocess+match are one
+    # fused device program, so the split here is device/host instead
+    print(pt.report())
     print(f"wrote {args.out}")
     if args.densify:
         from opengpc_tpu.densify import densify_supports
@@ -198,6 +215,17 @@ def main(argv=None) -> int:
         np.savetxt(args.supports_out, supports, fmt="%d")
         print(f"wrote {args.supports_out}")
     return 0
+
+
+def _viz(left, supports, args):
+    """disparity.png pixels per --viz-compat: canonical KITTI colors scaled
+    to --disp-high, or the reference binary's exact bytes (rotated table,
+    hardcoded [0, 128] range; buffer.hpp:949-1014)."""
+    if args.viz_compat == "reference":
+        return disparity_visualization(left, supports, 0.0, 128.0,
+                                       compat="reference")
+    return disparity_visualization(left, supports,
+                                   max_disparity=args.disp_high)
 
 
 def _run_host_matcher(args, forest, settings, left, right) -> int:
@@ -231,8 +259,7 @@ def _run_host_matcher(args, forest, settings, left, right) -> int:
         f"tTotal: {dt * 1e3:.2f} ms (host-side {args.matcher} matcher, "
         f"incl. compile), num matches: {len(supports)}"
     )
-    vis = disparity_visualization(left, supports, max_disparity=args.disp_high)
-    write_png(args.out, vis)
+    write_png(args.out, _viz(left, supports, args))
     print(f"wrote {args.out}")
     if args.supports_out:
         np.savetxt(args.supports_out, supports, fmt="%d")
@@ -254,11 +281,11 @@ def _run_sequence(args, forest, settings) -> int:
               file=sys.stderr)
         return 1
     from opengpc_tpu.forest import make_filter_mask
-    from opengpc_tpu.infer import _packed_ok
+    from opengpc_tpu.infer import _rows_ok
 
     probe = read_gray(lefts[0])
     fmask = make_filter_mask(forest)
-    row_form = settings.epipolar_mode and _packed_ok(fmask, probe.shape)
+    row_form = _rows_ok(fmask, probe.shape, settings)
     if row_form:
         from opengpc_tpu.infer import (build_sparsematch_rows,
                                        row_supports_to_numpy)
@@ -270,6 +297,7 @@ def _run_sequence(args, forest, settings) -> int:
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
     total_matches = 0
+    flat_match = None if row_form else match
     t0 = time.perf_counter()
     for i, (lp, rp) in enumerate(zip(lefts, rights)):
         left = read_gray(lp)
@@ -279,9 +307,13 @@ def _run_sequence(args, forest, settings) -> int:
             supports = row_supports_to_numpy(rxs, rds, rcounts)
         else:
             # shape change mid-sequence: fall back to the flat pipeline
-            # (row_form eligibility was probed on the first frame)
-            supports = supports_to_numpy(
-                *build_sparsematch(fmask, settings)(left, right))
+            # (row_form eligibility was probed on the first frame).  ONE
+            # flat matcher is built lazily and reused — jit's per-shape
+            # cache then makes repeated fallback shapes free, instead of
+            # paying a fresh trace/compile per mismatched frame
+            if flat_match is None:
+                flat_match = build_sparsematch(fmask, settings)
+            supports = supports_to_numpy(*flat_match(left, right))
         total_px += 2 * left.size
         total_matches += len(supports)
         np.savetxt(

@@ -62,6 +62,22 @@ def _packed_ok(mask: FilterMask, shape) -> bool:
     return mask.num_tests <= 30 and 2 * h * w < (1 << 30)
 
 
+def _rows_ok(mask: FilterMask, shape, settings: InferenceSettings) -> bool:
+    """Full row-form eligibility: epipolar mode, sentinel-packable codes,
+    AND the (x, d) row-pack key fitting 30 bits (match._row_pack) — a very
+    wide image combined with a huge disp_high overflows the packed key, in
+    which case callers must ride the flat pipeline (whose compaction has a
+    generic >30-bit fallback)."""
+    h, w = shape
+    bx = max(1, int(w - 1).bit_length())
+    bd = max(1, int(2 * settings.disp_high).bit_length())
+    return (
+        settings.epipolar_mode
+        and _packed_ok(mask, shape)
+        and bx + bd <= 30
+    )
+
+
 def _fused_key_image(left, right, mask: FilterMask,
                      settings: InferenceSettings):
     """(H, 2W) sentinel-packed matcher key image straight from the Pallas
@@ -183,6 +199,12 @@ def _sparsematch_rows_impl(left, right, mask: FilterMask,
         raise ValueError("row-form output is epipolar-only")
     if not _packed_ok(mask, left.shape):
         raise ValueError("row-form output needs <=30-test forests")
+    if not _rows_ok(mask, left.shape, settings):
+        raise ValueError(
+            "row-form output needs the (x, d) pack key to fit 30 bits "
+            f"(width {left.shape[1]} with disp_high {settings.disp_high} "
+            "does not); use build_sparsematch"
+        )
     key = _fused_key_image(left, right, mask, settings) if use_pallas else None
     if key is not None:
         return match_epipolar_rows(None, None, None, None,
@@ -205,8 +227,11 @@ def build_sparsematch_rows(
     (xs[y, :c], y, ds[y, :c]).  This skips the flat compaction sort — the
     single costliest stage of the flat pipeline — and transfers less.
     Convert with :func:`row_supports_to_numpy`; the resulting (n, 3) array
-    equals build_sparsematch's output set exactly (row-major, x-ascending
-    order).  Epipolar mode with <=30-test forests only.
+    equals build_sparsematch's output SET exactly, in row-major x-ascending
+    order (which also matches the flat pipeline's order whenever that
+    pipeline uses its packed compaction, i.e. coordinates fit 30 bits; the
+    flat >30-bit generic fallback emits flat-mask order instead).  Epipolar
+    mode with <=30-test forests only.
     """
     mask = (
         make_filter_mask(forest_or_mask)

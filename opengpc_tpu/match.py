@@ -276,7 +276,13 @@ def _row_pack(keep, src_x, d, w, disp_high):
     h, wn = keep.shape
     bd = max(1, int(2 * disp_high).bit_length())
     bx = max(1, int(w - 1).bit_length())
-    assert bx + bd <= 30, (bx, bd)
+    if bx + bd > 30:
+        # callers gate on infer._rows_ok, which includes this bound; raise
+        # a real error (not an assert) for direct match_epipolar_rows users
+        raise ValueError(
+            f"row-form pack key needs x+d bits <= 30, got {bx}+{bd}; "
+            "use the flat matcher (match_epipolar) for this width/disp_high"
+        )
     key = jnp.where(keep, (src_x << bd) | (d + disp_high),
                     jnp.int32(0x7FFFFFFF))
     key_s = jax.lax.sort((key,), dimension=1, num_keys=1,

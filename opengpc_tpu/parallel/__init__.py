@@ -185,6 +185,17 @@ def sharded_sparsematch_step(n_devices: int) -> None:
     assert count.shape == (b,)
     assert all(int(c) > 0 for c in np.asarray(count)), "no matches in dryrun"
 
+    # the flagship ROW-FORM contract, sharded over the same mesh (driver
+    # exercises the maximum-throughput path multi-device, VERDICT r2 #8)
+    run_rows = build_batched_sparsematch_rows(forest, settings, mesh)
+    (rxs, rds), rcounts = run_rows(lefts, rights)
+    rcounts.block_until_ready()
+    assert rcounts.shape == (b, h)
+    total = np.asarray(rcounts).sum(axis=1)
+    assert (total == np.asarray(count)).all(), (
+        "row-form sharded counts != flat sharded counts"
+    )
+
     # full training step, triplet axis sharded over the same mesh
     from opengpc_tpu.config import zero_optimizer
     from opengpc_tpu.forest import SCALE_L

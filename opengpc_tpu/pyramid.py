@@ -125,7 +125,16 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
             )
         else:
             # images/settings too large for the 31-bit packing: sort all
-            # payloads together (sorted output, still no gather/scatter)
+            # payloads together (sorted output, still no gather/scatter).
+            # The grouping key pix*mult + level must itself fit int31 —
+            # beyond ~2^28 pixels (x mult) it would wrap negative and the
+            # finest-wins grouping would silently pick wrong entries
+            if h0 * w0 * mult >= 0x7FFFFFFF:
+                raise ValueError(
+                    f"pyramid dedup key overflow: {h0}x{w0} image with "
+                    f"{num_levels} levels exceeds int32 packing; disable "
+                    "dedup or reduce levels"
+                )
             key = jnp.where(valid, pix * mult + lv_c, sent)
             key_s, xs_c, ys_c, ds_c, lv_c = jax.lax.sort(
                 (key, xs_c, ys_c, ds_c, lv_c), dimension=0, num_keys=1,

@@ -7,11 +7,14 @@ supports on the grayscale source image, colored with Andreas Geiger's
 
 Vectorized numpy throughout (host-side output path, not device compute).
 
-Deliberate deviation: the reference's Support overload (buffer.hpp:949-1014)
-uses a colormap table rotated by one entry relative to its index-based
-overload and the published KITTI devkit (first bin {0,0,1} instead of
-{0,0,0}) — almost certainly an editing slip.  We use the canonical KITTI
-table (buffer.hpp:891-894).
+Deliberate deviation, with an opt-out: the reference's Support overload
+(buffer.hpp:949-1014) uses a colormap table rotated by one entry relative
+to its index-based overload and the published KITTI devkit (first bin
+{0,0,1} instead of {0,0,0}) — almost certainly an editing slip.  The
+default is the canonical KITTI table (buffer.hpp:891-894);
+``compat="reference"`` reproduces the rotated table with the reference's
+exact float32 arithmetic, byte-identical to the PNG the reference binary
+writes (pinned in tests/test_reference_binary.py).
 """
 
 from __future__ import annotations
@@ -33,26 +36,60 @@ _MAP = np.array(
     dtype=np.float32,
 )
 
-_SUM = _MAP[:, 3].sum()
-_CUMSUM = np.concatenate([[0.0], np.cumsum(_MAP[:7, 3]) / _SUM]).astype(np.float32)
-with np.errstate(divide="ignore"):
-    _WEIGHTS = (_SUM / _MAP[:7, 3]).astype(np.float32)  # last bin weight unused
+# The reference Support-overload's table, rotated by one entry
+# (buffer.hpp:960-963) — kept for byte-compatible output only.
+_MAP_REFERENCE = np.roll(_MAP, -1, axis=0)
+
+
+def _tables(map_arr: np.ndarray):
+    """(cumsum[0..7], weights[0..6]) in the reference's float32 evaluation
+    order: per-bin weight divided first, THEN accumulated
+    (buffer.hpp:901-910) — the rounding order matters for byte-identity."""
+    s = np.float32(map_arr[:, 3].sum(dtype=np.float32))
+    cumsum = np.concatenate(
+        [[np.float32(0.0)],
+         np.cumsum((map_arr[:7, 3] / s).astype(np.float32), dtype=np.float32)]
+    ).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        weights = (s / map_arr[:7, 3]).astype(np.float32)
+    return cumsum, weights
+
+
+_CUMSUM, _WEIGHTS = _tables(_MAP)
+_CUMSUM_REF, _WEIGHTS_REF = _tables(_MAP_REFERENCE)
 
 
 def kitti_disparity_colors(
-    d: np.ndarray, min_disparity: float = 0.0, max_disparity: float = 128.0
+    d: np.ndarray, min_disparity: float = 0.0, max_disparity: float = 128.0,
+    compat: str = "canonical",
 ) -> np.ndarray:
     """Map disparities to (n, 3) uint8 RGB via the KITTI colormap.
 
     value = clamp((d - min) / (max - min), 0, 0.8); piecewise-linear
     interpolation between bin colors (buffer.hpp:920-944).
+    ``compat="reference"`` uses the reference Support-overload's
+    rotated-by-one table (see module docstring).
     """
+    if compat == "reference":
+        cmap, cumsum, weights = _MAP_REFERENCE, _CUMSUM_REF, _WEIGHTS_REF
+    elif compat == "canonical":
+        cmap, cumsum, weights = _MAP, _CUMSUM, _WEIGHTS
+    else:
+        raise ValueError(f"unknown viz compat mode {compat!r}")
     d = np.asarray(d, dtype=np.float32)
-    value = np.clip((d - min_disparity) / (max_disparity - min_disparity), 0.0, 0.8)
-    bin_idx = np.clip(np.searchsorted(_CUMSUM[1:8], value, side="right"), 0, 6)
-    w = 1.0 - (value - _CUMSUM[bin_idx]) * _WEIGHTS[bin_idx]
+    value = np.clip(
+        (d - np.float32(min_disparity))
+        / np.float32(max_disparity - min_disparity),
+        np.float32(0.0), np.float32(0.8),
+    ).astype(np.float32)
+    bin_idx = np.clip(np.searchsorted(cumsum[1:8], value, side="right"), 0, 6)
+    w = (np.float32(1.0) - (value - cumsum[bin_idx]) * weights[bin_idx]).astype(
+        np.float32
+    )
     w = w[..., None]
-    rgb = (w * _MAP[bin_idx, :3] + (1.0 - w) * _MAP[bin_idx + 1, :3]) * 255.0
+    rgb = (w * cmap[bin_idx, :3]
+           + (np.float32(1.0) - w) * cmap[bin_idx + 1, :3]) * np.float32(255.0)
+    # C truncation cast (static_cast<uint8_t>), matching the reference
     return rgb.astype(np.uint8)
 
 
@@ -61,11 +98,13 @@ def disparity_visualization(
     supports: np.ndarray,
     min_disparity: float = 0.0,
     max_disparity: float = 128.0,
+    compat: str = "canonical",
 ) -> np.ndarray:
     """Overlay (n, 3) int supports (x, y, d) on a (h, w) uint8 gray image.
 
-    Returns an (h, w, 3) uint8 RGB image (buffer.hpp:949-1014 semantics
-    with the canonical colormap; see module docstring).
+    Returns an (h, w, 3) uint8 RGB image (buffer.hpp:949-1014 semantics;
+    ``compat="reference"`` reproduces the reference binary's bytes with its
+    rotated colormap table — see module docstring).
     """
     gray = np.asarray(gray, dtype=np.uint8)
     out = np.repeat(gray[:, :, None], 3, axis=2)
@@ -73,7 +112,8 @@ def disparity_visualization(
     if supports.size == 0:
         return out
     x, y, d = supports[:, 0], supports[:, 1], supports[:, 2]
-    out[y, x] = kitti_disparity_colors(d, min_disparity, max_disparity)
+    out[y, x] = kitti_disparity_colors(d, min_disparity, max_disparity,
+                                       compat=compat)
     return out
 
 

@@ -181,6 +181,40 @@ def test_trainfern_matches_reference_code(reftrain_path, oracle_path,
         assert float(w[7]) == pytest.approx(float(g[7]), abs=1e-9)
 
 
+def test_viz_compat_png_byte_identical(refmatch_path, tmp_path):
+    """--viz-compat reference must reproduce the reference binary's
+    disparity.png BYTE-FOR-BYTE: same support set (quirk matcher), the
+    rotated-by-one colormap with the reference's float32 arithmetic
+    (buffer.hpp:949-1014), and the same libpng defaults — closing the last
+    artifact surface (forest/triplets/supports/PNG all have bit-exact
+    modes)."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+    for name, left, right in _scenes():
+        lp = os.path.join(str(tmp_path), f"{name}_l.png")
+        rp = os.path.join(str(tmp_path), f"{name}_r.png")
+        write_png(lp, left)
+        write_png(rp, right)
+        ref_vis = os.path.join(str(tmp_path), f"{name}_ref.png")
+        subprocess.run(
+            [refmatch_path, forest, lp, rp,
+             os.path.join(str(tmp_path), "supp.txt"),
+             "5", "0", "128", "1", "0", ref_vis],
+            check=True, capture_output=True,
+        )
+        our_vis = os.path.join(str(tmp_path), f"{name}_our.png")
+        rc = cli_main([forest, lp, rp, "--matcher", "quirk",
+                       "--viz-compat", "reference", "--out", our_vis])
+        assert rc == 0
+        with open(ref_vis, "rb") as f:
+            want = f.read()
+        with open(our_vis, "rb") as f:
+            got = f.read()
+        assert len(want) > 1000
+        assert got == want, f"{name}: disparity.png bytes differ"
+
+
 def test_refmatch_width_padding(refmatch_path, oracle_path, tmp_path):
     """Non-16-multiple widths: the reference pads rows to ALIGN16 with
     column-preserving conservativeResize (buffer.hpp:307), so its output

@@ -88,3 +88,20 @@ def test_draw_triangle():
     assert tuple(img[2, 2]) == (0, 255, 0)    # vertex
     # clipping: off-canvas vertices don't crash
     draw_triangle(img, [(-5, -5), (25, 0), (0, 25)], (255, 0, 0))
+
+
+def test_kitti_colors_reference_compat_mode():
+    """compat="reference" uses the rotated-by-one table
+    (buffer.hpp:960-963): d=0 lands in the first rotated bin whose left
+    color is blue {0,0,1}, vs black {0,0,0} canonically.  Unknown modes
+    raise.  (Byte-identity to the real binary's PNG is pinned in
+    tests/test_reference_binary.py.)"""
+    import pytest
+
+    d = np.array([0.0])
+    canon = kitti_disparity_colors(d)
+    ref = kitti_disparity_colors(d, compat="reference")
+    assert tuple(canon[0]) == (0, 0, 0)
+    assert tuple(ref[0]) == (0, 0, 255)
+    with pytest.raises(ValueError):
+        kitti_disparity_colors(d, compat="bogus")
