@@ -60,7 +60,7 @@ def _aux(metric, value, unit, note=""):
 
 
 def _check_against_oracle(left, right, supp, settings, forest_file,
-                          label=""):
+                          label="", epipolar=True):
     """P/R gate vs the native CPU oracle (BASELINE: within 1%; we require
     exact).  Skipped silently if the oracle can't be built on this host."""
     import os
@@ -84,7 +84,7 @@ def _check_against_oracle(left, right, supp, settings, forest_file,
             [oracle, "sparsematch", os.path.join(repo, "forests", forest_file),
              lp, rp, op, str(settings.gradient_threshold),
              str(settings.vertical_tolerance), str(settings.disp_high),
-             "1", "0"],
+             str(int(epipolar)), "0"],
             check=True,
         )
         with open(op) as f:
@@ -216,6 +216,38 @@ def main():
          "(build_sparsematch)")
 
     # ------------------------------------------------------------------
+    # global (non-epipolar) mode — the reference's DEFAULT settings path
+    # (inference.hpp:75) — on the segmented global row-form contract
+    # ------------------------------------------------------------------
+    import dataclasses
+
+    from opengpc_tpu.infer import (_sparsematch_global_rows_impl,
+                                   global_row_supports_to_numpy)
+
+    gsettings = dataclasses.replace(settings, epipolar_mode=False)
+    grows_fn = jax.jit(lambda l, r: _sparsematch_global_rows_impl(
+        l, r, mask=mask, settings=gsettings, use_pallas=use_pallas))
+    (gxs, gys, gds), gcounts = grows_fn(left, right)
+    gsupp = global_row_supports_to_numpy(gxs, gys, gds, gcounts)
+    gacc = float((gsupp[:, 2] == TRUE_DISP).mean())
+    assert gacc > 0.99, f"global support accuracy {gacc:.3f}"
+    _check_against_oracle(left, right, gsupp, gsettings,
+                          "defaultZeroForest.txt", "global zero",
+                          epipolar=False)
+
+    def gstep(a, b):
+        (xs, ys, ds), counts = _sparsematch_global_rows_impl(
+            a, b, mask=mask, settings=gsettings, use_pallas=use_pallas)
+        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                + ds.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32))
+
+    gbest = device_time_per_iter(gstep, (left, right), rdep, N_SHORT, N_LONG,
+                                 repeats=5)
+    _aux("global_sparsematch_throughput", 2 * H * W / 1e6 / _nonzero(gbest),
+         "Mpix/s", "global (non-epipolar) mode, segmented row-form "
+         "contract, oracle-gated")
+
+    # ------------------------------------------------------------------
     # config 2: defaultTauForest (sequence stands on per-pair throughput;
     # frames stream through the same compiled program)
     # ------------------------------------------------------------------
@@ -232,8 +264,13 @@ def main():
          "config 2: defaultTauForest per-pair device-timed")
 
     # ------------------------------------------------------------------
-    # config 3a: batched pairs (vmap B=4) aggregate throughput per chip
+    # config 3a: batched pairs aggregate throughput per chip — the batch
+    # is FOLDED into one (B*H, 2W) segmented row sort
+    # (infer._sparsematch_rows_batched_impl; A/B vs lax.map-of-pipelines
+    # in experiments/exp_batch_rows.py)
     # ------------------------------------------------------------------
+    from opengpc_tpu.infer import _sparsematch_rows_batched_impl
+
     lefts, rights = [], []
     for b in range(BATCH):
         l2, r2 = make_pair(H, W, TRUE_DISP, seed=100 + b)
@@ -241,14 +278,36 @@ def main():
         rights.append(r2)
     lb = np.stack(lefts)
     rb = np.stack(rights)
-    batch_supp = match(lb, rb)
-    s0 = supports_to_numpy(batch_supp[0][0], batch_supp[1][0],
-                           batch_supp[2][0], batch_supp[3][0])
+    brows_fn = jax.jit(lambda l, r: _sparsematch_rows_batched_impl(
+        l, r, mask=mask, settings=settings, use_pallas=use_pallas))
+    (bxs, bds), bcounts = brows_fn(lb, rb)
+    # gate: stacked batch element 0 == the single-pair flat pipeline
+    s0 = row_supports_to_numpy(np.asarray(bxs)[0], np.asarray(bds)[0],
+                               np.asarray(bcounts)[0])
+    flat0 = supports_to_numpy(*match(lb[0], rb[0]))
+    assert set(map(tuple, s0.tolist())) == set(map(tuple, flat0.tolist())), \
+        "stacked batch supports != single-pair supports"
     acc0 = float((s0[:, 2] == TRUE_DISP).mean())
     assert acc0 > 0.99, f"batched pair-0 accuracy {acc0:.3f}"
-    batch_mpix = timed_mpix(mask, lb, rb, n_long=23)
-    _aux("batched_pairs_throughput", batch_mpix, "Mpix/s",
-         f"config 3: B={BATCH} batch (lax.map) aggregate per chip")
+
+    def bstep(a, b):
+        (xs, ds), counts = _sparsematch_rows_batched_impl(
+            a, b, mask=mask, settings=settings, use_pallas=use_pallas)
+        return (xs.sum(dtype=jnp.int32) + ds.sum(dtype=jnp.int32)
+                + counts.sum(dtype=jnp.int32))
+
+    def bdep(count, args):
+        a, b = args
+        a = jax.lax.dynamic_update_slice(
+            a, (count & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
+        return (a, b)
+
+    bbest = device_time_per_iter(bstep, (lb, rb), bdep, N_SHORT, 23,
+                                 repeats=5)
+    batch_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bbest)
+    _aux("batched_rows_throughput", batch_mpix, "Mpix/s",
+         f"config 3: B={BATCH} stacked into one (B*H, 2W) row sort, "
+         "aggregate per chip")
 
     # ------------------------------------------------------------------
     # config 3b: 3-level pyramid multi-scale matching

@@ -106,6 +106,7 @@ def main(argv=None) -> int:
         return _run_host_matcher(args, forest, settings, left, right)
 
     row_form = False
+    global_rows = False
     if args.pyramid > 1:
         from opengpc_tpu.pyramid import (
             build_pyramid_sparsematch,
@@ -119,12 +120,13 @@ def main(argv=None) -> int:
             out[-1].block_until_ready()
             return out
     else:
-        # row-form contract when available (epipolar, <=30 tests, packable
-        # (x, d) key): ~1.6x the flat pipeline's throughput, identical
-        # support set, and lossless (at most W supports per row fit the
-        # per-row buffers)
+        # fast output contracts when available (<=30-test forests, packable
+        # keys): epipolar rides the row-form matcher (~1.6x the flat
+        # pipeline, identical support set, lossless); global mode rides the
+        # segmented global row-form contract (~1.35x, skips the flat
+        # compaction sort)
         from opengpc_tpu.forest import make_filter_mask
-        from opengpc_tpu.infer import _rows_ok
+        from opengpc_tpu.infer import _global_rows_ok, _rows_ok
 
         fmask = make_filter_mask(forest)
         row_form = _rows_ok(fmask, left.shape, settings)
@@ -133,12 +135,19 @@ def main(argv=None) -> int:
                                            row_supports_to_numpy)
 
             match = build_sparsematch_rows(fmask, settings)
+        elif not settings.epipolar_mode and _global_rows_ok(
+                fmask, left.shape, settings):
+            from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                           global_row_supports_to_numpy)
+
+            global_rows = True
+            match = build_sparsematch_global_rows(fmask, settings)
         else:
             match = build_sparsematch(fmask, settings)
 
         def run():
             out = match(left, right)
-            jax_leaf = out[1] if row_form else out[-1]
+            jax_leaf = out[1] if (row_form or global_rows) else out[-1]
             jax_leaf.block_until_ready()
             return out
 
@@ -164,6 +173,17 @@ def main(argv=None) -> int:
             rows = pyramid_supports_to_numpy(*result)
             count = rows.shape[0]
             supports = rows[:, :3]
+        elif global_rows:
+            (gxs, gys, gds), gcounts = result
+            supports = global_row_supports_to_numpy(gxs, gys, gds, gcounts)
+            count = supports.shape[0]
+            if count > args.capacity:
+                print(
+                    f"WARNING: {count} matches exceed --capacity "
+                    f"{args.capacity}; {count - args.capacity} dropped",
+                    file=sys.stderr,
+                )
+                supports = supports[: args.capacity]
         elif row_form:
             (rxs, rds), rcounts = result
             supports = row_supports_to_numpy(rxs, rds, rcounts)

@@ -215,6 +215,71 @@ def _sparsematch_rows_impl(left, right, mask: FilterMask,
                                settings.disp_high)
 
 
+def _key_image_jnp(left, right, mask: FilterMask, settings: InferenceSettings,
+                   use_pallas: bool = False):
+    """(H, 2W) sentinel-packed matcher key image via the jnp ops — the
+    non-Pallas equivalent of _fused_key_image (vmap-friendly: pure
+    pad/slice/where chains)."""
+    from opengpc_tpu.match import SENTINEL_BASE
+
+    codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
+    codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
+    h, w = left.shape
+    code = jnp.concatenate([codes_l, codes_r], axis=1)
+    valid = jnp.concatenate([cand_l, cand_r], axis=1)
+    pos = jnp.broadcast_to(jnp.arange(2 * w, dtype=jnp.int32)[None, :],
+                           (h, 2 * w))
+    return jnp.where(valid, code, SENTINEL_BASE + pos)
+
+
+def _sparsematch_rows_batched_impl(lefts, rights, mask: FilterMask,
+                                   settings: InferenceSettings,
+                                   use_pallas: bool):
+    """Batched row-form pipeline that AGGREGATES: per-pair key images are
+    stacked into one (B*H, 2W) image and matched with ONE segmented row
+    sort + row pack, instead of lax.map over B sequential pipelines.
+
+    Rows are independent in the epipolar matcher, so stacking the batch
+    into the row axis is exact (per-row results identical to per-pair
+    runs); the key images themselves are computed per pair (the
+    preprocessing windows must not cross pair boundaries).  The reference
+    analog is parFor row partitioning (filter.hpp:128-145) — here the
+    "partitioning" is just a reshape and the chip sees B*H rows of sort
+    work at once (measured A/B vs lax.map in experiments/exp_batch_rows.py).
+    """
+    from opengpc_tpu.match import match_epipolar_rows
+
+    b, h, w = lefts.shape
+    if not settings.epipolar_mode:
+        raise ValueError("row-form output is epipolar-only")
+    if not _rows_ok(mask, (h, w), settings):
+        raise ValueError(
+            "row-form output needs <=30-test forests and a packable "
+            "(x, d) key; use build_sparsematch"
+        )
+    keys = None
+    if use_pallas:
+        from opengpc_tpu.ops.fused import FusedKernelBudgetError, _check_budget
+
+        try:
+            _check_budget(lefts[0])
+            keys = jax.lax.map(
+                lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
+                (lefts, rights),
+            )
+        except FusedKernelBudgetError:
+            keys = None
+    if keys is None:
+        keys = jax.vmap(
+            lambda l, r: _key_image_jnp(l, r, mask, settings)
+        )(lefts, rights)
+    stacked = keys.reshape(b * h, 2 * w)
+    (xs, ds), counts = match_epipolar_rows(
+        None, None, None, None, settings.disp_high, key=stacked
+    )
+    return (xs.reshape(b, h, w), ds.reshape(b, h, w)), counts.reshape(b, h)
+
+
 def build_sparsematch_rows(
     forest_or_mask, settings: InferenceSettings,
     use_pallas: Optional[bool] = None,
@@ -244,6 +309,79 @@ def build_sparsematch_rows(
         _sparsematch_rows_impl, mask=mask, settings=settings,
         use_pallas=use_pallas,
     )
+    fnb = functools.partial(
+        _sparsematch_rows_batched_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim == 3:
+            # stacked batch: ONE (B*H, 2W) segmented sort aggregates the
+            # whole batch (vs lax.map's B sequential pipelines — measured
+            # A/B in experiments/exp_batch_rows.py)
+            return fnb(left, right)
+        return fn(left, right)
+
+    return run
+
+
+def _global_rows_ok(mask: FilterMask, shape, settings: InferenceSettings) -> bool:
+    """Eligibility for the segmented global row-form contract: packable
+    codes plus the (y, x, d) pack key fitting 30 bits."""
+    h, w = shape
+    bx = max(1, int(w - 1).bit_length())
+    by = max(1, int(h - 1).bit_length())
+    bd = max(1, int(2 * settings.disp_high).bit_length())
+    return _packed_ok(mask, shape) and by + bx + bd <= 30
+
+
+def _sparsematch_global_rows_impl(left, right, mask: FilterMask,
+                                  settings: InferenceSettings,
+                                  use_pallas: bool):
+    """Global-mode segmented row-form pipeline:
+    ((xs, ys, ds) (R, C) each, counts (R,)) — see match.match_global_rows."""
+    from opengpc_tpu.match import match_global_rows
+
+    if settings.epipolar_mode:
+        raise ValueError("global row-form output is for global mode; use "
+                         "build_sparsematch_rows for epipolar")
+    if not _global_rows_ok(mask, left.shape, settings):
+        raise ValueError(
+            "global row-form needs <=30-test forests and packable (y, x, d) "
+            "keys; use build_sparsematch"
+        )
+    key = _fused_key_image(left, right, mask, settings) if use_pallas else None
+    if key is None:
+        key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
+    return match_global_rows(key, left.shape[1], settings.disp_high,
+                             settings.vertical_tolerance)
+
+
+def build_sparsematch_global_rows(
+    forest_or_mask, settings: InferenceSettings,
+    use_pallas: Optional[bool] = None,
+) -> Callable:
+    """Jitted ``(left, right) -> ((xs, ys, ds), counts)`` GLOBAL-mode
+    matcher with segmented row-form output — the maximum-throughput
+    contract for the reference's default (non-epipolar) settings
+    (inference.hpp:75): same support set as build_sparsematch with
+    ``epipolar_mode=False``, but the flat compaction sort is replaced by a
+    cheap segmented pack (match.match_global_rows).  Supports arrive
+    grouped into R code-sorted segments; assemble with
+    :func:`global_row_supports_to_numpy`.  Batched via lax.map.
+    """
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = functools.partial(
+        _sparsematch_global_rows_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
 
     @jax.jit
     def run(left, right):
@@ -252,6 +390,24 @@ def build_sparsematch_rows(
         return fn(left, right)
 
     return run
+
+
+def global_row_supports_to_numpy(xs, ys, ds, counts) -> np.ndarray:
+    """Assemble global segmented row-form outputs into an (n, 3) int
+    (x, y, d) array — same support set as the flat global pipeline, in
+    packed (y, x, d)-ascending order."""
+    if np.ndim(xs) != 2:
+        raise ValueError(
+            "global_row_supports_to_numpy takes one pair's (R, C) buffers; "
+            "index the batch axis first"
+        )
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    ds = np.asarray(ds)
+    c = np.asarray(counts)
+    sel = np.arange(xs.shape[1])[None, :] < c[:, None]
+    out = np.stack([xs[sel], ys[sel], ds[sel]], axis=1).astype(np.int32)
+    return out[np.lexsort((out[:, 2], out[:, 0], out[:, 1]))]
 
 
 def row_supports_to_numpy(xs_rows, ds_rows, row_counts) -> np.ndarray:

@@ -391,6 +391,92 @@ def match_global(
     return _compact_supports(keep, src_x, src_y, d, capacity, w, h, disp_high)
 
 
+def match_global_rows(
+    key_img: jnp.ndarray,
+    w: int,
+    disp_high: int,
+    vertical_tolerance: int,
+    num_rows: int = 0,
+):
+    """Global (non-epipolar) unique-collision matching with SEGMENTED
+    row-form output — the global analog of match_epipolar_rows.
+
+    ``key_img``: (H, 2W) sentinel-packed key image (source columns [0, W),
+    target [W, 2W); invalid pixels carry unique sentinels >= SENTINEL_BASE,
+    exactly what ops/fused.fused_keys / infer._key_image_jnp emit).
+
+    One flat 2-operand sort finds the globally-unique collisions (the
+    uniqueness domain spans the whole image pair, inference.hpp:227-254);
+    the supports are then packed with ONE cheap segmented row sort over the
+    (R, C) reshape of the sorted order, instead of the flat-contract
+    compaction sort over all 2HW elements (the costliest stage; measured
+    in experiments/exp_global.py).  Rows are arbitrary C-length segments
+    of the code-sorted order — row r's supports are (xs[r, :c], ys[r, :c],
+    ds[r, :c]) with c = counts[r]; assemble with
+    infer.global_row_supports_to_numpy.
+
+    Packing needs y, x and d bits to fit 30 (callers gate; ~any frame
+    under 0.5 Gpix with sane disp_high).
+    """
+    h, w2 = key_img.shape
+    assert w2 == 2 * w
+    n = h * w2
+    key = key_img.reshape(-1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key_s, pos_s = jax.lax.sort((key, pos), dimension=0, num_keys=1,
+                                is_stable=False)
+    eq = key_s[:-1] == key_s[1:]
+    zeros = jnp.zeros_like(eq[:1])
+    prev = jnp.concatenate([zeros, eq[:-1]])
+    nxt = jnp.concatenate([eq[1:], zeros])
+    pair = eq & ~prev & ~nxt
+    # decode the (H, 2W) layout: col < W -> source pixel.  Equal sentinels
+    # can only collide within one image (disjoint src/tar sentinel ranges),
+    # so the cross check below rejects them like any same-image run.
+    col_l, row_l = pos_s[:-1] % w2, pos_s[:-1] // w2
+    col_r, row_r = pos_s[1:] % w2, pos_s[1:] // w2
+    l_is_src = col_l < w
+    src_x = jnp.where(l_is_src, col_l, col_r)
+    src_y = jnp.where(l_is_src, row_l, row_r)
+    tar_c = jnp.where(l_is_src, col_r, col_l)
+    tar_y = jnp.where(l_is_src, row_r, row_l)
+    cross = (src_x < w) & (tar_c >= w)
+    d = src_x - (tar_c - w)
+    keep = (
+        pair & cross
+        & (jnp.abs(d) <= disp_high)
+        & (jnp.abs(src_y - tar_y) <= vertical_tolerance)
+    )
+    # pad the (n-1,) windows to n and reshape into segments
+    r = num_rows if num_rows > 0 else h
+    c = -(-n // r)
+    padn = r * c - (n - 1)
+    keep = jnp.pad(keep, (0, padn))
+    src_x = jnp.pad(src_x, (0, padn))
+    src_y = jnp.pad(src_y, (0, padn))
+    d = jnp.pad(d, (0, padn))
+    bx = max(1, int(w - 1).bit_length())
+    by = max(1, int(h - 1).bit_length())
+    bd = max(1, int(2 * disp_high).bit_length())
+    if by + bx + bd > 30:
+        raise ValueError(
+            f"global row-form pack needs y+x+d bits <= 30, got "
+            f"{by}+{bx}+{bd}; use match_global"
+        )
+    pk = jnp.where(
+        keep,
+        (((src_y << bx) | src_x) << bd) | (d + disp_high),
+        jnp.int32(0x7FFFFFFF),
+    ).reshape(r, c)
+    pk_s = jax.lax.sort((pk,), dimension=1, num_keys=1, is_stable=False)[0]
+    counts = jnp.sum(keep.reshape(r, c), axis=1, dtype=jnp.int32)
+    slot_ok = jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
+    ds = jnp.where(slot_ok, (pk_s & ((1 << bd) - 1)) - disp_high, 0)
+    xs = jnp.where(slot_ok, (pk_s >> bd) & ((1 << bx) - 1), 0)
+    ys = jnp.where(slot_ok, pk_s >> (bd + bx), 0)
+    return (xs, ys, ds), counts
+
+
 def match_reference_quirk(
     desc_src, desc_tar, epipolar: bool = False
 ):

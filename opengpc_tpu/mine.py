@@ -245,6 +245,63 @@ def extract_triplets(
     )
 
 
+def extract_triplets_device(
+    img_l: np.ndarray,
+    img_r: np.ndarray,
+    kl: np.ndarray,
+    kr: np.ndarray,
+    kn: np.ndarray,
+) -> np.ndarray:
+    """Device-path extract_triplets: box blur + 27x27 patch gathers as one
+    jitted program; bit-identical output to :func:`extract_triplets`
+    (pinned by tests/test_mine.py).
+
+    MEASURED DECISION (VERDICT r2 item 7, experiments/exp_mine_device.py):
+    the host numpy path remains the default.  Patch cropping is a gather —
+    one of the measured TPU anti-patterns (README roofline ledger) — and
+    the triplets must land on the host to be written/shuffled anyway, so
+    the device path pays upload + gather + download for work the host does
+    in ~1 ms per frame.  Numbers are in the README ledger; use this path
+    only to keep a training pipeline entirely device-resident.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from opengpc_tpu.ops.preprocess import box3
+
+    h, w = img_l.shape
+
+    def interior(k):
+        return (
+            (k[:, 0] > SAFE_MARGIN) & (k[:, 1] > SAFE_MARGIN)
+            & (k[:, 0] < w - SAFE_MARGIN) & (k[:, 1] < h - SAFE_MARGIN)
+        )
+
+    keep = interior(kl) & interior(kr) & interior(kn)
+    kl, kr, kn = kl[keep], kr[keep], kn[keep]
+
+    @jax.jit
+    def run(il, ir, a, b, c):
+        bl = box3(il)
+        br = box3(ir)
+        offs = jnp.arange(-PATCH_HALF, PATCH_HALF + 1)
+
+        def patches(img, k):
+            yy = k[:, 1][:, None, None] + offs[None, None, :]
+            xx = k[:, 0][:, None, None] + offs[None, :, None]
+            return img[yy, xx].reshape(k.shape[0], PATCH * PATCH)
+
+        return jnp.stack(
+            [patches(bl, a), patches(br, b), patches(br, c)], axis=1
+        )
+
+    return np.asarray(run(
+        jnp.asarray(img_l), jnp.asarray(img_r),
+        jnp.asarray(kl.astype(np.int32)), jnp.asarray(kr.astype(np.int32)),
+        jnp.asarray(kn.astype(np.int32)),
+    )).astype(np.uint8)
+
+
 def extract_flow_dataset(
     root: str,
     triplets_per_pair: int = 1000,

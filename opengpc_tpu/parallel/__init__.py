@@ -106,18 +106,17 @@ def build_batched_sparsematch_rows(forest: Forest, settings: InferenceSettings,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from opengpc_tpu.infer import _sparsematch_rows_impl
+    from opengpc_tpu.infer import _sparsematch_rows_batched_impl
 
     mask = make_filter_mask(forest)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    _one = functools.partial(
-        _sparsematch_rows_impl, mask=mask, settings=settings,
+    # stacked batch per shard: each chip folds its local pairs into ONE
+    # (B_local*H, 2W) segmented sort (infer._sparsematch_rows_batched_impl)
+    local = functools.partial(
+        _sparsematch_rows_batched_impl, mask=mask, settings=settings,
         use_pallas=use_pallas,
     )
-
-    def local(ls, rs):
-        return jax.lax.map(lambda ab: _one(*ab), (ls, rs))
 
     spec = P(DATA_AXIS)
     fn = shard_map(

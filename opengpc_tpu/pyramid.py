@@ -42,9 +42,82 @@ def downscale2(img: jnp.ndarray) -> jnp.ndarray:
     return (s // 4).astype(jnp.uint8)
 
 
+def _dedup_unpack(key_c, mult, nbd, w0, disp_high, num_levels):
+    """Finest-level-wins dedup + unpack of concatenated packed keys
+    ((pix*mult + level) << nbd | d+disp_high; empty slots carry the int32
+    sentinel).  ONE 1-operand flat sort; returns (xs, ys, ds, lv, counts)
+    in the pyramid output contract."""
+    sent = jnp.int32(0x7FFFFFFF)
+    key_s = jax.lax.sort((key_c,), dimension=0, num_keys=1,
+                         is_stable=False)[0]
+    grp = key_s >> nbd  # pix * mult + level
+    pixg = grp // mult
+    first = jnp.concatenate([jnp.ones((1,), bool), pixg[1:] != pixg[:-1]])
+    keep = first & (key_s != sent)
+    lv_c = jnp.where(keep, grp % mult, -1)
+    xs_c = jnp.where(keep, pixg % w0, 0)
+    ys_c = jnp.where(keep, pixg // w0, 0)
+    ds_c = jnp.where(keep, (key_s & ((1 << nbd) - 1)) - disp_high, 0)
+    # scale per-level disparities to level-0 units
+    ds_c = jnp.where(lv_c >= 0, ds_c << jnp.maximum(lv_c, 0), 0)
+    counts = jnp.stack(
+        [jnp.sum(lv_c == level) for level in range(num_levels)]
+    )
+    return xs_c, ys_c, ds_c, lv_c, counts
+
+
+def _pyramid_rows_impl(left, right, mask: FilterMask,
+                       settings: InferenceSettings, num_levels: int,
+                       use_pallas: bool, mult: int, nbd: int):
+    """Fast pyramid: every level rides the ROW-FORM matcher (no per-level
+    flat compaction — the costliest stage of the flat pipeline), and the
+    per-row buffers convert straight into the packed dedup keys.  Output
+    contract identical to the flat path with dedup=True (VERDICT r2 #3)."""
+    from opengpc_tpu.infer import _sparsematch_rows_impl
+
+    h0, w0 = left.shape
+    sent = jnp.int32(0x7FFFFFFF)
+    keys = []
+    l_img, r_img = left, right
+    for level in range(num_levels):
+        (xs, ds), counts = _sparsematch_rows_impl(
+            l_img, r_img, mask=mask, settings=settings, use_pallas=use_pallas
+        )
+        hl, wl = l_img.shape
+        scale = 1 << level
+        yy = jnp.arange(hl, dtype=jnp.int32)[:, None]
+        valid = jnp.arange(wl, dtype=jnp.int32)[None, :] < counts[:, None]
+        pix = (yy * scale) * w0 + xs * scale
+        keys.append(jnp.where(
+            valid,
+            ((pix * mult + level) << nbd) | (ds + settings.disp_high),
+            sent,
+        ).reshape(-1))
+        if level + 1 < num_levels:
+            l_img = downscale2(l_img)
+            r_img = downscale2(r_img)
+    return _dedup_unpack(jnp.concatenate(keys), mult, nbd, w0,
+                         settings.disp_high, num_levels)
+
+
 def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                   num_levels: int, use_pallas: bool, dedup: bool):
     import dataclasses
+
+    h0, w0 = left.shape
+    mult = 1
+    while mult < num_levels:
+        mult <<= 1
+    nbd = int(2 * settings.disp_high + 1).bit_length()
+    packable = (h0 * w0 * mult) << nbd < 0x7FFFFFFF
+    if dedup and packable and settings.epipolar_mode:
+        from opengpc_tpu.infer import _rows_ok
+
+        if _rows_ok(mask, (h0, w0), settings):
+            # the shrinking levels only shrink the bit budgets, so level-0
+            # eligibility covers them all
+            return _pyramid_rows_impl(left, right, mask, settings,
+                                      num_levels, use_pallas, mult, nbd)
 
     xs_all, ys_all, ds_all, lv_all = [], [], [], []
     l_img, r_img = left, right
@@ -109,20 +182,8 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                 ((pix * mult + lv_c) << nbd) | (ds_c + settings.disp_high),
                 sent,
             )
-            key_s = jax.lax.sort((key,), dimension=0, num_keys=1,
-                                 is_stable=False)[0]
-            grp = key_s >> nbd  # pix * mult + level
-            pixg = grp // mult
-            first = jnp.concatenate(
-                [jnp.ones((1,), bool), pixg[1:] != pixg[:-1]]
-            )
-            keep = first & (key_s != sent)
-            lv_c = jnp.where(keep, grp % mult, -1)
-            xs_c = jnp.where(keep, pixg % w0, 0)
-            ys_c = jnp.where(keep, pixg // w0, 0)
-            ds_c = jnp.where(
-                keep, (key_s & ((1 << nbd) - 1)) - settings.disp_high, 0
-            )
+            return _dedup_unpack(key, mult, nbd, w0, settings.disp_high,
+                                 num_levels)
         else:
             # images/settings too large for the 31-bit packing: sort all
             # payloads together (sorted output, still no gather/scatter).
@@ -173,6 +234,13 @@ def build_pyramid_sparsematch(
     merge policy is finest-level-wins: at most one support per (x, y), and
     a level-0 support is never overridden by a coarser level.  Works on
     (H, W) images and (B, H, W) batches (lax.map), like build_sparsematch.
+
+    With dedup on eligible settings (epipolar, <=30-test forest, packable
+    keys) every level rides the row-form matcher — LOSSLESS regardless of
+    ``settings.capacity`` and ~skips the per-level flat compaction sorts
+    (measured in experiments/exp_global.py's pyramid entry / BENCH_r03).
+    The dedup=False / non-eligible path keeps the flat per-level buffers,
+    trimmed at ``capacity``.
     """
     mask = (
         make_filter_mask(forest_or_mask)

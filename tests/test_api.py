@@ -217,3 +217,133 @@ def test_match_hashmatch_pipeline_vs_oracle(oracle_path, tmp_path):
         if abs(int(sy) - int(ty)) <= 1 and abs(int(sx) - int(tx)) <= 64
     ]
     assert got == want and len(want) > 0
+
+
+def test_batched_rows_stacked_equals_per_pair():
+    """The stacked batched row-form path (ONE (B*H, 2W) segmented sort,
+    infer._sparsematch_rows_batched_impl) must equal B independent
+    single-pair row-form runs exactly — different scene per batch element,
+    both the jnp and kernel (interpret) key paths."""
+    from opengpc_tpu.infer import build_sparsematch_rows, row_supports_to_numpy
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=64,
+                                 capacity=16384)
+    pairs = [make_pair(80, 144, d, seed=30 + d) for d in (3, 7, 11)]
+    lb = np.stack([p[0] for p in pairs])
+    rb = np.stack([p[1] for p in pairs])
+    for use_pallas in (False, True):
+        rows = build_sparsematch_rows(forest, settings, use_pallas=use_pallas)
+        (xs_b, ds_b), counts_b = rows(lb, rb)
+        assert xs_b.shape == lb.shape and counts_b.shape == lb.shape[:2]
+        for k in range(len(pairs)):
+            (xs, ds), counts = rows(pairs[k][0], pairs[k][1])
+            want = row_supports_to_numpy(xs, ds, counts)
+            got = row_supports_to_numpy(xs_b[k], ds_b[k], counts_b[k])
+            assert len(want) > 100
+            np.testing.assert_array_equal(got, want)
+
+
+def test_global_rows_equals_flat_global():
+    """Segmented global row-form contract (match.match_global_rows) emits
+    exactly the flat global pipeline's support set, on both key paths,
+    across vertical tolerances and on a multi-plane scene."""
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   build_sparsematch_global_rows,
+                                   global_row_supports_to_numpy)
+    from opengpc_tpu.utils.scenes import make_scene
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    scenes = [make_pair(96, 160, 7, seed=1)]
+    scenes.append(make_scene(np.random.default_rng(3), 144, 192)[:2])
+    for vt, dh in ((0, 64), (2, 32)):
+        settings = InferenceSettings(
+            gradient_threshold=5, vertical_tolerance=vt, disp_high=dh,
+            epipolar_mode=False, capacity=65536,
+        )
+        for left, right in scenes:
+            for use_pallas in (False, True):
+                flat = build_sparsematch(forest, settings,
+                                         use_pallas=use_pallas)
+                rows = build_sparsematch_global_rows(forest, settings,
+                                                     use_pallas=use_pallas)
+                want = supports_to_numpy(*flat(left, right))
+                (xs, ys, ds), counts = rows(left, right)
+                got = global_row_supports_to_numpy(xs, ys, ds, counts)
+                assert len(want) > 100
+                assert (set(map(tuple, got.tolist()))
+                        == set(map(tuple, want.tolist())))
+    # batched (lax.map) path (same-shape pairs)
+    p0 = make_pair(96, 160, 7, seed=1)
+    p1 = make_pair(96, 160, 11, seed=2)
+    lb = np.stack([p0[0], p1[0]])
+    rb = np.stack([p0[1], p1[1]])
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=64, epipolar_mode=False,
+                                 capacity=65536)
+    rows = build_sparsematch_global_rows(forest, settings, use_pallas=False)
+    (xs, ys, ds), counts = rows(lb, rb)
+    flat = build_sparsematch(forest, settings, use_pallas=False)
+    for k in range(2):
+        want = supports_to_numpy(*flat(lb[k], rb[k]))
+        got = global_row_supports_to_numpy(xs[k], ys[k], ds[k], counts[k])
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist())))
+
+
+def test_global_rows_rejects_unsupported_modes():
+    from opengpc_tpu.infer import build_sparsematch_global_rows
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    left, right = make_pair(48, 64, 2, seed=1)
+    rows = build_sparsematch_global_rows(
+        forest, InferenceSettings(epipolar_mode=True), use_pallas=False
+    )
+    with pytest.raises(ValueError, match="global"):
+        rows(left, right)
+
+
+def test_cli_sequence_mode_e2e(tmp_path):
+    """Sequence (directory) mode end-to-end over a 12-frame synthetic
+    rectified stereo sequence with a mid-sequence shape change: per-frame
+    supports files written, each frame's set equal to a direct single-pair
+    run, and the shape-change frames take the flat fallback without
+    recompiling per frame (VERDICT r2 item 6 — real Sintel is not
+    downloadable here, BASELINE.md)."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(12):
+        if i in (5, 6):  # mid-sequence shape change -> flat fallback
+            l, r = make_pair(72, 112, 3 + (i % 4), seed=50 + i)
+        else:
+            l, r = make_pair(96, 144, 3 + (i % 4), seed=50 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    out = tmp_path / "out" / "d.png"
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--disp-high", "32", "--out", str(out)])
+    assert rc == 0
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 16)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    matchers = {}
+    for i, (l, r) in enumerate(frames):
+        sf = tmp_path / "out" / f"supports_{i:04d}.txt"
+        assert sf.exists(), f"missing {sf}"
+        got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+        if l.shape not in matchers:
+            matchers[l.shape] = build_sparsematch(forest, settings,
+                                                  use_pallas=False)
+        want = supports_to_numpy(*matchers[l.shape](l, r))
+        assert len(want) > 50
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist()))), f"frame {i}"

@@ -302,3 +302,21 @@ def test_extract_then_train_then_match(sintel_tree, tmp_path):
     # the synthetic stereo pair has constant true disparity SHIFT
     acc = (supp[:, 2] == SHIFT).mean()
     assert acc > 0.95
+
+
+def test_extract_triplets_device_equals_host():
+    """The optional device extract path is bit-identical to the host numpy
+    path (same blur semantics, same X-major patch layout)."""
+    from opengpc_tpu.mine import (extract_triplets, extract_triplets_device,
+                                  mine_stereo_pair)
+    from opengpc_tpu.utils.scenes import make_scene
+
+    rng = np.random.default_rng(9)
+    h, w = 160, 240
+    left, right, gt, occ = make_scene(rng, h, w)
+    kl, kr, kn = mine_stereo_pair(gt, occ, np.zeros((h, w), np.uint8),
+                                  500, 10, 25, rng)
+    host = extract_triplets(left, right, kl, kr, kn)
+    dev = extract_triplets_device(left, right, kl, kr, kn)
+    assert host.shape == dev.shape and host.shape[0] >= 450
+    np.testing.assert_array_equal(host, dev)

@@ -72,8 +72,11 @@ def test_pyramid_dedup_finest_wins():
     supports are never overridden by coarser levels (VERDICT r1 item 7)."""
     left, right = make_pair(128, 256, 8, seed=2)
     forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    # capacity >= level-0 pixels: the dedup=False comparison path trims at
+    # capacity while the dedup=True row-form fast path is lossless; a
+    # lossy raw baseline would make the subset checks vacuous
     settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
-                                 vertical_tolerance=0, capacity=8192)
+                                 vertical_tolerance=0, capacity=65536)
     raw = build_pyramid_sparsematch(forest, settings, num_levels=3,
                                     use_pallas=False, dedup=False)
     deduped = build_pyramid_sparsematch(forest, settings, num_levels=3,

@@ -164,3 +164,49 @@ def test_train_forest_incremental_checkpoint(tmp_path):
     # final checkpoint equals the returned forest and parses cleanly
     assert load_forest(ckpt) == forest
     assert len(forest.ferns) == 2
+
+
+def test_trained_forest_quality_vs_pretrained():
+    """Selection QUALITY gate (not just selection parity): a forest
+    trained end-to-end on mined synthetic triplets must match a HELD-OUT
+    multi-plane scene about as well as the pretrained defaultZeroForest —
+    a regression in split quality (e.g. a broken scorer that still
+    selects deterministically) fails here even when parity tests pass.
+    Reference analog: the per-level P/R self-check table, Fern.hpp:358-370."""
+    from opengpc_tpu import (InferenceSettings, build_sparsematch,
+                             fern_factory, load_forest, supports_to_numpy,
+                             zero_optimizer)
+    from opengpc_tpu.metrics import support_precision
+    from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
+    from opengpc_tpu.train import train_forest
+    from opengpc_tpu.utils.scenes import make_scene
+
+    rng = np.random.default_rng(5)
+    h, w = 240, 480
+    left, right, gt, occ = make_scene(rng, h, w)
+    kl, kr, kn = mine_stereo_pair(gt, occ, np.zeros((h, w), np.uint8),
+                                  2500, 10, 25, rng)
+    trips = extract_triplets(left, right, kl, kr, kn)
+    assert len(trips) >= 2000
+    fresh = train_forest(trips, fern_factory(2, 2, 2, 5), zero_optimizer(),
+                         seed=1, verbose=False)
+
+    l2, r2, gt2, occ2 = make_scene(np.random.default_rng(77), h, w)
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 17)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pre = load_forest(os.path.join(repo, "forests", "defaultZeroForest.txt"))
+    results = {}
+    for name, forest in (("fresh", fresh), ("pretrained", pre)):
+        supp = supports_to_numpy(
+            *build_sparsematch(forest, settings, use_pallas=False)(l2, r2))
+        prec, n = support_precision(supp, gt2, valid=(occ2 == 0), tol=0)
+        results[name] = (len(supp), prec)
+    n_fresh, p_fresh = results["fresh"]
+    n_pre, p_pre = results["pretrained"]
+    assert n_pre > 10000
+    # within a few percent of the pretrained forest on coverage, and no
+    # worse than 1% on exact-disparity precision
+    assert n_fresh >= 0.9 * n_pre, (n_fresh, n_pre)
+    assert p_fresh >= p_pre - 0.01, (p_fresh, p_pre)
