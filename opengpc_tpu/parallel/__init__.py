@@ -128,6 +128,42 @@ def build_batched_sparsematch_rows(forest: Forest, settings: InferenceSettings,
     return jax.jit(fn)
 
 
+def build_batched_sparsematch_global_rows(forest: Forest,
+                                          settings: InferenceSettings,
+                                          mesh: Mesh, use_pallas=None):
+    """Global-mode variant of build_batched_sparsematch_rows: (B, H, W) x2
+    -> ((xs, ys, ds) (B, R, C) each, counts (B, R)), batch axis split with
+    shard_map (segmented global contract, infer.build_sparsematch_global_rows).
+    Per-pair global sorts stay independent, so the shard-local batch runs
+    under lax.map (a batched flat sort is the measured vmap pathology)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _sparsematch_global_rows_impl
+
+    mask = make_filter_mask(forest)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    _one = functools.partial(
+        _sparsematch_global_rows_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
+
+    def local(ls, rs):
+        return jax.lax.map(lambda ab: _one(*ab), (ls, rs))
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=((spec, spec, spec), spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_train_fern(
     triplets, scale, optimizer, max_depth, mesh: Mesh, seed: int = 0,
     verbose: bool = False,

@@ -123,3 +123,41 @@ def test_sharded_training_matches_single_device():
     assert fern_single == fern_sharded
     for a, b in zip(stats_single, stats_sharded):
         assert (a.i, a.j, a.tau, a.tp, a.fp, a.fn) == (b.i, b.j, b.tau, b.tp, b.fp, b.fn)
+
+
+def test_sharded_global_rows_matches_single_device():
+    """Sharded global segmented contract == single-device flat global."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   global_row_supports_to_numpy,
+                                   supports_to_numpy)
+    from opengpc_tpu.parallel import build_batched_sparsematch_global_rows
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=False, disp_high=64,
+        vertical_tolerance=1, capacity=8192,
+    )
+    rng = np.random.default_rng(6)
+    b, h, w = 8, 48, 80
+    small = rng.integers(0, 256, (b, h // 4 + 1, w // 4 + 1))
+    lefts = np.stack(
+        [np.kron(s, np.ones((4, 4)))[:h, :w] for s in small]
+    ).astype(np.uint8)
+    rights = np.roll(lefts, -3, axis=2)
+
+    mesh = make_mesh()
+    sharded = build_batched_sparsematch_global_rows(forest, settings, mesh)
+    (bxs, bys, bds), bcounts = sharded(lefts, rights)
+    single = build_sparsematch(forest, settings)
+    for k in range(b):
+        want = set(map(tuple, supports_to_numpy(
+            *single(lefts[k], rights[k])).tolist()))
+        got = set(map(tuple, global_row_supports_to_numpy(
+            bxs[k], bys[k], bds[k], bcounts[k]).tolist()))
+        assert got == want and len(want) > 0
