@@ -236,3 +236,38 @@ def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
         ctx = (f"trial {trial}: {h}x{w} thr={grad_thresh} vt={vert_tol} "
                f"dh={disp_high} epi={epipolar} {forest_file}")
         assert got == want, ctx
+
+        # the fast output contracts must carry the identical set on the
+        # same draw (epipolar -> row-form incl. the stacked batch path;
+        # global -> segmented global rows)
+        if epipolar:
+            from opengpc_tpu.infer import (_rows_ok, build_sparsematch_rows,
+                                           row_supports_to_numpy)
+
+            fmask = forest_mod.make_filter_mask(forest)
+            if _rows_ok(fmask, left.shape, settings):
+                rows = build_sparsematch_rows(forest, settings,
+                                              use_pallas=False)
+                (xs, ds), counts = rows(left, right)
+                got_r = set(map(tuple, row_supports_to_numpy(
+                    xs, ds, counts).tolist()))
+                assert got_r == want, f"row-form {ctx}"
+                lb = np.stack([left, left])
+                rb = np.stack([right, right])
+                (bxs, bds), bcounts = rows(lb, rb)
+                got_b = set(map(tuple, row_supports_to_numpy(
+                    bxs[1], bds[1], bcounts[1]).tolist()))
+                assert got_b == want, f"stacked-batch {ctx}"
+        else:
+            from opengpc_tpu.infer import (_global_rows_ok,
+                                           build_sparsematch_global_rows,
+                                           global_row_supports_to_numpy)
+
+            fmask = forest_mod.make_filter_mask(forest)
+            if _global_rows_ok(fmask, left.shape, settings):
+                grows = build_sparsematch_global_rows(forest, settings,
+                                                      use_pallas=False)
+                (xs, ys, ds), counts = grows(left, right)
+                got_g = set(map(tuple, global_row_supports_to_numpy(
+                    xs, ys, ds, counts).tolist()))
+                assert got_g == want, f"global-rows {ctx}"
