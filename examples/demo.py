@@ -59,7 +59,7 @@ def main(out_dir="demo_out"):
     # --- match with the fresh forest and the pretrained one -------------
     settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
                                  disp_high=32, epipolar_mode=True,
-                                 capacity=1 << 17)
+                                 capacity=1 << 18)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pretrained = load_forest(os.path.join(repo, "forests",
                                           "defaultZeroForest.txt"))
@@ -71,6 +71,33 @@ def main(out_dir="demo_out"):
               f"exact-disparity precision {prec:.3f} over {n}")
         vis = disparity_visualization(left, supp, max_disparity=32)
         write_png(os.path.join(out_dir, f"disparity_{name}.png"), vis)
+
+    # --- the fast output contracts + multi-scale, same support semantics -
+    import dataclasses
+
+    from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                   build_sparsematch_rows,
+                                   global_row_supports_to_numpy,
+                                   row_supports_to_numpy)
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    (rxs, rds), rcounts = build_sparsematch_rows(pretrained, settings)(
+        left, right)
+    rows_supp = row_supports_to_numpy(rxs, rds, rcounts)
+    print(f"  row-form: {len(rows_supp)} supports (the max-throughput "
+          "contract; identical set)")
+    gsettings = dataclasses.replace(settings, epipolar_mode=False)
+    (gxs, gys, gds), gcounts = build_sparsematch_global_rows(
+        pretrained, gsettings)(left, right)
+    print(f"    global: "
+          f"{len(global_row_supports_to_numpy(gxs, gys, gds, gcounts))} "
+          "supports (segmented global contract)")
+    prows = pyramid_supports_to_numpy(
+        *build_pyramid_sparsematch(pretrained, settings, num_levels=3)(
+            left, right))
+    print(f"   pyramid: {len(prows)} supports over 3 levels "
+          f"(per-level {np.bincount(prows[:, 3], minlength=3).tolist()})")
     print(f"outputs in {out_dir}/")
 
 

@@ -9,9 +9,11 @@ The TPU-native equivalent of the reference inference layer
       -> fixed-capacity support buffer (x, y, d) + count
 
 Everything from raw uint8 images to supports is one jitted function with
-static shapes; multi-pair batching is ``jax.lax.map`` over the leading axis
-(the analog of the reference's parFor threading, filter.hpp:128-145) and
-multi-chip scale-out shards the batch axis (opengpc_tpu.parallel).
+static shapes; multi-pair batching folds the batch into the row-form
+matcher's segmented sort where eligible (one (B*H, 2W) sort — the analog
+of the reference's parFor row partitioning, filter.hpp:128-145) and falls
+back to ``jax.lax.map`` on the flat contract; multi-chip scale-out shards
+the batch axis (opengpc_tpu.parallel).
 """
 
 from __future__ import annotations

@@ -231,6 +231,18 @@ def sharded_sparsematch_step(n_devices: int) -> None:
         "row-form sharded counts != flat sharded counts"
     )
 
+    # the segmented GLOBAL contract (the reference's default-settings path)
+    import dataclasses
+
+    gsettings = dataclasses.replace(settings, epipolar_mode=False)
+    run_glob = build_batched_sparsematch_global_rows(forest, gsettings, mesh)
+    (_, _, _), gcounts = run_glob(lefts, rights)
+    gcounts.block_until_ready()
+    assert gcounts.shape[0] == b
+    assert (np.asarray(gcounts).sum(axis=1) > 0).all(), (
+        "no global-mode matches in dryrun"
+    )
+
     # full training step, triplet axis sharded over the same mesh
     from opengpc_tpu.config import zero_optimizer
     from opengpc_tpu.forest import SCALE_L
