@@ -51,3 +51,36 @@ def test_cli_help_smoke():
         )
         assert r.returncode == 0, r.stderr
         assert "usage" in r.stdout.lower()
+
+
+def test_matcher_contracts_deterministic():
+    """The unstable-sort-based contracts emit byte-identical buffers across
+    runs (the sorted keys are unique, so sort instability is unobservable
+    in the outputs)."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                   build_sparsematch_rows)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    rng = np.random.default_rng(8)
+    left = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    right = np.roll(left, -3, axis=1)
+    for builder, settings in (
+        (build_sparsematch_rows,
+         InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                           disp_high=32, capacity=4096)),
+        (build_sparsematch_global_rows,
+         InferenceSettings(gradient_threshold=5, epipolar_mode=False,
+                           disp_high=32, capacity=4096)),
+    ):
+        m = builder(forest, settings, use_pallas=False)
+        a = m(left, right)
+        b = m(left, right)
+        for x, y in zip(__import__("jax").tree_util.tree_leaves(a),
+                        __import__("jax").tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
