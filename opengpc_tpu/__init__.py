@@ -37,12 +37,14 @@ from opengpc_tpu.config import (
 )
 from opengpc_tpu.infer import (
     build_sparsematch,
+    build_sparsematch_global_rows,
     build_sparsematch_rows,
     build_stereomatch,
     extract_descriptors,
+    global_row_supports_to_numpy,
     row_supports_to_numpy,
     supports_to_numpy,
 )
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
