@@ -38,10 +38,12 @@ from opengpc_tpu.config import (
 from opengpc_tpu.infer import (
     build_sparsematch,
     build_sparsematch_global_rows,
+    build_sparsematch_masked,
     build_sparsematch_rows,
     build_stereomatch,
     extract_descriptors,
     global_row_supports_to_numpy,
+    masked_supports_to_numpy,
     row_supports_to_numpy,
     supports_to_numpy,
 )

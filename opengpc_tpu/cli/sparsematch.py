@@ -61,6 +61,14 @@ def main(argv=None) -> int:
         "range (byte-identical to its output; buffer.hpp:960-963)",
     )
     p.add_argument(
+        "--contract", choices=("auto", "flat", "rows", "masked"),
+        default="auto",
+        help="output contract for the on-device matcher: auto (default; "
+        "fastest eligible), flat fixed-capacity buffers, row-form per-row "
+        "packed buffers, or the masked sorted-order buffer (minimum device "
+        "work).  Identical support sets; 'rows'/'masked' are epipolar-only",
+    )
+    p.add_argument(
         "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
         help="sort: on-device clean unique-collision matcher (default); "
         "quirk: host-side bit-exact reference sweep incl. its edge quirks "
@@ -87,6 +95,10 @@ def main(argv=None) -> int:
         print(f"image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
         return 1
 
+    if args.contract != "auto" and (args.pyramid > 1 or args.matcher != "sort"):
+        print("--contract applies to the single-scale on-device matcher "
+              "only (not --pyramid / host --matcher modes)", file=sys.stderr)
+        return 1
     if args.matcher != "sort":
         dropped = [
             name for name, on in (
@@ -107,6 +119,7 @@ def main(argv=None) -> int:
 
     row_form = False
     global_rows = False
+    masked_form = False
     if args.pyramid > 1:
         from opengpc_tpu.pyramid import (
             build_pyramid_sparsematch,
@@ -121,22 +134,34 @@ def main(argv=None) -> int:
             return out
     else:
         # fast output contracts when available (<=30-test forests, packable
-        # keys): epipolar rides the row-form matcher (~1.6x the flat
-        # pipeline, identical support set, lossless); global mode rides the
+        # keys): epipolar rides the masked/row-form matchers (~2.2x/1.6x
+        # the flat pipeline, identical support set); global mode rides the
         # segmented global row-form contract (~1.35x, skips the flat
-        # compaction sort)
+        # compaction sort).  --contract forces a specific one.
         from opengpc_tpu.forest import make_filter_mask
         from opengpc_tpu.infer import _global_rows_ok, _rows_ok
 
         fmask = make_filter_mask(forest)
-        row_form = _rows_ok(fmask, left.shape, settings)
-        if row_form:
+        eligible = _rows_ok(fmask, left.shape, settings)
+        if args.contract in ("rows", "masked") and not eligible:
+            print(f"--contract {args.contract} needs epipolar mode, a "
+                  "<=30-test forest and packable (x, d) keys for this "
+                  "image size", file=sys.stderr)
+            return 1
+        masked_form = eligible and args.contract == "masked"
+        row_form = eligible and args.contract in ("auto", "rows")
+        if masked_form:
+            from opengpc_tpu.infer import (build_sparsematch_masked,
+                                           masked_supports_to_numpy)
+
+            match = build_sparsematch_masked(fmask, settings)
+        elif row_form:
             from opengpc_tpu.infer import (build_sparsematch_rows,
                                            row_supports_to_numpy)
 
             match = build_sparsematch_rows(fmask, settings)
-        elif not settings.epipolar_mode and _global_rows_ok(
-                fmask, left.shape, settings):
+        elif (args.contract == "auto" and not settings.epipolar_mode
+              and _global_rows_ok(fmask, left.shape, settings)):
             from opengpc_tpu.infer import (build_sparsematch_global_rows,
                                            global_row_supports_to_numpy)
 
@@ -147,7 +172,8 @@ def main(argv=None) -> int:
 
         def run():
             out = match(left, right)
-            jax_leaf = out[1] if (row_form or global_rows) else out[-1]
+            jax_leaf = (out[1] if (row_form or global_rows or masked_form)
+                        else out[-1])
             jax_leaf.block_until_ready()
             return out
 
@@ -173,6 +199,18 @@ def main(argv=None) -> int:
             rows = pyramid_supports_to_numpy(*result)
             count = rows.shape[0]
             supports = rows[:, :3]
+        elif masked_form:
+            mbuf, mcounts = result
+            supports = masked_supports_to_numpy(mbuf, mcounts,
+                                                settings.disp_high)
+            count = supports.shape[0]
+            if count > args.capacity:
+                print(
+                    f"WARNING: {count} matches exceed --capacity "
+                    f"{args.capacity}; {count - args.capacity} dropped",
+                    file=sys.stderr,
+                )
+                supports = supports[: args.capacity]
         elif global_rows:
             (gxs, gys, gds), gcounts = result
             supports = global_row_supports_to_numpy(gxs, gys, gds, gcounts)

@@ -328,6 +328,103 @@ def build_sparsematch_rows(
     return run
 
 
+def _sparsematch_masked_impl(left, right, mask: FilterMask,
+                             settings: InferenceSettings, use_pallas: bool):
+    """Masked sorted-order pipeline: (buf (H, 2W) int32, row_counts (H,))
+    — see match.match_epipolar_masked.  Accepts (B, H, W) batches by
+    folding them into the row axis like the row-form batched path."""
+    from opengpc_tpu.match import match_epipolar_masked
+
+    batched = left.ndim == 3
+    shape = left.shape[-2:]
+    if not settings.epipolar_mode:
+        raise ValueError("masked output is epipolar-only")
+    if not _rows_ok(mask, shape, settings):
+        raise ValueError(
+            "masked output needs <=30-test forests and a packable (x, d) "
+            "key; use build_sparsematch"
+        )
+    if batched:
+        b, h, w = left.shape
+        keys = None
+        if use_pallas:
+            from opengpc_tpu.ops.fused import (FusedKernelBudgetError,
+                                               _check_budget)
+
+            try:
+                _check_budget(left[0])
+                keys = jax.lax.map(
+                    lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
+                    (left, right),
+                )
+            except FusedKernelBudgetError:
+                keys = None
+        if keys is None:
+            keys = jax.vmap(
+                lambda l, r: _key_image_jnp(l, r, mask, settings)
+            )(left, right)
+        buf, counts = match_epipolar_masked(
+            None, None, None, None, settings.disp_high,
+            key=keys.reshape(b * h, 2 * w),
+        )
+        return buf.reshape(b, h, 2 * w), counts.reshape(b, h)
+    key = _fused_key_image(left, right, mask, settings) if use_pallas else None
+    if key is None:
+        key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
+    return match_epipolar_masked(None, None, None, None, settings.disp_high,
+                                 key=key)
+
+
+def build_sparsematch_masked(
+    forest_or_mask, settings: InferenceSettings,
+    use_pallas: Optional[bool] = None,
+) -> Callable:
+    """Jitted ``(left, right) -> (buf, row_counts)`` MASKED sorted-order
+    epipolar matcher — the minimum-device-work contract (~1.3x the
+    row-form contract's device throughput; the per-row left-packing moves
+    to the consumer).  ``buf`` is (H, 2W) int32 with
+    ``(x << bd) | (d + disp_high)`` at detected supports and
+    match.MASKED_SENTINEL elsewhere; decode with
+    :func:`masked_supports_to_numpy`.  Same support SET as every other
+    contract.  Batches fold into the row axis like build_sparsematch_rows.
+    """
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = functools.partial(
+        _sparsematch_masked_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
+    return jax.jit(fn)
+
+
+def masked_supports_to_numpy(buf, row_counts, disp_high: int) -> np.ndarray:
+    """Decode one pair's masked sorted-order buffer into the (n, 3) int
+    (x, y, d) support array (row-major; code-sorted within each row —
+    the same SET as the other contracts)."""
+    from opengpc_tpu.match import MASKED_SENTINEL
+
+    if np.ndim(buf) != 2:
+        raise ValueError(
+            "masked_supports_to_numpy takes one pair's (H, 2W) buffer; "
+            "index the batch axis first"
+        )
+    buf = np.asarray(buf)
+    bd = max(1, int(2 * disp_high).bit_length())
+    ys, pos = np.nonzero(buf != MASKED_SENTINEL)
+    v = buf[ys, pos]
+    xs = v >> bd
+    ds = (v & ((1 << bd) - 1)) - disp_high
+    n = int(np.asarray(row_counts).sum())
+    out = np.stack([xs, ys, ds], axis=1).astype(np.int32)
+    assert out.shape[0] == n, (out.shape[0], n)
+    return out
+
+
 def _global_rows_ok(mask: FilterMask, shape, settings: InferenceSettings) -> bool:
     """Eligibility for the segmented global row-form contract: packable
     codes plus the (y, x, d) pack key fitting 30 bits."""

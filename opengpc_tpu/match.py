@@ -245,14 +245,24 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
         # experiments/exp_sort.py)
         key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
                                     is_stable=False)
+    keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
+    if capacity is None:  # row-form output (match_epipolar_rows)
+        return _row_pack(keep, src_x, d, w, disp_high)
+    ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
+    return _compact_supports(keep, src_x, ycoord, d, capacity, w, h, disp_high)
+
+
+def _detect_pairs_packed(key_s, pos_s, w, disp_high):
+    """Pair detection over a row-sorted sentinel-packed key image: returns
+    (keep, src_x, d) windows of shape (H, 2W-1)."""
     eq = key_s[:, :-1] == key_s[:, 1:]
     zeros = jnp.zeros_like(eq[:, :1])
     prev = jnp.concatenate([zeros, eq[:, :-1]], axis=1)
     nxt = jnp.concatenate([eq[:, 1:], zeros], axis=1)
     pair = eq & ~prev & ~nxt
     left_pos, right_pos = pos_s[:, :-1], pos_s[:, 1:]
-    # the bitonic comparator is keys-only, so an equal (src, tar) pair may
-    # come out in either order — normalize by position
+    # the comparator is keys-only, so an equal (src, tar) pair may come out
+    # in either order — normalize by position
     lo = jnp.minimum(left_pos, right_pos)
     hi = jnp.maximum(left_pos, right_pos)
     cross = (lo < w) & (hi >= w) & (hi < 2 * w)
@@ -260,10 +270,59 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
     tar_x = hi - w
     d = src_x - tar_x
     keep = pair & cross & (jnp.abs(d) <= disp_high)
-    if capacity is None:  # row-form output (match_epipolar_rows)
-        return _row_pack(keep, src_x, d, w, disp_high)
-    ycoord = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], keep.shape)
-    return _compact_supports(keep, src_x, ycoord, d, capacity, w, h, disp_high)
+    return keep, src_x, d
+
+
+MASKED_SENTINEL = 0x7FFFFFFF
+
+
+def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
+                          disp_high, key=None):
+    """MASKED sorted-order epipolar matcher — the minimum-device-work
+    output contract: one row sort, pair detection, and a masked emit; NO
+    packing sort at all (~1.3x the row-form contract's device throughput,
+    measured in experiments/exp_global.py's masked entry / BENCH).
+
+    Returns (buf (H, 2W) int32, row_counts (H,)): window position i of row
+    y holds ``(src_x << bd) | (d + disp_high)`` where a support was
+    detected and MASKED_SENTINEL elsewhere (bd = bit_length(2*disp_high)).
+    Supports appear in code-sorted order within each row — the same SET as
+    every other contract (decode with infer.masked_supports_to_numpy).
+
+    The extraction work the pack sort used to do moves to the consumer:
+    host-side it is one vectorized np.nonzero; device-resident consumers
+    can reduce over the masked buffer directly.  Same eligibility as
+    match_epipolar_rows (packable codes, x+d bits <= 30).
+    """
+    if key is None:
+        h, w = code_src.shape
+        code = jnp.concatenate([code_src, code_tar], axis=1)
+        valid = jnp.concatenate([valid_src, valid_tar], axis=1)
+        pos = jnp.broadcast_to(
+            jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
+        )
+        key = jnp.where(valid, code, SENTINEL_BASE + pos)
+    else:
+        h, w2 = key.shape
+        w = w2 // 2
+        pos = jnp.broadcast_to(
+            jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
+        )
+    key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
+                                is_stable=False)
+    keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
+    bd = max(1, int(2 * disp_high).bit_length())
+    bx = max(1, int(w - 1).bit_length())
+    if bx + bd > 30:
+        raise ValueError(
+            f"masked pack needs x+d bits <= 30, got {bx}+{bd}; "
+            "use match_epipolar"
+        )
+    out = jnp.where(keep, (src_x << bd) | (d + disp_high),
+                    jnp.int32(MASKED_SENTINEL))
+    out = jnp.pad(out, ((0, 0), (0, 1)), constant_values=MASKED_SENTINEL)
+    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    return out, counts
 
 
 def _row_pack(keep, src_x, d, w, disp_high):

@@ -347,3 +347,54 @@ def test_cli_sequence_mode_e2e(tmp_path):
         assert len(want) > 50
         assert (set(map(tuple, got.tolist()))
                 == set(map(tuple, want.tolist()))), f"frame {i}"
+
+
+def test_masked_contract_equals_flat_pipeline():
+    """Masked sorted-order contract (build_sparsematch_masked): decoded
+    set equals the flat pipeline's on both key paths, single and batched
+    (the batch folds into the row axis), and counts match the buffer."""
+    from opengpc_tpu.infer import (build_sparsematch_masked,
+                                   masked_supports_to_numpy)
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=64,
+                                 capacity=16384)
+    pairs = [make_pair(80, 144, d, seed=60 + d) for d in (3, 9)]
+    flat = build_sparsematch(forest, settings, use_pallas=False)
+    for use_pallas in (False, True):
+        masked = build_sparsematch_masked(forest, settings,
+                                          use_pallas=use_pallas)
+        for left, right in pairs:
+            want = supports_to_numpy(*flat(left, right))
+            buf, counts = masked(left, right)
+            got = masked_supports_to_numpy(buf, counts, settings.disp_high)
+            assert len(want) > 100
+            assert (set(map(tuple, got.tolist()))
+                    == set(map(tuple, want.tolist())))
+        lb = np.stack([p[0] for p in pairs])
+        rb = np.stack([p[1] for p in pairs])
+        bufs, cnts = masked(lb, rb)
+        assert bufs.shape == (2, 80, 2 * 144)
+        for k, (left, right) in enumerate(pairs):
+            want = supports_to_numpy(*flat(left, right))
+            got = masked_supports_to_numpy(bufs[k], cnts[k],
+                                           settings.disp_high)
+            assert (set(map(tuple, got.tolist()))
+                    == set(map(tuple, want.tolist())))
+
+
+def test_masked_contract_rejects_unsupported_modes():
+    from opengpc_tpu.infer import (build_sparsematch_masked,
+                                   masked_supports_to_numpy)
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    left, right = make_pair(48, 64, 2, seed=1)
+    m = build_sparsematch_masked(
+        forest, InferenceSettings(epipolar_mode=False), use_pallas=False
+    )
+    with pytest.raises(ValueError, match="epipolar"):
+        m(left, right)
+    with pytest.raises(ValueError, match="batch"):
+        masked_supports_to_numpy(np.zeros((2, 4, 8), np.int32),
+                                 np.zeros((2, 4), np.int32), 8)

@@ -258,6 +258,15 @@ def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
                 got_b = set(map(tuple, row_supports_to_numpy(
                     bxs[1], bds[1], bcounts[1]).tolist()))
                 assert got_b == want, f"stacked-batch {ctx}"
+
+                from opengpc_tpu.infer import (build_sparsematch_masked,
+                                               masked_supports_to_numpy)
+
+                buf, counts = build_sparsematch_masked(
+                    forest, settings, use_pallas=False)(left, right)
+                got_m = set(map(tuple, masked_supports_to_numpy(
+                    buf, counts, settings.disp_high).tolist()))
+                assert got_m == want, f"masked {ctx}"
         else:
             from opengpc_tpu.infer import (_global_rows_ok,
                                            build_sparsematch_global_rows,
