@@ -128,6 +128,37 @@ def build_batched_sparsematch_rows(forest: Forest, settings: InferenceSettings,
     return jax.jit(fn)
 
 
+def build_batched_sparsematch_masked(forest: Forest,
+                                     settings: InferenceSettings,
+                                     mesh: Mesh, use_pallas=None):
+    """Masked sorted-order contract over a device mesh: (B, H, W) x2 ->
+    (buf (B, H, 2W), row_counts (B, H)), batch split with shard_map; each
+    chip folds its local pairs into one (B_local*H, 2W) sort (the masked
+    impl handles the batched fold natively)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _sparsematch_masked_impl
+
+    mask = make_filter_mask(forest)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    local = functools.partial(
+        _sparsematch_masked_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas,
+    )
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def build_batched_sparsematch_global_rows(forest: Forest,
                                           settings: InferenceSettings,
                                           mesh: Mesh, use_pallas=None):

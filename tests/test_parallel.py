@@ -161,3 +161,41 @@ def test_sharded_global_rows_matches_single_device():
         got = set(map(tuple, global_row_supports_to_numpy(
             bxs[k], bys[k], bds[k], bcounts[k]).tolist()))
         assert got == want and len(want) > 0
+
+
+def test_sharded_masked_matches_single_device():
+    """Sharded masked sorted-order contract == single-device flat runs."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   masked_supports_to_numpy,
+                                   supports_to_numpy)
+    from opengpc_tpu.parallel import build_batched_sparsematch_masked
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    rng = np.random.default_rng(7)
+    b, h, w = 8, 48, 80
+    small = rng.integers(0, 256, (b, h // 4 + 1, w // 4 + 1))
+    lefts = np.stack(
+        [np.kron(s, np.ones((4, 4)))[:h, :w] for s in small]
+    ).astype(np.uint8)
+    rights = np.roll(lefts, -3, axis=2)
+
+    mesh = make_mesh()
+    sharded = build_batched_sparsematch_masked(forest, settings, mesh)
+    bufs, counts = sharded(lefts, rights)
+    assert bufs.shape == (b, h, 2 * w) and counts.shape == (b, h)
+    single = build_sparsematch(forest, settings)
+    for k in range(b):
+        want = set(map(tuple, supports_to_numpy(
+            *single(lefts[k], rights[k])).tolist()))
+        got = set(map(tuple, masked_supports_to_numpy(
+            bufs[k], counts[k], settings.disp_high).tolist()))
+        assert got == want and len(want) > 0
