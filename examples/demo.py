@@ -85,8 +85,16 @@ def main(out_dir="demo_out"):
     (rxs, rds), rcounts = build_sparsematch_rows(pretrained, settings)(
         left, right)
     rows_supp = row_supports_to_numpy(rxs, rds, rcounts)
-    print(f"  row-form: {len(rows_supp)} supports (the max-throughput "
+    print(f"  row-form: {len(rows_supp)} supports (per-row packed "
           "contract; identical set)")
+    from opengpc_tpu.infer import (build_sparsematch_masked,
+                                   masked_supports_to_numpy)
+
+    mbuf, mcounts = build_sparsematch_masked(pretrained, settings)(
+        left, right)
+    print(f"    masked: "
+          f"{len(masked_supports_to_numpy(mbuf, mcounts, settings.disp_high))}"
+          " supports (minimum-device-work contract; identical set)")
     gsettings = dataclasses.replace(settings, epipolar_mode=False)
     (gxs, gys, gds), gcounts = build_sparsematch_global_rows(
         pretrained, gsettings)(left, right)

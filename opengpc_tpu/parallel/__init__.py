@@ -274,6 +274,14 @@ def sharded_sparsematch_step(n_devices: int) -> None:
         "no global-mode matches in dryrun"
     )
 
+    # the MASKED sorted-order contract (the r3 headline path)
+    run_masked = build_batched_sparsematch_masked(forest, settings, mesh)
+    _, mcounts = run_masked(lefts, rights)
+    mcounts.block_until_ready()
+    assert (np.asarray(mcounts).sum(axis=1) == np.asarray(count)).all(), (
+        "masked sharded counts != flat sharded counts"
+    )
+
     # full training step, triplet axis sharded over the same mesh
     from opengpc_tpu.config import zero_optimizer
     from opengpc_tpu.forest import SCALE_L
