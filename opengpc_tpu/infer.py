@@ -234,6 +234,28 @@ def _key_image_jnp(left, right, mask: FilterMask, settings: InferenceSettings,
     return jnp.where(valid, code, SENTINEL_BASE + pos)
 
 
+def _batched_key_images(lefts, rights, mask: FilterMask,
+                        settings: InferenceSettings, use_pallas: bool):
+    """(B, H, 2W) sentinel-packed key images for a batch of pairs: per-pair
+    Pallas kernels under lax.map on TPU (vmap'd jnp ops otherwise / beyond
+    the kernel budget).  Shared by the stacked row-form and masked batched
+    pipelines."""
+    if use_pallas:
+        from opengpc_tpu.ops.fused import FusedKernelBudgetError, _check_budget
+
+        try:
+            _check_budget(lefts[0])
+            return jax.lax.map(
+                lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
+                (lefts, rights),
+            )
+        except FusedKernelBudgetError:
+            pass
+    return jax.vmap(
+        lambda l, r: _key_image_jnp(l, r, mask, settings)
+    )(lefts, rights)
+
+
 def _sparsematch_rows_batched_impl(lefts, rights, mask: FilterMask,
                                    settings: InferenceSettings,
                                    use_pallas: bool):
@@ -259,22 +281,7 @@ def _sparsematch_rows_batched_impl(lefts, rights, mask: FilterMask,
             "row-form output needs <=30-test forests and a packable "
             "(x, d) key; use build_sparsematch"
         )
-    keys = None
-    if use_pallas:
-        from opengpc_tpu.ops.fused import FusedKernelBudgetError, _check_budget
-
-        try:
-            _check_budget(lefts[0])
-            keys = jax.lax.map(
-                lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
-                (lefts, rights),
-            )
-        except FusedKernelBudgetError:
-            keys = None
-    if keys is None:
-        keys = jax.vmap(
-            lambda l, r: _key_image_jnp(l, r, mask, settings)
-        )(lefts, rights)
+    keys = _batched_key_images(lefts, rights, mask, settings, use_pallas)
     stacked = keys.reshape(b * h, 2 * w)
     (xs, ds), counts = match_epipolar_rows(
         None, None, None, None, settings.disp_high, key=stacked
@@ -346,23 +353,7 @@ def _sparsematch_masked_impl(left, right, mask: FilterMask,
         )
     if batched:
         b, h, w = left.shape
-        keys = None
-        if use_pallas:
-            from opengpc_tpu.ops.fused import (FusedKernelBudgetError,
-                                               _check_budget)
-
-            try:
-                _check_budget(left[0])
-                keys = jax.lax.map(
-                    lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
-                    (left, right),
-                )
-            except FusedKernelBudgetError:
-                keys = None
-        if keys is None:
-            keys = jax.vmap(
-                lambda l, r: _key_image_jnp(l, r, mask, settings)
-            )(left, right)
+        keys = _batched_key_images(left, right, mask, settings, use_pallas)
         buf, counts = match_epipolar_masked(
             None, None, None, None, settings.disp_high,
             key=keys.reshape(b * h, 2 * w),

@@ -191,28 +191,34 @@ def test_viz_compat_png_byte_identical(refmatch_path, tmp_path):
     from opengpc_tpu.cli.sparsematch import main as cli_main
 
     forest = os.path.join(FORESTS, "defaultZeroForest.txt")
-    for name, left, right in _scenes():
-        lp = os.path.join(str(tmp_path), f"{name}_l.png")
-        rp = os.path.join(str(tmp_path), f"{name}_r.png")
-        write_png(lp, left)
-        write_png(rp, right)
-        ref_vis = os.path.join(str(tmp_path), f"{name}_ref.png")
-        subprocess.run(
-            [refmatch_path, forest, lp, rp,
-             os.path.join(str(tmp_path), "supp.txt"),
-             "5", "0", "128", "1", "0", ref_vis],
-            check=True, capture_output=True,
-        )
-        our_vis = os.path.join(str(tmp_path), f"{name}_our.png")
-        rc = cli_main([forest, lp, rp, "--matcher", "quirk",
-                       "--viz-compat", "reference", "--out", our_vis])
-        assert rc == 0
-        with open(ref_vis, "rb") as f:
-            want = f.read()
-        with open(our_vis, "rb") as f:
-            got = f.read()
-        assert len(want) > 1000
-        assert got == want, f"{name}: disparity.png bytes differ"
+    # disp_high 64 also pins the interplay: the reference's viz range stays
+    # hardcoded [0, 128] regardless of the dispHigh filter (buffer.hpp:951)
+    for disp_high in (128, 64):
+        for name, left, right in _scenes():
+            lp = os.path.join(str(tmp_path), f"{name}_l.png")
+            rp = os.path.join(str(tmp_path), f"{name}_r.png")
+            write_png(lp, left)
+            write_png(rp, right)
+            ref_vis = os.path.join(str(tmp_path), f"{name}_ref.png")
+            subprocess.run(
+                [refmatch_path, forest, lp, rp,
+                 os.path.join(str(tmp_path), "supp.txt"),
+                 "5", "0", str(disp_high), "1", "0", ref_vis],
+                check=True, capture_output=True,
+            )
+            our_vis = os.path.join(str(tmp_path), f"{name}_our.png")
+            rc = cli_main([forest, lp, rp, "--matcher", "quirk",
+                           "--disp-high", str(disp_high),
+                           "--viz-compat", "reference", "--out", our_vis])
+            assert rc == 0
+            with open(ref_vis, "rb") as f:
+                want = f.read()
+            with open(our_vis, "rb") as f:
+                got = f.read()
+            assert len(want) > 1000
+            assert got == want, (
+                f"{name} disp_high={disp_high}: disparity.png bytes differ"
+            )
 
 
 def test_refmatch_width_padding(refmatch_path, oracle_path, tmp_path):
