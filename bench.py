@@ -289,9 +289,28 @@ def main():
     assert tau_acc > 0.99, f"tau support accuracy {tau_acc:.3f}"
     _check_against_oracle(left, right, tau_supp, settings,
                           "defaultTauForest.txt", "config2 tau")
-    tau_mpix = timed_mpix(tau_mask, left, right)
+    # tau is just as eligible for the masked headline contract as the zero
+    # forest (30 tests; the fused kernel carries per-test taus) — time it
+    # there, gated on decode equality vs the oracle-gated flat tau set
+    tau_masked_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
+        l, r, mask=tau_mask, settings=settings, use_pallas=use_pallas))
+    tbuf, tcounts = tau_masked_fn(left, right)
+    tdec = masked_supports_to_numpy(tbuf, tcounts, settings.disp_high)
+    assert set(map(tuple, tdec.tolist())) == set(map(tuple,
+                                                     tau_supp.tolist())), \
+        "tau masked support set != tau flat support set"
+
+    def tstep(a, b):
+        buf, counts = _sparsematch_masked_impl(
+            a, b, mask=tau_mask, settings=settings, use_pallas=use_pallas)
+        return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+
+    tbest = device_time_per_iter(tstep, (left, right), rdep, N_SHORT, N_LONG,
+                                 repeats=5)
+    tau_mpix = 2 * H * W / 1e6 / _nonzero(tbest)
     _aux("tau_sparsematch_throughput", tau_mpix, "Mpix/s",
-         "config 2: defaultTauForest per-pair device-timed")
+         "config 2: defaultTauForest on the masked contract, device-timed "
+         "(decode gated against the oracle-gated flat tau set)")
 
     # ------------------------------------------------------------------
     # config 3a: batched pairs aggregate throughput per chip — the batch
@@ -338,6 +357,30 @@ def main():
     _aux("batched_rows_throughput", batch_mpix, "Mpix/s",
          f"config 3: B={BATCH} stacked into one (B*H, 2W) row sort, "
          "aggregate per chip")
+
+    # batched MASKED contract: the same stacked fold without the row-pack
+    # sort — the peak aggregate number (gate: batch element 0 decodes to
+    # the single-pair flat set)
+    bmasked_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
+        l, r, mask=mask, settings=settings, use_pallas=use_pallas))
+    bmbuf, bmcounts = bmasked_fn(lb, rb)
+    bm0 = masked_supports_to_numpy(np.asarray(bmbuf)[0],
+                                   np.asarray(bmcounts)[0],
+                                   settings.disp_high)
+    assert set(map(tuple, bm0.tolist())) == set(map(tuple, flat0.tolist())), \
+        "batched masked pair-0 supports != single-pair supports"
+
+    def bmstep(a, b):
+        buf, counts = _sparsematch_masked_impl(
+            a, b, mask=mask, settings=settings, use_pallas=use_pallas)
+        return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+
+    bmbest = device_time_per_iter(bmstep, (lb, rb), bdep, N_SHORT, 23,
+                                  repeats=5)
+    bmasked_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bmbest)
+    _aux("batched_masked_throughput", bmasked_mpix, "Mpix/s",
+         f"config 3: B={BATCH} stacked into one (B*H, 2W) masked emit "
+         "(no pack sort), aggregate per chip")
 
     # ------------------------------------------------------------------
     # config 3b: 3-level pyramid multi-scale matching

@@ -25,6 +25,16 @@ from opengpc_tpu.io.png import read_gray, write_png
 from opengpc_tpu.viz import disparity_visualization
 
 
+def _force(leaf) -> None:
+    """Force device completion of a pipeline by fetching one small output
+    (the counts leaf — everything else feeds it).  ``block_until_ready``
+    is not reliable through relayed backends (it can return before remote
+    execution finishes, dumping the whole device time into the first host
+    transfer and garbling the phase split) — an actual fetch forces true
+    completion everywhere.  Costs one small-array roundtrip."""
+    np.asarray(leaf)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-sparsematch", description=__doc__.splitlines()[0]
@@ -130,7 +140,7 @@ def main(argv=None) -> int:
 
         def run():
             out = pmatch(left, right)
-            out[-1].block_until_ready()
+            _force(out[-1])
             return out
     else:
         # fast output contracts when available (<=30-test forests, packable
@@ -172,9 +182,8 @@ def main(argv=None) -> int:
 
         def run():
             out = match(left, right)
-            jax_leaf = (out[1] if (row_form or global_rows or masked_form)
-                        else out[-1])
-            jax_leaf.block_until_ready()
+            _force(out[1] if (row_form or global_rows or masked_form)
+                   else out[-1])
             return out
 
     t0 = time.perf_counter()

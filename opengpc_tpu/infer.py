@@ -64,6 +64,24 @@ def _packed_ok(mask: FilterMask, shape) -> bool:
     return mask.num_tests <= 30 and 2 * h * w < (1 << 30)
 
 
+# Candidate interior margin (ops/fused.MARGIN; the reference filters
+# candidates to y, x in [13, dim-13), inference.hpp:318-325).  Key-image
+# rows inside the margin carry only unique sentinel keys and can never
+# produce a collision, so the matcher sorts run on the interior rows only
+# — exact (pinned by the contract-equality tests) and worth ~5-8%
+# end-to-end (measured, experiments/exp_masked2.py).
+_MARGIN = 13
+
+
+def _interior_rows(key):
+    """Slice a (..., H, 2W) key image to its candidate rows [13, H-13).
+    Returns (sliced, margin); margin is 0 when H is too small to slice."""
+    h = key.shape[-2]
+    if h > 2 * _MARGIN + 1:
+        return key[..., _MARGIN:h - _MARGIN, :], _MARGIN
+    return key, 0
+
+
 def _rows_ok(mask: FilterMask, shape, settings: InferenceSettings) -> bool:
     """Full row-form eligibility: epipolar mode, sentinel-packable codes,
     AND the (x, d) row-pack key fitting 30 bits (match._row_pack) — a very
@@ -208,13 +226,16 @@ def _sparsematch_rows_impl(left, right, mask: FilterMask,
             "does not); use build_sparsematch"
         )
     key = _fused_key_image(left, right, mask, settings) if use_pallas else None
-    if key is not None:
-        return match_epipolar_rows(None, None, None, None,
-                                   settings.disp_high, key=key)
-    codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
-    codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
-    return match_epipolar_rows(codes_l, codes_r, cand_l, cand_r,
-                               settings.disp_high)
+    if key is None:
+        key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
+    key, m = _interior_rows(key)
+    (xs, ds), counts = match_epipolar_rows(None, None, None, None,
+                                           settings.disp_high, key=key)
+    if m:
+        xs = jnp.pad(xs, ((m, m), (0, 0)))
+        ds = jnp.pad(ds, ((m, m), (0, 0)))
+        counts = jnp.pad(counts, (m, m))
+    return (xs, ds), counts
 
 
 def _key_image_jnp(left, right, mask: FilterMask, settings: InferenceSettings,
@@ -282,11 +303,20 @@ def _sparsematch_rows_batched_impl(lefts, rights, mask: FilterMask,
             "(x, d) key; use build_sparsematch"
         )
     keys = _batched_key_images(lefts, rights, mask, settings, use_pallas)
-    stacked = keys.reshape(b * h, 2 * w)
+    keys, m = _interior_rows(keys)
+    hs = h - 2 * m
+    stacked = keys.reshape(b * hs, 2 * w)
     (xs, ds), counts = match_epipolar_rows(
         None, None, None, None, settings.disp_high, key=stacked
     )
-    return (xs.reshape(b, h, w), ds.reshape(b, h, w)), counts.reshape(b, h)
+    xs = xs.reshape(b, hs, w)
+    ds = ds.reshape(b, hs, w)
+    counts = counts.reshape(b, hs)
+    if m:
+        xs = jnp.pad(xs, ((0, 0), (m, m), (0, 0)))
+        ds = jnp.pad(ds, ((0, 0), (m, m), (0, 0)))
+        counts = jnp.pad(counts, ((0, 0), (m, m)))
+    return (xs, ds), counts
 
 
 def build_sparsematch_rows(
@@ -351,19 +381,34 @@ def _sparsematch_masked_impl(left, right, mask: FilterMask,
             "masked output needs <=30-test forests and a packable (x, d) "
             "key; use build_sparsematch"
         )
+    from opengpc_tpu.match import MASKED_SENTINEL
+
     if batched:
         b, h, w = left.shape
         keys = _batched_key_images(left, right, mask, settings, use_pallas)
+        keys, m = _interior_rows(keys)
+        hs = h - 2 * m
         buf, counts = match_epipolar_masked(
             None, None, None, None, settings.disp_high,
-            key=keys.reshape(b * h, 2 * w),
+            key=keys.reshape(b * hs, 2 * w),
         )
-        return buf.reshape(b, h, 2 * w), counts.reshape(b, h)
+        buf = buf.reshape(b, hs, 2 * w)
+        counts = counts.reshape(b, hs)
+        if m:
+            buf = jnp.pad(buf, ((0, 0), (m, m), (0, 0)),
+                          constant_values=MASKED_SENTINEL)
+            counts = jnp.pad(counts, ((0, 0), (m, m)))
+        return buf, counts
     key = _fused_key_image(left, right, mask, settings) if use_pallas else None
     if key is None:
         key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
-    return match_epipolar_masked(None, None, None, None, settings.disp_high,
-                                 key=key)
+    key, m = _interior_rows(key)
+    buf, counts = match_epipolar_masked(None, None, None, None,
+                                        settings.disp_high, key=key)
+    if m:
+        buf = jnp.pad(buf, ((m, m), (0, 0)), constant_values=MASKED_SENTINEL)
+        counts = jnp.pad(counts, (m, m))
+    return buf, counts
 
 
 def build_sparsematch_masked(
@@ -396,7 +441,12 @@ def build_sparsematch_masked(
 def masked_supports_to_numpy(buf, row_counts, disp_high: int) -> np.ndarray:
     """Decode one pair's masked sorted-order buffer into the (n, 3) int
     (x, y, d) support array (row-major; code-sorted within each row —
-    the same SET as the other contracts)."""
+    the same SET as the other contracts).
+
+    The scan rides the native helper (cpp/decode.cc, ~1 ms at Sintel
+    scale) when built, else a flat-nonzero numpy pass (~5 ms; both
+    measured — the 2-D nonzero formulation costs ~12 ms)."""
+    from opengpc_tpu.io.png import masked_decode_native
     from opengpc_tpu.match import MASKED_SENTINEL
 
     if np.ndim(buf) != 2:
@@ -405,13 +455,18 @@ def masked_supports_to_numpy(buf, row_counts, disp_high: int) -> np.ndarray:
             "index the batch axis first"
         )
     buf = np.asarray(buf)
-    bd = max(1, int(2 * disp_high).bit_length())
-    ys, pos = np.nonzero(buf != MASKED_SENTINEL)
-    v = buf[ys, pos]
-    xs = v >> bd
-    ds = (v & ((1 << bd) - 1)) - disp_high
     n = int(np.asarray(row_counts).sum())
-    out = np.stack([xs, ys, ds], axis=1).astype(np.int32)
+    out = masked_decode_native(buf, n, disp_high, MASKED_SENTINEL)
+    if out is not None:
+        return out
+    bd = max(1, int(2 * disp_high).bit_length())
+    flat = buf.ravel()
+    pos = np.flatnonzero(flat != MASKED_SENTINEL)
+    v = flat[pos]
+    out = np.empty((len(pos), 3), np.int32)
+    out[:, 0] = v >> bd
+    out[:, 1] = (pos // buf.shape[1]).astype(np.int32)
+    out[:, 2] = (v & ((1 << bd) - 1)) - disp_high
     assert out.shape[0] == n, (out.shape[0], n)
     return out
 
@@ -444,8 +499,9 @@ def _sparsematch_global_rows_impl(left, right, mask: FilterMask,
     key = _fused_key_image(left, right, mask, settings) if use_pallas else None
     if key is None:
         key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
+    key, m = _interior_rows(key)
     return match_global_rows(key, left.shape[1], settings.disp_high,
-                             settings.vertical_tolerance)
+                             settings.vertical_tolerance, y_offset=m)
 
 
 def build_sparsematch_global_rows(

@@ -79,10 +79,43 @@ def _native_lib_load() -> Optional[ctypes.CDLL]:
         ]
         lib.ogpc_free.restype = None
         lib.ogpc_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "ogpc_masked_decode"):  # absent in stale builds
+            lib.ogpc_masked_decode.restype = ctypes.c_int64
+            lib.ogpc_masked_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),  # buf
+                ctypes.c_int64,                  # h
+                ctypes.c_int64,                  # w2
+                ctypes.c_int32,                  # disp_high
+                ctypes.c_int32,                  # sentinel
+                ctypes.POINTER(ctypes.c_int32),  # out (x, y, d triples)
+                ctypes.c_int64,                  # max_out
+            ]
         _NATIVE = lib
     except OSError:
         _NATIVE = None
     return _NATIVE
+
+
+def masked_decode_native(buf: np.ndarray, n: int, disp_high: int,
+                         sentinel: int) -> Optional[np.ndarray]:
+    """Native scan of a masked sorted-order support buffer (cpp/decode.cc):
+    (H, 2W) int32 -> (n, 3) int32 (x, y, d) in scan order, or None when the
+    native library isn't built (callers fall back to numpy)."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "ogpc_masked_decode"):
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.int32)
+    out = np.empty((n + 1, 3), dtype=np.int32)  # slot n = scratch (see .cc)
+    got = lib.ogpc_masked_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        buf.shape[0], buf.shape[1], disp_high, sentinel,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+    )
+    if got != n:
+        raise ValueError(
+            f"masked buffer holds {got} supports, row counts say {n}"
+        )
+    return out[:n]
 
 
 def _read_native(path: str) -> Optional[Tuple[np.ndarray, int]]:

@@ -456,6 +456,7 @@ def match_global_rows(
     disp_high: int,
     vertical_tolerance: int,
     num_rows: int = 0,
+    y_offset: int = 0,
 ):
     """Global (non-epipolar) unique-collision matching with SEGMENTED
     row-form output — the global analog of match_epipolar_rows.
@@ -476,6 +477,11 @@ def match_global_rows(
 
     Packing needs y, x and d bits to fit 30 (callers gate; ~any frame
     under 0.5 Gpix with sane disp_high).
+
+    ``y_offset``: row index of key_img's first row in the full image —
+    callers that slice the all-sentinel candidate-margin rows off the key
+    image before the flat sort (infer._interior_rows) pass the margin here
+    so emitted y coordinates stay in full-image space.
     """
     h, w2 = key_img.shape
     assert w2 == 2 * w
@@ -506,6 +512,11 @@ def match_global_rows(
         & (jnp.abs(d) <= disp_high)
         & (jnp.abs(src_y - tar_y) <= vertical_tolerance)
     )
+    if y_offset:
+        # back to full-image row coordinates (the offset cancels in the
+        # |src_y - tar_y| tolerance check above, so only the emitted y
+        # needs it)
+        src_y = src_y + jnp.int32(y_offset)
     # pad the (n-1,) windows to n and reshape into segments
     r = num_rows if num_rows > 0 else h
     c = -(-n // r)
@@ -515,7 +526,7 @@ def match_global_rows(
     src_y = jnp.pad(src_y, (0, padn))
     d = jnp.pad(d, (0, padn))
     bx = max(1, int(w - 1).bit_length())
-    by = max(1, int(h - 1).bit_length())
+    by = max(1, int(h - 1 + y_offset).bit_length())
     bd = max(1, int(2 * disp_high).bit_length())
     if by + bx + bd > 30:
         raise ValueError(

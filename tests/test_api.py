@@ -398,3 +398,72 @@ def test_masked_contract_rejects_unsupported_modes():
     with pytest.raises(ValueError, match="batch"):
         masked_supports_to_numpy(np.zeros((2, 4, 8), np.int32),
                                  np.zeros((2, 4), np.int32), 8)
+
+
+def test_interior_margin_slice_invariants():
+    """The fast contracts sort only the candidate-interior rows
+    (infer._interior_rows; candidates need y in [13, h-13),
+    inference.hpp:318-325) and pad the margin rows back: margin rows must
+    be empty in every contract, tiny images (h <= 27, no candidate rows at
+    all) must still run, and the sliced outputs must keep full-image
+    coordinates."""
+    from opengpc_tpu.infer import (_MARGIN, build_sparsematch_masked,
+                                   build_sparsematch_rows,
+                                   masked_supports_to_numpy)
+    from opengpc_tpu.match import MASKED_SENTINEL
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=32,
+                                 capacity=4096)
+    left, right = make_pair(72, 112, 4, seed=31)
+    buf, counts = build_sparsematch_masked(forest, settings,
+                                           use_pallas=False)(left, right)
+    buf, counts = np.asarray(buf), np.asarray(counts)
+    assert buf.shape == (72, 224) and counts.shape == (72,)
+    assert (buf[:_MARGIN] == MASKED_SENTINEL).all()
+    assert (buf[72 - _MARGIN:] == MASKED_SENTINEL).all()
+    assert counts[:_MARGIN].sum() == 0 and counts[72 - _MARGIN:].sum() == 0
+    got = masked_supports_to_numpy(buf, counts, settings.disp_high)
+    assert len(got) > 50
+    ys = got[:, 1]
+    assert ys.min() >= _MARGIN and ys.max() < 72 - _MARGIN
+
+    (xs, ds), rc = build_sparsematch_rows(forest, settings,
+                                          use_pallas=False)(left, right)
+    rc = np.asarray(rc)
+    assert rc.shape == (72,)
+    assert rc[:_MARGIN].sum() == 0 and rc[72 - _MARGIN:].sum() == 0
+    assert rc.sum() == len(got)
+
+    # tiny image: no candidate rows at all -> empty outputs, no crash
+    tl, tr = make_pair(24, 64, 2, seed=32)
+    tbuf, tcounts = build_sparsematch_masked(forest, settings,
+                                             use_pallas=False)(tl, tr)
+    assert tbuf.shape == (24, 128)
+    assert int(np.asarray(tcounts).sum()) == 0
+
+
+def test_masked_decode_native_equals_numpy(monkeypatch):
+    """cpp/decode.cc's branchless scan must produce byte-identical (n, 3)
+    arrays (same scan order) as the numpy flat-nonzero fallback."""
+    import opengpc_tpu.io.png as iopng
+    from opengpc_tpu.infer import (build_sparsematch_masked,
+                                   masked_supports_to_numpy)
+
+    if iopng._native_lib() is None:
+        pytest.skip("native library not built")
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=48,
+                                 capacity=8192)
+    left, right = make_pair(96, 160, 7, seed=77)
+    buf, counts = build_sparsematch_masked(forest, settings,
+                                           use_pallas=False)(left, right)
+    native = masked_supports_to_numpy(buf, counts, settings.disp_high)
+    assert len(native) > 100
+    monkeypatch.setattr(iopng, "_NATIVE", None)
+    monkeypatch.setattr(iopng, "_NATIVE_TRIED", True)
+    fallback = masked_supports_to_numpy(buf, counts, settings.disp_high)
+    assert native.dtype == fallback.dtype == np.int32
+    assert (native == fallback).all()
