@@ -22,6 +22,7 @@ from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import load_forest
 from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
 from opengpc_tpu.io.png import read_gray, write_png
+from opengpc_tpu.io.supports import write_supports
 from opengpc_tpu.viz import disparity_visualization
 
 
@@ -57,6 +58,11 @@ def main(argv=None) -> int:
                    help="optional text output, one 'x y d' line per support")
     p.add_argument("--repeats", type=int, default=1,
                    help="re-run the jitted matcher N times and report the best")
+    p.add_argument("--batch", type=int, default=1, metavar="B",
+                   help="sequence mode: stack B same-shape frame pairs per "
+                   "dispatch (folded into one (B*H, 2W) segmented sort); "
+                   "amortizes per-dispatch overhead, identical per-frame "
+                   "outputs")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace into LOGDIR")
     p.add_argument("--pyramid", type=int, default=1, metavar="LEVELS",
@@ -99,6 +105,10 @@ def main(argv=None) -> int:
 
     if os.path.isdir(args.left):
         return _run_sequence(args, forest, settings)
+    if args.batch > 1:
+        print("--batch applies to sequence (directory) mode only",
+              file=sys.stderr)
+        return 1
     left = read_gray(args.left)
     right = read_gray(args.right)
     if left.shape != right.shape:
@@ -279,7 +289,7 @@ def main(argv=None) -> int:
                                                 max_disparity=args.disp_high))
         print(f"wrote {args.densify}")
     if args.supports_out:
-        np.savetxt(args.supports_out, supports, fmt="%d")
+        write_supports(args.supports_out, supports)
         print(f"wrote {args.supports_out}")
     return 0
 
@@ -329,7 +339,7 @@ def _run_host_matcher(args, forest, settings, left, right) -> int:
     write_png(args.out, _viz(left, supports, args))
     print(f"wrote {args.out}")
     if args.supports_out:
-        np.savetxt(args.supports_out, supports, fmt="%d")
+        write_supports(args.supports_out, supports)
         print(f"wrote {args.supports_out}")
     return 0
 
@@ -365,48 +375,94 @@ def _run_sequence(args, forest, settings) -> int:
     total_px = 0
     total_matches = 0
     flat_match = None if row_form else match
+    batch = max(1, args.batch) if row_form else 1
 
-    def assemble(pending):
-        """Fetch one frame's device outputs and write its supports file."""
+    def write_frame(i, supports):
         nonlocal total_matches
-        i, used_rows, out = pending
-        if used_rows:
-            (rxs, rds), rcounts = out
-            supports = row_supports_to_numpy(rxs, rds, rcounts)
-        else:
-            supports = supports_to_numpy(*out)
         total_matches += len(supports)
-        np.savetxt(
-            os.path.join(out_dir, f"supports_{i:04d}.txt"), supports, fmt="%d"
+        write_supports(
+            os.path.join(out_dir, f"supports_{i:04d}.txt"), supports
         )
 
-    # software pipeline: jax dispatch is async, so frame i+1's read + jit
-    # dispatch overlap frame i's device->host fetch and supports write
-    # (the analog of the reference streaming frames through one pipeline)
-    pending = None
-    t0 = time.perf_counter()
-    for i, (lp, rp) in enumerate(zip(lefts, rights)):
-        left = read_gray(lp)
-        right = read_gray(rp)
-        if row_form and left.shape == probe.shape:
-            out = match(left, right)
-            used_rows = True
+    def assemble(pending):
+        """Fetch one dispatch's device outputs (one frame, or a --batch
+        stack of frames) and write the per-frame supports files."""
+        i0, used_rows, out, k = pending
+        if used_rows and k > 1:
+            (rxs, rds), rcounts = out
+            rxs, rds = np.asarray(rxs), np.asarray(rds)
+            rcounts = np.asarray(rcounts)
+            for j in range(k):
+                write_frame(i0 + j,
+                            row_supports_to_numpy(rxs[j], rds[j], rcounts[j]))
+        elif used_rows:
+            (rxs, rds), rcounts = out
+            write_frame(i0, row_supports_to_numpy(rxs, rds, rcounts))
         else:
-            # shape change mid-sequence: fall back to the flat pipeline
-            # (row_form eligibility was probed on the first frame).  ONE
-            # flat matcher is built lazily and reused — jit's per-shape
-            # cache then makes repeated fallback shapes free, instead of
-            # paying a fresh trace/compile per mismatched frame
-            if flat_match is None:
-                flat_match = build_sparsematch(fmask, settings)
-            out = flat_match(left, right)
-            used_rows = False
-        total_px += 2 * left.size
-        if pending is not None:
-            assemble(pending)
-        pending = (i, used_rows, out)
-    if pending is not None:
-        assemble(pending)
+            write_frame(i0, supports_to_numpy(*out))
+
+    def dispatch_group(group):
+        """One jit dispatch for a same-shape group: a stacked (B, H, W)
+        batch folds into ONE (B*H, 2W) segmented sort on device
+        (infer._sparsematch_rows_batched_impl) — per-dispatch overhead is
+        paid once per B frames, with per-frame outputs identical to
+        single-frame dispatches (pinned by test_cli_sequence_mode_batched)."""
+        i0 = group[0][0]
+        if len(group) == 1:
+            return (i0, True, match(group[0][1], group[0][2]), 1)
+        lb = np.stack([g[1] for g in group])
+        rb = np.stack([g[2] for g in group])
+        return (i0, True, match(lb, rb), len(group))
+
+    # software pipeline: jax dispatch is async, and assembly (device->host
+    # fetch + supports write — numpy and the native writer both release
+    # the GIL) runs on its own worker thread, so the next frames' reads +
+    # dispatch genuinely overlap the previous dispatch's fetch/write
+    # instead of serializing with it (the analog of the reference
+    # streaming frames through one pipeline)
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    futures = collections.deque()
+
+    def submit(pending):
+        futures.append(ex.submit(assemble, pending))
+        while len(futures) > 2:  # bound in-flight device output buffers
+            futures.popleft().result()
+
+    group = []
+    t0 = time.perf_counter()
+    try:
+        for i, (lp, rp) in enumerate(zip(lefts, rights)):
+            left = read_gray(lp)
+            right = read_gray(rp)
+            total_px += 2 * left.size
+            if row_form and left.shape == probe.shape:
+                group.append((i, left, right))
+                if len(group) < batch:
+                    continue
+                submit(dispatch_group(group))
+                group = []
+            else:
+                # shape change mid-sequence: flush any batched group, then
+                # fall back to the flat pipeline (row_form eligibility was
+                # probed on the first frame).  ONE flat matcher is built
+                # lazily and reused — jit's per-shape cache then makes
+                # repeated fallback shapes free, instead of paying a fresh
+                # trace/compile per mismatched frame
+                if group:
+                    submit(dispatch_group(group))
+                    group = []
+                if flat_match is None:
+                    flat_match = build_sparsematch(fmask, settings)
+                submit((i, False, flat_match(left, right), 1))
+        if group:
+            submit(dispatch_group(group))
+        while futures:
+            futures.popleft().result()
+    finally:
+        ex.shutdown(wait=True)
     dt = time.perf_counter() - t0
     print(
         f"{len(lefts)} pairs, {total_matches} supports, "

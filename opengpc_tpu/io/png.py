@@ -90,6 +90,13 @@ def _native_lib_load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),  # out (x, y, d triples)
                 ctypes.c_int64,                  # max_out
             ]
+        if hasattr(lib, "ogpc_write_supports"):
+            lib.ogpc_write_supports.restype = ctypes.c_int
+            lib.ogpc_write_supports.argtypes = [
+                ctypes.c_char_p,                 # path
+                ctypes.POINTER(ctypes.c_int32),  # (n, 3) triples
+                ctypes.c_int64,                  # n
+            ]
         _NATIVE = lib
     except OSError:
         _NATIVE = None

@@ -467,3 +467,50 @@ def test_masked_decode_native_equals_numpy(monkeypatch):
     fallback = masked_supports_to_numpy(buf, counts, settings.disp_high)
     assert native.dtype == fallback.dtype == np.int32
     assert (native == fallback).all()
+
+
+def test_cli_sequence_mode_batched(tmp_path):
+    """Sequence mode with --batch 3: same-shape frames are stacked into
+    one (B*H, 2W) dispatch (with a mid-sequence shape change flushing the
+    group to the flat fallback, and a non-full leftover group at the end);
+    every per-frame supports file must equal a direct single-pair run."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(11):  # 11 = 3+3 then shape-change, then 3+2 leftover
+        if i == 6:
+            l, r = make_pair(72, 112, 4, seed=90 + i)
+        else:
+            l, r = make_pair(96, 144, 3 + (i % 4), seed=90 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    out = tmp_path / "out" / "d.png"
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--disp-high", "32", "--batch", "3", "--out", str(out)])
+    assert rc == 0
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 16)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    matchers = {}
+    for i, (l, r) in enumerate(frames):
+        sf = tmp_path / "out" / f"supports_{i:04d}.txt"
+        assert sf.exists(), f"missing {sf}"
+        got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+        if l.shape not in matchers:
+            matchers[l.shape] = build_sparsematch(forest, settings,
+                                                  use_pallas=False)
+        want = supports_to_numpy(*matchers[l.shape](l, r))
+        assert len(want) > 50
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist()))), f"frame {i}"
+    # --batch outside sequence mode is rejected
+    lp, rp = str(ldir / "f0000.png"), str(rdir / "f0000.png")
+    assert cli_main(["forests/defaultZeroForest.txt", lp, rp,
+                     "--batch", "2"]) == 1

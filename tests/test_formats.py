@@ -262,3 +262,24 @@ def test_read_gray_batch(tmp_path):
     out = read_gray_batch(paths, max_workers=4)
     for got, want in zip(out, imgs):
         np.testing.assert_array_equal(got, want)
+
+
+def test_write_supports_byte_identical_to_savetxt(tmp_path):
+    """io.supports.write_supports (native itoa writer, cpp/decode.cc) must
+    be byte-identical to np.savetxt(fmt='%d') — the supports-file format is
+    an interchange surface with the oracle and the e2e tests."""
+    import numpy as np
+
+    from opengpc_tpu.io.supports import read_supports, write_supports
+
+    rng = np.random.default_rng(3)
+    a = np.stack([rng.integers(0, 2048, 5000),
+                  rng.integers(0, 512, 5000),
+                  rng.integers(-128, 129, 5000)], axis=1).astype(np.int32)
+    p1, p2 = tmp_path / "a.txt", tmp_path / "b.txt"
+    write_supports(str(p1), a)
+    np.savetxt(str(p2), a, fmt="%d")
+    assert p1.read_bytes() == p2.read_bytes()
+    assert (read_supports(str(p1)) == a).all()
+    write_supports(str(tmp_path / "e.txt"), a[:0])
+    assert (tmp_path / "e.txt").read_bytes() == b""
