@@ -11,6 +11,7 @@
 // C ABI, loaded via ctypes alongside the PNG codec (same .so).
 
 #include <cstdint>
+#include <cstdio>
 
 extern "C" {
 

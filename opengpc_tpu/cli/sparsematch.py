@@ -376,6 +376,13 @@ def _run_sequence(args, forest, settings) -> int:
     total_matches = 0
     flat_match = None if row_form else match
     batch = max(1, args.batch) if row_form else 1
+    if args.batch > 1 and not row_form:
+        print(
+            f"--batch {args.batch} ignored: batched dispatch needs the "
+            "row-form contract (epipolar mode, <=30-test forest, packable "
+            "(x, d) keys for this image size); frames dispatch singly",
+            file=sys.stderr,
+        )
 
     def write_frame(i, supports):
         nonlocal total_matches
@@ -402,17 +409,26 @@ def _run_sequence(args, forest, settings) -> int:
             write_frame(i0, supports_to_numpy(*out))
 
     def dispatch_group(group):
-        """One jit dispatch for a same-shape group: a stacked (B, H, W)
-        batch folds into ONE (B*H, 2W) segmented sort on device
+        """One jit dispatch for a FULL same-shape group: a stacked
+        (B, H, W) batch folds into ONE (B*H, 2W) segmented sort on device
         (infer._sparsematch_rows_batched_impl) — per-dispatch overhead is
         paid once per B frames, with per-frame outputs identical to
         single-frame dispatches (pinned by test_cli_sequence_mode_batched)."""
         i0 = group[0][0]
-        if len(group) == 1:
+        if len(group) == 1:  # --batch 1: plain 2-D single-frame dispatch
             return (i0, True, match(group[0][1], group[0][2]), 1)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
         return (i0, True, match(lb, rb), len(group))
+
+    def flush_group(group):
+        """Dispatch a partial (flushed or leftover) group as SINGLE frames:
+        a (k, H, W) stack for each distinct k < B would trigger its own jit
+        trace (~25-40 s remote compile on relayed setups) to save ~0.5 ms
+        of dispatch — the single-frame program is one compile reused by
+        every partial group."""
+        for i, l, r in group:
+            submit((i, True, match(l, r), 1))
 
     # software pipeline: jax dispatch is async, and assembly (device->host
     # fetch + supports write — numpy and the native writer both release
@@ -452,13 +468,13 @@ def _run_sequence(args, forest, settings) -> int:
                 # repeated fallback shapes free, instead of paying a fresh
                 # trace/compile per mismatched frame
                 if group:
-                    submit(dispatch_group(group))
+                    flush_group(group)
                     group = []
                 if flat_match is None:
                     flat_match = build_sparsematch(fmask, settings)
                 submit((i, False, flat_match(left, right), 1))
         if group:
-            submit(dispatch_group(group))
+            flush_group(group)
         while futures:
             futures.popleft().result()
     finally:

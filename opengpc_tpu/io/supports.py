@@ -4,7 +4,7 @@ the native oracle (cpp/oracle.cc) and the refmatch driver.
 Writing is the per-frame bottleneck of sequence mode at Sintel scale
 (~345k supports/frame): ``np.savetxt(fmt="%d")`` costs ~750 ms per frame,
 the native writer (cpp/decode.cc ogpc_write_supports, hand-rolled itoa)
-~30 ms — byte-identical output.  Falls back to savetxt when the native
+12-18 ms — byte-identical output (pinned by test).  Falls back to savetxt when the native
 library isn't built.
 """
 

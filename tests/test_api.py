@@ -502,7 +502,8 @@ def test_cli_sequence_mode_batched(tmp_path):
     for i, (l, r) in enumerate(frames):
         sf = tmp_path / "out" / f"supports_{i:04d}.txt"
         assert sf.exists(), f"missing {sf}"
-        got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+        from opengpc_tpu.io.supports import read_supports
+        got = read_supports(str(sf))
         if l.shape not in matchers:
             matchers[l.shape] = build_sparsematch(forest, settings,
                                                   use_pallas=False)

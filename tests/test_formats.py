@@ -270,8 +270,17 @@ def test_write_supports_byte_identical_to_savetxt(tmp_path):
     an interchange surface with the oracle and the e2e tests."""
     import numpy as np
 
+    import opengpc_tpu.io.png as iopng
     from opengpc_tpu.io.supports import read_supports, write_supports
 
+    lib = iopng._native_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native library not built")
+    # a loaded lib without the symbol means a stale build — fail, don't
+    # silently compare savetxt against itself
+    assert hasattr(lib, "ogpc_write_supports"), \
+        "stale cpp/build/libopengpc_io.so: rebuild with `make -C cpp`"
     rng = np.random.default_rng(3)
     a = np.stack([rng.integers(0, 2048, 5000),
                   rng.integers(0, 512, 5000),

@@ -280,3 +280,42 @@ def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
                 got_g = set(map(tuple, global_row_supports_to_numpy(
                     xs, ys, ds, counts).tolist()))
                 assert got_g == want, f"global-rows {ctx}"
+
+
+def test_fast_contracts_minimal_interior():
+    """Edge sizes around the interior-margin slice: h=28 leaves exactly two
+    candidate rows, h=27 none at all — the fast contracts must stay
+    set-equal to the flat pipeline (which never slices) at both."""
+    import numpy as np
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   build_sparsematch_masked,
+                                   build_sparsematch_rows,
+                                   masked_supports_to_numpy,
+                                   row_supports_to_numpy, supports_to_numpy)
+
+    rng = np.random.default_rng(11)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=16, epipolar_mode=True,
+                                 capacity=2048)
+    for h in (27, 28, 30):
+        left = random_image(rng, h, 64)
+        right = np.roll(left, -3, axis=1)
+        flat = build_sparsematch(forest, settings, use_pallas=False)
+        want = set(map(tuple,
+                       supports_to_numpy(*flat(left, right)).tolist()))
+        buf, counts = build_sparsematch_masked(
+            forest, settings, use_pallas=False)(left, right)
+        got_m = set(map(tuple, masked_supports_to_numpy(
+            buf, counts, settings.disp_high).tolist()))
+        assert got_m == want, f"masked h={h}"
+        (xs, ds), rc = build_sparsematch_rows(
+            forest, settings, use_pallas=False)(left, right)
+        got_r = set(map(tuple,
+                        row_supports_to_numpy(xs, ds, rc).tolist()))
+        assert got_r == want, f"rows h={h}"
+        if h == 28:
+            assert len(want) > 0, "h=28 should still emit supports"
