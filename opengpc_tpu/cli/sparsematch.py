@@ -154,9 +154,9 @@ def main(argv=None) -> int:
             return out
     else:
         # fast output contracts when available (<=30-test forests, packable
-        # keys): epipolar rides the masked/row-form matchers (~2.2x/1.6x
+        # keys): epipolar rides the masked/row-form matchers (~2.3x/1.8x
         # the flat pipeline, identical support set); global mode rides the
-        # segmented global row-form contract (~1.35x, skips the flat
+        # segmented global row-form contract (~1.4x, skips the flat
         # compaction sort).  --contract forces a specific one.
         from opengpc_tpu.forest import make_filter_mask
         from opengpc_tpu.infer import _global_rows_ok, _rows_ok
