@@ -69,7 +69,8 @@ int ogpc_write_supports(const char* path, const int32_t* a, int64_t n) {
       pos = 0;
     }
     for (int c = 0; c < 3; c++) {
-      int32_t v = a[3 * i + c];
+      // widen before negating: -INT32_MIN is signed-overflow UB
+      int64_t v = a[3 * i + c];
       if (v < 0) { buf[pos++] = '-'; v = -v; }
       char tmp[12];
       int t = 0;

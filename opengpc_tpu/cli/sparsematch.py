@@ -80,9 +80,11 @@ def main(argv=None) -> int:
         "--contract", choices=("auto", "flat", "rows", "masked"),
         default="auto",
         help="output contract for the on-device matcher: auto (default; "
-        "fastest eligible), flat fixed-capacity buffers, row-form per-row "
-        "packed buffers, or the masked sorted-order buffer (minimum device "
-        "work).  Identical support sets; 'rows'/'masked' are epipolar-only",
+        "row-form when eligible — the best end-to-end default), flat "
+        "fixed-capacity buffers, row-form per-row packed buffers, or the "
+        "masked sorted-order buffer (peak device throughput; decode moves "
+        "to the consumer).  Identical support sets; 'rows'/'masked' are "
+        "epipolar-only; sequence mode supports auto/rows",
     )
     p.add_argument(
         "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
@@ -104,6 +106,12 @@ def main(argv=None) -> int:
     import os
 
     if os.path.isdir(args.left):
+        if args.contract not in ("auto", "rows"):
+            print(f"--contract {args.contract} is not supported in "
+                  "sequence (directory) mode — it rides the row-form "
+                  "contract (auto/rows), falling back to flat per frame "
+                  "only when ineligible", file=sys.stderr)
+            return 1
         return _run_sequence(args, forest, settings)
     if args.batch > 1:
         print("--batch applies to sequence (directory) mode only",

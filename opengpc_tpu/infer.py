@@ -30,7 +30,8 @@ from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import FilterMask, Forest, make_filter_mask
 from opengpc_tpu.match import match_epipolar, match_global
 from opengpc_tpu.ops.codes import leaf_codes
-from opengpc_tpu.ops.preprocess import box3, sobel3, candidate_mask
+from opengpc_tpu.ops.preprocess import (CANDIDATE_MARGIN, box3, sobel3,
+                                         candidate_mask)
 
 
 def preprocess(img: jnp.ndarray, gradient_threshold: int):
@@ -64,13 +65,13 @@ def _packed_ok(mask: FilterMask, shape) -> bool:
     return mask.num_tests <= 30 and 2 * h * w < (1 << 30)
 
 
-# Candidate interior margin (ops/fused.MARGIN; the reference filters
-# candidates to y, x in [13, dim-13), inference.hpp:318-325).  Key-image
-# rows inside the margin carry only unique sentinel keys and can never
-# produce a collision, so the matcher sorts run on the interior rows only
-# — exact (pinned by the contract-equality tests) and worth ~5-8%
-# end-to-end (measured, experiments/exp_masked2.py).
-_MARGIN = 13
+# Key-image rows inside the candidate margin (the reference filters
+# candidates to y, x in [13, dim-13), inference.hpp:318-325) carry only
+# unique sentinel keys and can never produce a collision, so the matcher
+# sorts run on the interior rows only — exact (pinned by the
+# contract-equality tests) and worth ~5-8% end-to-end (measured,
+# experiments/exp_masked2.py).
+_MARGIN = CANDIDATE_MARGIN
 
 
 def _interior_rows(key):
@@ -467,7 +468,11 @@ def masked_supports_to_numpy(buf, row_counts, disp_high: int) -> np.ndarray:
     out[:, 0] = v >> bd
     out[:, 1] = (pos // buf.shape[1]).astype(np.int32)
     out[:, 2] = (v & ((1 << bd) - 1)) - disp_high
-    assert out.shape[0] == n, (out.shape[0], n)
+    if out.shape[0] != n:  # same error contract as the native path
+        raise ValueError(
+            f"masked buffer holds {out.shape[0]} supports, row counts "
+            f"say {n}"
+        )
     return out
 
 

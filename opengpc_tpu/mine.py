@@ -46,6 +46,15 @@ import numpy as np
 from opengpc_tpu.forest import PATCH, PATCH_HALF
 
 SAFE_MARGIN = 20  # isSafePatchCenter: x,y > 20 and < dim-21
+
+
+def _keypoints_interior(k, h, w):
+    """Vectorized isSafePatchCenter over an (n, 2) keypoint array (shared
+    by the host and device extractors so the margin rule cannot desync)."""
+    return (
+        (k[:, 0] > SAFE_MARGIN) & (k[:, 1] > SAFE_MARGIN)
+        & (k[:, 0] < w - SAFE_MARGIN) & (k[:, 1] < h - SAFE_MARGIN)
+    )
 REJECTION_ALPHA = 0.5
 REJECTION_KNEE = 15.0
 
@@ -227,13 +236,8 @@ def extract_triplets(
     blur_l = _blur(img_l)
     blur_r = _blur(img_r)
 
-    def interior(k):
-        return (
-            (k[:, 0] > SAFE_MARGIN) & (k[:, 1] > SAFE_MARGIN)
-            & (k[:, 0] < w - SAFE_MARGIN) & (k[:, 1] < h - SAFE_MARGIN)
-        )
-
-    keep = interior(kl) & interior(kr) & interior(kn)
+    keep = (_keypoints_interior(kl, h, w) & _keypoints_interior(kr, h, w)
+            & _keypoints_interior(kn, h, w))
     kl, kr, kn = kl[keep], kr[keep], kn[keep]
     return np.stack(
         [
@@ -271,13 +275,8 @@ def extract_triplets_device(
 
     h, w = img_l.shape
 
-    def interior(k):
-        return (
-            (k[:, 0] > SAFE_MARGIN) & (k[:, 1] > SAFE_MARGIN)
-            & (k[:, 0] < w - SAFE_MARGIN) & (k[:, 1] < h - SAFE_MARGIN)
-        )
-
-    keep = interior(kl) & interior(kr) & interior(kn)
+    keep = (_keypoints_interior(kl, h, w) & _keypoints_interior(kr, h, w)
+            & _keypoints_interior(kn, h, w))
     kl, kr, kn = kl[keep], kr[keep], kn[keep]
 
     @jax.jit

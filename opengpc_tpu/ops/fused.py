@@ -41,8 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from opengpc_tpu.forest import FilterMask, PATCH_HALF
 
-PAD = PATCH_HALF + 1  # 13-px code halo + 1-px box/sobel halo
-MARGIN = 13           # candidate interior margin (inference.hpp:318-325)
+from opengpc_tpu.ops.preprocess import CANDIDATE_MARGIN
+
+PAD = PATCH_HALF + 1       # 13-px code halo + 1-px box/sobel halo
+MARGIN = CANDIDATE_MARGIN  # candidate interior margin (inference.hpp:318-325)
 
 # Mosaic stack-allocates ~33 live (tile_h+26, w+26) int32 temporaries for a
 # 30-test code loop (measured); tile height adapts to image width so the

@@ -78,7 +78,14 @@ def sobel3(img: jnp.ndarray, threshold: int) -> jnp.ndarray:
     return jnp.where(mask & interior, jnp.uint8(255), jnp.uint8(0))
 
 
-def candidate_mask(grad: jnp.ndarray, margin: int = 13) -> jnp.ndarray:
+# The candidate interior margin (inference.hpp:318-325): the single source
+# of truth — ops/fused.MARGIN and infer._interior_rows derive from it, so
+# the kernel mask and the interior-row slice can never desync.
+CANDIDATE_MARGIN = 13
+
+
+def candidate_mask(grad: jnp.ndarray,
+                   margin: int = CANDIDATE_MARGIN) -> jnp.ndarray:
     """Bool mask of candidate pixels: gradient nonzero with an interior
     margin (inference.hpp:318-325)."""
     h, w = grad.shape
