@@ -21,11 +21,13 @@ ops/preprocess.box3 + sobel3 + candidate_mask and ops/codes.leaf_codes at
 every candidate pixel (pinned by tests/test_pallas.py against both the jnp
 path and the C++ oracle).
 
-Sizing: the tile height adapts to image width so the per-tile temporaries
-stay inside VMEM (see ``_pick_tile_h``); Sintel 1024x436, KITTI 1242x375
-and multi-Mpix frames up to ~3000 px wide all fit.  ``fused_codes`` raises
-beyond the budget — callers fall back to the jnp path
-(infer.build_sparsematch does this automatically).
+Sizing: the image stays HBM-resident (``pl.ANY``) and each grid step DMAs
+one (64+32, 1024+128) halo tile into a VMEM scratch (``_fetch_tile``), so
+the per-tile temporaries AND the input footprint are constants — any
+resolution runs on the kernel (Sintel through 4K measured,
+experiments/exp_scale.py).  The FusedKernelBudgetError fallback machinery
+remains for ops/fused_match.py, whose whole-row in-VMEM sort keeps a
+width budget.
 """
 
 from __future__ import annotations
@@ -46,10 +48,12 @@ from opengpc_tpu.ops.preprocess import CANDIDATE_MARGIN
 PAD = PATCH_HALF + 1       # 13-px code halo + 1-px box/sobel halo
 MARGIN = CANDIDATE_MARGIN  # candidate interior margin (inference.hpp:318-325)
 
-# Mosaic stack-allocates ~33 live (tile_h+26, w+26) int32 temporaries for a
-# 30-test code loop (measured); tile height adapts to image width so the
-# stack stays inside VMEM, and the full padded uint8 input block gets the
-# rest.
+# Mosaic stack-allocates ~33 live (tile_h+26, tile_w+26) int32 temporaries
+# for a 30-test code loop (measured); tile height adapts to TILE width so
+# the stack stays inside VMEM.  This module's kernels cap tile width at
+# 1024 (input arrives per-tile via DMA, _fetch_tile), so they always get
+# tile_h=64; ops/fused_match.py passes full rows and still budgets its
+# whole-row in-VMEM inputs against _INPUT_BUDGET.
 _TEMP_BYTES_PER_ELEM = 33 * 4
 _STACK_BUDGET = 14 * 2**20
 _INPUT_BUDGET = 8 * 2**20
@@ -90,18 +94,23 @@ def _div9_trunc(x32):
 
 
 
-def tile_codes_and_cand(x32, y0, h, w, th, tests, thr2):
-    """In-kernel (codes int32, cand bool) for one (th+28, wp) int32 tile.
+def tile_codes_and_cand(x32, y0, h, w, th, tests, thr2, x0=0, tw=None):
+    """In-kernel (codes int32, cand bool) for one (th+28, >=tw+28) int32
+    tile whose first output pixel is image (y0, x0).
 
     The single source of the contract math for every Pallas kernel (this
     module's split kernel AND ops/fused_match.py): box 3x3 + zeroed
     boundary, <=32 code tests MSB-first, binary sobel + margin-13
     candidates.  tests: tuple of (iy, ix, jy, jx, tau) python ints.
+    ``tw`` defaults to full-row tiles (x0=0, tw=w — how fused_match.py
+    calls it); the 2-D-tiled kernels below pass a column offset.
     """
-    hc, wc = th + 26, w + 26  # code-support region of this tile
+    if tw is None:
+        tw = w
+    hc, wc = th + 26, tw + 26  # code-support region of this tile
 
     # --- box 3x3 on the code-support region -----------------------------
-    # tile region coord (r, c) = image (y0 + r - 13, c - 13)
+    # tile region coord (r, c) = image (y0 + r - 13, x0 + c - 13)
     #                          = tile-local padded (r + 1, c + 1)
     total = jnp.zeros((hc, wc), jnp.int32)
     for dy in (-1, 0, 1):
@@ -112,22 +121,22 @@ def tile_codes_and_cand(x32, y0, h, w, th, tests, thr2):
     blurred = _div9_floor(total)
     # valid box region (boxNaive + clearBoundary): 1 <= y <= h-3, 2 <= x <= w-2
     rr = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0) + y0
-    cc = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1) + x0
     box_valid = (rr >= 14) & (rr <= h + 10) & (cc >= 15) & (cc <= w + 11)
     smooth = jnp.where(box_valid, blurred, jnp.int32(0))  # (hc, wc)
 
     # --- leaf codes (gpcFilter[Tau] naive semantics) ---------------------
-    code = jnp.zeros((th, w), jnp.int32)
+    code = jnp.zeros((th, tw), jnp.int32)
     for iy, ix, jy, jx, tau in tests:
-        a = jax.lax.slice(smooth, (13 + iy, 13 + ix), (13 + iy + th, 13 + ix + w))
-        b = jax.lax.slice(smooth, (13 + jy, 13 + jx), (13 + jy + th, 13 + jx + w))
+        a = jax.lax.slice(smooth, (13 + iy, 13 + ix), (13 + iy + th, 13 + ix + tw))
+        b = jax.lax.slice(smooth, (13 + jy, 13 + jx), (13 + jy + th, 13 + jx + tw))
         bit = (a > b - jnp.int32(tau)).astype(jnp.int32)
         code = code * 2 + bit
 
     # --- sobel 3x3 on the raw image + margin -> candidate mask ----------
     def raw(dy, dx):
         return jax.lax.slice(
-            x32, (PAD + dy, PAD + dx), (PAD + dy + th, PAD + dx + w)
+            x32, (PAD + dy, PAD + dx), (PAD + dy + th, PAD + dx + tw)
         )
 
     sx_num = raw(-1, -1) + raw(1, -1) + 2 * raw(0, -1) \
@@ -138,55 +147,92 @@ def tile_codes_and_cand(x32, y0, h, w, th, tests, thr2):
     sy = _div9_trunc(sy_num)
     grad = sx * sx + sy * sy > jnp.int32(thr2)
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + y0
-    xx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0
+    xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0
     interior = (yy >= MARGIN) & (yy < h - MARGIN) & (xx >= MARGIN) & (xx < w - MARGIN)
     return code, grad & interior
 
 
-def _kernel(img_ref, codes_ref, cand_ref, *, h, w, th, tests, thr2):
-    """One row-tile of the fused pipeline.
+# DMA halo sizes, rounded up from the true needs (28 rows / 28 cols) to
+# Mosaic's uint8 memory-tiling alignments: copy extents must be multiples
+# of the (32, 128) tile (a 92-row slice fails to compile: "slice shape
+# along dimension 0 must be aligned to tiling").  Offsets i*th / j*tw are
+# multiples of 64 / 1024, already aligned.
+_HALO_R = 32
+_HALO_C = 128
 
-    ``img_ref`` holds the full halo-padded image in VMEM (uint8, small);
-    each grid step reads its tile + 28-row halo with a dynamic row slice
-    and writes a (th, w) block of codes and candidates.  Tiling keeps the
-    ~2T live int32 slice temporaries at (th+26, wp) instead of image-sized
-    (Mosaic stack-allocates them; a whole-image variant OOMs VMEM).
+
+def _fetch_tile(img_ref, scratch, sem, th, tw):
+    """DMA this grid step's (th+32, tw+128) halo tile from the HBM-resident
+    padded image into VMEM scratch and return it as int32.
+
+    The input stays in HBM (``pl.ANY``) and each tile copies only its halo
+    window, so VMEM holds one tile + the temp stack regardless of image
+    size — this is what removes the old whole-image-in-VMEM budget cliff
+    (4K fell back to the jnp path).  The kernels consume the leading
+    (th+28, tw+28) region via static slices; the alignment surplus rows/
+    cols are dead weight in the copy only."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * th, th + _HALO_R), pl.ds(j * tw, tw + _HALO_C)],
+        scratch, sem,
+    )
+    dma.start()
+    dma.wait()
+    return scratch[...].astype(jnp.int32)
+
+
+def _kernel(img_ref, codes_ref, cand_ref, scratch, sem, *, h, w, th, tw,
+            tests, thr2):
+    """One (th, tw) tile of the fused pipeline.
+
+    Tiling keeps the ~33 live (th+26, tw+26) int32 slice temporaries
+    bounded (Mosaic stack-allocates them; a whole-image variant OOMs
+    VMEM) and the DMA fetch keeps the input out of VMEM entirely.
     """
-    t = pl.program_id(0)
-    y0 = t * th  # first output image row of this tile == padded row offset
-    x32 = img_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
-    code, cand = tile_codes_and_cand(x32, y0, h, w, th, tests, thr2)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x32 = _fetch_tile(img_ref, scratch, sem, th, tw)
+    code, cand = tile_codes_and_cand(x32, i * th, h, w, th, tests, thr2,
+                                     x0=j * tw, tw=tw)
     codes_ref[:] = code
     cand_ref[:] = cand.astype(jnp.uint8)
 
 
-def _kernel_keys(img_ref, key_ref, *, h, w, th, tests, thr2, pos_base,
-                 sentinel_base):
-    """Key-emitting variant: one (th, w) block of sentinel-packed sort keys
-    ``candidate ? code : sentinel_base + pos_base + x`` — the exact key
-    layout match._match_epipolar_packed builds, fused into the kernel so
-    the codes/candidate arrays never round-trip through HBM (measured
+def _kernel_keys(img_ref, key_ref, scratch, sem, *, h, w, th, tw, tests,
+                 thr2, pos_base, sentinel_base):
+    """Key-emitting variant: one (th, tw) block of sentinel-packed sort
+    keys ``candidate ? code : sentinel_base + pos_base + x`` — the exact
+    key layout match._match_epipolar_packed builds, fused into the kernel
+    so the codes/candidate arrays never round-trip through HBM (measured
     ~0.06 ms/pair saved on v5e, experiments/exp_sort2.py)."""
-    t = pl.program_id(0)
-    y0 = t * th
-    x32 = img_ref[pl.ds(y0, th + 28), :].astype(jnp.int32)
-    code, cand = tile_codes_and_cand(x32, y0, h, w, th, tests, thr2)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x32 = _fetch_tile(img_ref, scratch, sem, th, tw)
+    code, cand = tile_codes_and_cand(x32, i * th, h, w, th, tests, thr2,
+                                     x0=j * tw, tw=tw)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
     key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
 
 
 def _prep(img, mask: FilterMask, gradient_threshold: int):
-    """Shared pallas_call scaffolding: padded input + static test tuple."""
+    """Shared pallas_call scaffolding: padded input + static test tuple.
+
+    Tiles are (th, tw) with tw capped at 1024 — narrow enough that the
+    temp stack always admits th=64, wide enough that lane-dim DMA offsets
+    (multiples of tw) stay 128-aligned."""
     h, w = img.shape
-    th = _pick_tile_h(w)
-    n_tiles = (h + th - 1) // th
-    wp = _round_up(w + 2 * PAD, 128)
-    # pad so the last tile's halo read (rows [y0, y0 + th + 28)) stays in
-    # bounds: n_tiles * th + 28 rows total
+    tw = min(_round_up(w, 128), 1024)
+    th = _pick_tile_h(tw)
+    n_rt = (h + th - 1) // th
+    n_ct = (w + tw - 1) // tw
+    # pad so every tile's halo read (rows [i*th, i*th + th + _HALO_R),
+    # cols [j*tw, j*tw + tw + _HALO_C)) stays in bounds
     padded = jnp.pad(
         img,
-        ((PAD, n_tiles * th + 28 - h - PAD), (PAD, wp - w - PAD)),
+        ((PAD, n_rt * th + _HALO_R - h - PAD),
+         (PAD, n_ct * tw + _HALO_C - w - PAD)),
         constant_values=0,
     )
     i_off = np.asarray(mask.i_off)
@@ -198,42 +244,50 @@ def _prep(img, mask: FilterMask, gradient_threshold: int):
         for t in range(mask.num_tests)
     )
     thr2 = int(gradient_threshold) * int(gradient_threshold)
-    return padded, h, w, th, n_tiles, tests, thr2
+    return padded, h, w, th, tw, n_rt, n_ct, tests, thr2
+
+
+def _tile_scratch(th, tw):
+    return [
+        pltpu.VMEM((th + _HALO_R, tw + _HALO_C), jnp.uint8),
+        pltpu.SemaphoreType.DMA(()),
+    ]
 
 
 def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret: bool):
-    padded, h, w, th, n_tiles, tests, thr2 = _prep(img, mask, gradient_threshold)
+    padded, h, w, th, tw, n_rt, n_ct, tests, thr2 = _prep(
+        img, mask, gradient_threshold)
     kernel = functools.partial(
-        _kernel, h=h, w=w, th=th, tests=tests, thr2=thr2,
+        _kernel, h=h, w=w, th=th, tw=tw, tests=tests, thr2=thr2,
     )
     codes, cand = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_rt, n_ct),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * th, w), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * th, w), jnp.uint8),
+            jax.ShapeDtypeStruct((n_rt * th, n_ct * tw), jnp.int32),
+            jax.ShapeDtypeStruct((n_rt * th, n_ct * tw), jnp.uint8),
         ),
-        in_specs=[
-            pl.BlockSpec(padded.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=_tile_scratch(th, tw),
         interpret=interpret,
     )(padded)
-    return codes[:h], cand[:h] != 0
+    return codes[:h, :w], cand[:h, :w] != 0
 
 
 def _check_budget(img):
-    h, w = img.shape
-    _pick_tile_h(w)  # raises for over-wide images
-    wp = _round_up(w + 2 * PAD, 128)
-    if (h + 2 * PAD + 64) * wp > _INPUT_BUDGET:
-        raise FusedKernelBudgetError(
-            f"image {h}x{w}: padded input block exceeds the fused kernel's "
-            f"VMEM budget; use the jnp path"
-        )
+    """Validate VMEM sizing for the fused kernels.
+
+    Since the HBM-resident-input + per-tile-DMA rework this never raises:
+    tiles are capped at (64, 1024) regardless of image size, so the
+    temp-stack and scratch budgets are constants and the input never
+    touches VMEM whole.  Kept for API stability — callers still guard with
+    try/except FusedKernelBudgetError, which also covers ops/fused_match.py
+    (whose full-row in-VMEM sort DOES retain a width budget)."""
+    del img
 
 
 def fused_codes(
@@ -273,20 +327,20 @@ def fused_keys(
     _check_budget(img)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    padded, h, w, th, n_tiles, tests, thr2 = _prep(img, mask, gradient_threshold)
+    padded, h, w, th, tw, n_rt, n_ct, tests, thr2 = _prep(
+        img, mask, gradient_threshold)
     kernel = functools.partial(
-        _kernel_keys, h=h, w=w, th=th, tests=tests, thr2=thr2,
+        _kernel_keys, h=h, w=w, th=th, tw=tw, tests=tests, thr2=thr2,
         pos_base=int(pos_base), sentinel_base=int(sentinel_base),
     )
     keys = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * th, w), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(padded.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((th, w), lambda i: (i, 0),
+        grid=(n_rt, n_ct),
+        out_shape=jax.ShapeDtypeStruct((n_rt * th, n_ct * tw), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=_tile_scratch(th, tw),
         interpret=bool(interpret),
     )(padded)
-    return keys[:h]
+    return keys[:h, :w]

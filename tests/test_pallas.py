@@ -102,15 +102,27 @@ def test_pipeline_with_pallas_matches_without():
     assert got == want and len(want) > 0
 
 
-def test_fused_rejects_oversized_images():
+def test_fused_kernel_handles_large_images():
+    """The kernels are (64, 1024)-tiled with per-tile DMA from an
+    HBM-resident input, so formerly-over-budget sizes (wide AND tall) run
+    on the kernel and match the jnp contract path exactly.  (Before the
+    rework these shapes raised FusedKernelBudgetError and fell back.)"""
+    from opengpc_tpu.ops.codes import leaf_codes
+    from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
+    from opengpc_tpu.infer import preprocess
+
+    rng = np.random.default_rng(17)
     forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
     mask = forest_mod.make_filter_mask(forest)
-    too_wide = np.zeros((64, 6000), np.uint8)
-    with pytest.raises(ValueError):
-        fused_codes(too_wide, mask, 5, interpret=True)
-    too_tall = np.zeros((6000, 2000), np.uint8)
-    with pytest.raises(ValueError):
-        fused_codes(too_tall, mask, 5, interpret=True)
+    for h, w in ((40, 3000), (1500, 260)):
+        img = structured_image(rng, h, w)
+        codes, cand = fused_codes(img, mask, 5, interpret=True)
+        smooth, want_cand = preprocess(img, 5)
+        want_codes = leaf_codes(smooth, mask)
+        assert (np.asarray(cand) == np.asarray(want_cand)).all(), (h, w)
+        sel = np.asarray(want_cand)
+        assert (np.asarray(codes)[sel] == np.asarray(want_codes)[sel]).all(), (h, w)
+        assert sel.sum() > 100, (h, w)
 
 
 def test_oversize_image_falls_back_to_jnp_end_to_end():
