@@ -20,7 +20,6 @@ import numpy as np
 from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import load_forest, make_filter_mask
 from opengpc_tpu.infer import _sparsematch_masked_impl
-from opengpc_tpu.ops.fused import FusedKernelBudgetError, _check_budget
 from opengpc_tpu.utils import device_time_per_iter
 from opengpc_tpu.utils.scenes import make_pair
 
@@ -41,11 +40,9 @@ for name, (h, w), n_long in (("sintel", (436, 1024), 43),
                              ("hd", (1080, 1920), 23),
                              ("uhd4k", (2160, 3840), 11)):
     left, right = make_pair(h, w, 16, seed=7)
-    try:
-        _check_budget(left)
-        path = "pallas"
-    except FusedKernelBudgetError:
-        path = "jnp-fallback"
+    # every resolution rides the kernel since the per-tile DMA rework;
+    # use_pallas is the only selector left
+    path = "pallas" if use_pallas else "jnp"
     fn = functools.partial(_sparsematch_masked_impl, mask=mask,
                            settings=settings, use_pallas=use_pallas)
 

@@ -48,12 +48,9 @@ def preprocess(img: jnp.ndarray, gradient_threshold: int):
 def _codes_and_candidates(img, mask: FilterMask, settings: InferenceSettings,
                           use_pallas: bool):
     if use_pallas:
-        from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_codes
+        from opengpc_tpu.ops.fused import fused_codes
 
-        try:
-            return fused_codes(img, mask, settings.gradient_threshold)
-        except FusedKernelBudgetError:
-            pass  # image too large for the kernel; jnp path below
+        return fused_codes(img, mask, settings.gradient_threshold)
     smooth, cand = preprocess(img, settings.gradient_threshold)
     return leaf_codes(smooth, mask), cand
 
@@ -102,20 +99,18 @@ def _rows_ok(mask: FilterMask, shape, settings: InferenceSettings) -> bool:
 def _fused_key_image(left, right, mask: FilterMask,
                      settings: InferenceSettings):
     """(H, 2W) sentinel-packed matcher key image straight from the Pallas
-    kernel (ops/fused.fused_keys), or None when the image exceeds the
-    kernel's VMEM budget.  Shared by the flat and row-form pipelines."""
+    kernel (ops/fused.fused_keys; any resolution — the kernel fetches
+    per-tile from an HBM-resident input).  Shared by the flat and
+    row-form pipelines."""
     from opengpc_tpu.match import SENTINEL_BASE
-    from opengpc_tpu.ops.fused import FusedKernelBudgetError, fused_keys
+    from opengpc_tpu.ops.fused import fused_keys
 
-    try:
-        w = left.shape[1]
-        key_l = fused_keys(left, mask, settings.gradient_threshold,
-                           pos_base=0, sentinel_base=SENTINEL_BASE)
-        key_r = fused_keys(right, mask, settings.gradient_threshold,
-                           pos_base=w, sentinel_base=SENTINEL_BASE)
-        return jnp.concatenate([key_l, key_r], axis=1)
-    except FusedKernelBudgetError:
-        return None
+    w = left.shape[1]
+    key_l = fused_keys(left, mask, settings.gradient_threshold,
+                       pos_base=0, sentinel_base=SENTINEL_BASE)
+    key_r = fused_keys(right, mask, settings.gradient_threshold,
+                       pos_base=w, sentinel_base=SENTINEL_BASE)
+    return jnp.concatenate([key_l, key_r], axis=1)
 
 
 def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings,
@@ -263,16 +258,10 @@ def _batched_key_images(lefts, rights, mask: FilterMask,
     the kernel budget).  Shared by the stacked row-form and masked batched
     pipelines."""
     if use_pallas:
-        from opengpc_tpu.ops.fused import FusedKernelBudgetError, _check_budget
-
-        try:
-            _check_budget(lefts[0])
-            return jax.lax.map(
-                lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
-                (lefts, rights),
-            )
-        except FusedKernelBudgetError:
-            pass
+        return jax.lax.map(
+            lambda ab: _fused_key_image(ab[0], ab[1], mask, settings),
+            (lefts, rights),
+        )
     return jax.vmap(
         lambda l, r: _key_image_jnp(l, r, mask, settings)
     )(lefts, rights)

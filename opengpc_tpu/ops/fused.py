@@ -225,6 +225,11 @@ def _prep(img, mask: FilterMask, gradient_threshold: int):
     h, w = img.shape
     tw = min(_round_up(w, 128), 1024)
     th = _pick_tile_h(tw)
+    # DMA row offsets are i*th: keep them aligned to the uint8 memory
+    # tile (_HALO_R) even if the stack budget constants are ever retuned
+    # (an unaligned offset fails to compile only on real TPU, invisible
+    # to the interpret-mode suite)
+    assert th % _HALO_R == 0, (th, _HALO_R)
     n_rt = (h + th - 1) // th
     n_ct = (w + tw - 1) // tw
     # pad so every tile's halo read (rows [i*th, i*th + th + _HALO_R),
@@ -278,18 +283,6 @@ def _fused_codes_impl(img, mask: FilterMask, gradient_threshold: int, interpret:
     return codes[:h, :w], cand[:h, :w] != 0
 
 
-def _check_budget(img):
-    """Validate VMEM sizing for the fused kernels.
-
-    Since the HBM-resident-input + per-tile-DMA rework this never raises:
-    tiles are capped at (64, 1024) regardless of image size, so the
-    temp-stack and scratch budgets are constants and the input never
-    touches VMEM whole.  Kept for API stability — callers still guard with
-    try/except FusedKernelBudgetError, which also covers ops/fused_match.py
-    (whose full-row in-VMEM sort DOES retain a width budget)."""
-    del img
-
-
 def fused_codes(
     img: jnp.ndarray,
     mask: FilterMask,
@@ -299,10 +292,9 @@ def fused_codes(
     """(codes int32 (H, W), candidates bool (H, W)) in one fused pass.
 
     ``interpret=None`` auto-selects interpreter mode off-TPU (tests run the
-    same kernel logic on CPU).  Raises ValueError for images beyond the
-    VMEM sizing budget — use the jnp path for those.
+    same kernel logic on CPU).  Any resolution runs on the kernel (the
+    input is HBM-resident; tiles are fetched per grid step, _fetch_tile).
     """
-    _check_budget(img)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _fused_codes_impl(img, mask, gradient_threshold, bool(interpret))
@@ -322,9 +314,8 @@ def fused_keys(
     ``pos_base`` is 0 for the source image and W for the target, so the
     concatenated (H, 2W) key image has unique per-row sentinels — exactly
     what match._match_epipolar_packed builds from (codes, candidates), with
-    one less HBM round-trip.  Same budget/interpret contract as
+    one less HBM round-trip.  Same interpret/any-resolution contract as
     fused_codes."""
-    _check_budget(img)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     padded, h, w, th, tw, n_rt, n_ct, tests, thr2 = _prep(

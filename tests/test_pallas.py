@@ -114,7 +114,9 @@ def test_fused_kernel_handles_large_images():
     rng = np.random.default_rng(17)
     forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
     mask = forest_mod.make_filter_mask(forest)
-    for h, w in ((40, 3000), (1500, 260)):
+    for h, w in ((40, 3000), (1500, 260), (200, 3000)):
+        # (200, 3000): row AND column tile offsets both nonzero — the
+        # combined y0+x0 coordinate case the 2-D tiling introduces
         img = structured_image(rng, h, w)
         codes, cand = fused_codes(img, mask, 5, interpret=True)
         smooth, want_cand = preprocess(img, 5)
@@ -125,11 +127,12 @@ def test_fused_kernel_handles_large_images():
         assert sel.sum() > 100, (h, w)
 
 
-def test_oversize_image_falls_back_to_jnp_end_to_end():
-    """use_pallas=True on an over-budget image silently uses the jnp path
-    and still produces correct supports."""
+def test_wide_image_pallas_pipeline_end_to_end():
+    """use_pallas=True on a very wide image (formerly beyond the kernel's
+    whole-image-in-VMEM budget; now 6 column tiles) produces the same
+    supports as the jnp contract path."""
     rng = np.random.default_rng(21)
-    h, w = 40, 6000  # width beyond the fused kernel's budget
+    h, w = 40, 6000  # 6 column tiles
     left = structured_image(rng, h, w)
     right = np.roll(left, -2, axis=1)
     forest = forest_mod.load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
