@@ -216,15 +216,19 @@ def _kernel_keys(img_ref, key_ref, scratch, sem, *, h, w, th, tw, tests,
     key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
 
 
-def _prep(img, mask: FilterMask, gradient_threshold: int):
+def _prep(img, mask: FilterMask, gradient_threshold: int, tile=None):
     """Shared pallas_call scaffolding: padded input + static test tuple.
 
     Tiles are (th, tw) with tw capped at 1024 — narrow enough that the
     temp stack always admits th=64, wide enough that lane-dim DMA offsets
-    (multiples of tw) stay 128-aligned."""
+    (multiples of tw) stay 128-aligned.  ``tile=(th, tw)`` overrides the
+    choice (experiments/exp_tile.py A/Bs tile aspect ratios)."""
     h, w = img.shape
-    tw = min(_round_up(w, 128), 1024)
-    th = _pick_tile_h(tw)
+    if tile is not None:
+        th, tw = tile
+    else:
+        tw = min(_round_up(w, 128), 1024)
+        th = _pick_tile_h(tw)
     # DMA row offsets are i*th: keep them aligned to the uint8 memory
     # tile (_HALO_R) even if the stack budget constants are ever retuned
     # (an unaligned offset fails to compile only on real TPU, invisible
@@ -307,6 +311,7 @@ def fused_keys(
     pos_base: int,
     sentinel_base: int,
     interpret: Optional[bool] = None,
+    tile=None,
 ) -> jnp.ndarray:
     """(H, W) int32 sentinel-packed matcher sort keys in one fused pass:
     ``candidate ? leaf_code : sentinel_base + pos_base + x``.
@@ -319,7 +324,7 @@ def fused_keys(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     padded, h, w, th, tw, n_rt, n_ct, tests, thr2 = _prep(
-        img, mask, gradient_threshold)
+        img, mask, gradient_threshold, tile=tile)
     kernel = functools.partial(
         _kernel_keys, h=h, w=w, th=th, tw=tw, tests=tests, thr2=thr2,
         pos_base=int(pos_base), sentinel_base=int(sentinel_base),
