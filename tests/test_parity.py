@@ -204,8 +204,12 @@ def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
     margin vs shape, vert_tol in global mode, |d| windows vs scene)."""
     from opengpc_tpu.utils.scenes import make_scene
 
-    rng = np.random.default_rng(2024)
-    for trial in range(10):
+    # deterministic in CI; OGPC_FUZZ_SEED / OGPC_FUZZ_TRIALS let a soak
+    # run widen the sweep without changing the committed behavior
+    seed = int(os.environ.get("OGPC_FUZZ_SEED", 2024))
+    trials = int(os.environ.get("OGPC_FUZZ_TRIALS", 10))
+    rng = np.random.default_rng(seed)
+    for trial in range(trials):
         h = int(rng.integers(40, 140))
         w = int(rng.integers(48, 200))
         grad_thresh = int(rng.integers(1, 41))
