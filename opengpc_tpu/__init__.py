@@ -49,4 +49,4 @@ from opengpc_tpu.infer import (
 )
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
