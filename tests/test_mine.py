@@ -320,3 +320,50 @@ def test_extract_triplets_device_equals_host():
     dev = extract_triplets_device(left, right, kl, kr, kn)
     assert host.shape == dev.shape and host.shape[0] >= 450
     np.testing.assert_array_equal(host, dev)
+
+
+def test_cli_three_stage_workflow_e2e(sintel_tree, tmp_path):
+    """The reference's exact public workflow, end-to-end through the real
+    argv surfaces (README.md:37-46: ./extract -> ./train -> ./sparsematch
+    with artifact files in between): mine a stereo triplet dataset from
+    the synthetic Sintel tree, train a small zero forest from the binary
+    dataset, then sparse-match one of the tree's stereo pairs with the
+    freshly written text forest."""
+    from opengpc_tpu.cli.extract import main as extract_main
+    from opengpc_tpu.cli.sparsematch import main as sparsematch_main
+    from opengpc_tpu.cli.train import main as train_main
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.io.triplets import load_triplets
+
+    triplets_bin = tmp_path / "triplets.bin"
+    forest_txt = tmp_path / "fresh.txt"
+    rc = extract_main([sintel_tree, str(triplets_bin), "--mode", "stereo",
+                       "--triplets-per-pair", "120", "--radius-lower", "5",
+                       "--radius-upper", "12", "--seed", "3"])
+    assert rc == 0
+    trips = load_triplets(str(triplets_bin))
+    assert len(trips) > 200 and trips.shape[1:] == (3, 729)
+
+    rc = train_main([str(triplets_bin), str(forest_txt), "--num-s", "1",
+                     "--num-m", "1", "--num-l", "1", "--depth", "4",
+                     "--num-resamples", "6", "--seed", "4"])
+    assert rc == 0
+    from opengpc_tpu.forest import load_forest
+    forest = load_forest(str(forest_txt))
+    assert len(forest.ferns) == 3
+
+    left = os.path.join(sintel_tree, "training", "clean_left", "alley_1",
+                        "frame_0001.png")
+    right = os.path.join(sintel_tree, "training", "clean_right", "alley_1",
+                         "frame_0001.png")
+    sup_out = tmp_path / "supports.txt"
+    rc = sparsematch_main([str(forest_txt), left, right, "--disp-high", "16",
+                           "--out", str(tmp_path / "d.png"),
+                           "--supports-out", str(sup_out)])
+    assert rc == 0
+    supports = read_supports(str(sup_out))
+    assert len(supports) > 50
+    # the synthetic stereo pair has constant disparity SHIFT; a freshly
+    # trained forest must recover it for the clear majority of supports
+    frac = float((supports[:, 2] == SHIFT).mean())
+    assert frac > 0.9, frac
