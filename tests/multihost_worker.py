@@ -1,0 +1,65 @@
+"""Multi-process (simulated multi-host) worker: 2 CPU processes x 2
+virtual devices each = a 4-device global mesh with cross-process
+collectives — the closest a single machine gets to the multi-host DCN
+story (parallel.init_distributed / README "Scaling out").  Launched by
+tests/test_parallel.py::test_multiprocess_mesh_e2e; argv: <proc_id>
+<coordinator_port>."""
+import os
+import sys
+
+proc = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from opengpc_tpu.parallel import init_distributed
+
+port = int(sys.argv[2])
+n = init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=2, process_id=proc)
+assert n == 2, n
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest
+from opengpc_tpu.parallel import build_batched_sparsematch, make_mesh
+from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+from opengpc_tpu.utils.scenes import make_pair
+
+assert len(jax.devices()) == 4, jax.devices()
+forest = load_forest(__import__("os").path.join(__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))), "forests", "defaultZeroForest.txt"))
+settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                             disp_high=16, epipolar_mode=True, capacity=8192)
+pairs = [make_pair(64, 96, 3, seed=40 + b) for b in range(4)]
+lb = np.stack([p[0] for p in pairs])
+rb = np.stack([p[1] for p in pairs])
+
+mesh = make_mesh()
+run = build_batched_sparsematch(forest, settings, mesh, use_pallas=False)
+xs, ys, ds, counts = run(lb, rb)
+
+single = build_sparsematch(forest, settings, use_pallas=False)
+# each process can only fetch its LOCAL shards of the global batch
+checked = 0
+
+def by_b(arr):
+    return {(s.index[0].start or 0): np.asarray(s.data)
+            for s in arr.addressable_shards}
+
+xs_l, ys_l, ds_l, ct_l = by_b(xs), by_b(ys), by_b(ds), by_b(counts)
+for b0, xs_d in xs_l.items():
+    for k in range(xs_d.shape[0]):
+        b = b0 + k
+        want = set(map(tuple,
+                       supports_to_numpy(*single(lb[b], rb[b])).tolist()))
+        got = set(map(tuple, supports_to_numpy(
+            xs_d[k], ys_l[b0][k], ds_l[b0][k], ct_l[b0][k]).tolist()))
+        assert got == want and len(want) > 50, (proc, b, len(got), len(want))
+        checked += 1
+assert checked == 2, checked  # 2 of the 4 batch elements live here
+print(f"proc {proc}: local shards ({checked} pairs) supports identical",
+      flush=True)

@@ -199,3 +199,37 @@ def test_sharded_masked_matches_single_device():
         got = set(map(tuple, masked_supports_to_numpy(
             bufs[k], counts[k], settings.disp_high).tolist()))
         assert got == want and len(want) > 0
+
+
+def test_multiprocess_mesh_e2e():
+    """Simulated multi-HOST run: two separate processes (2 virtual CPU
+    devices each) form one 4-device mesh via parallel.init_distributed
+    (coordinator + cross-process collectives — the single-machine analog
+    of the DCN multi-host story).  The sharded batched matcher must
+    produce per-shard supports identical to single-device runs in BOTH
+    processes (each validates its local shards)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    env = {**os.environ}
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-2000:]}"
+        assert "supports identical" in out, f"proc {i}:\n{out[-2000:]}"
