@@ -515,3 +515,39 @@ def test_cli_sequence_mode_batched(tmp_path):
     lp, rp = str(ldir / "f0000.png"), str(rdir / "f0000.png")
     assert cli_main(["forests/defaultZeroForest.txt", lp, rp,
                      "--batch", "2"]) == 1
+
+
+def test_cli_flag_combinations_smoke(tmp_path):
+    """argv smoke of the remaining CLI flag surfaces: --pyramid with
+    --densify and --trace together (single pair), and --contract rejection
+    in sequence mode."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import read_png, write_png
+
+    left, right = make_pair(64, 96, 3, seed=5)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    write_png(str(lp), left)
+    write_png(str(rp), right)
+    out = tmp_path / "d.png"
+    dense = tmp_path / "dense.png"
+    trace_dir = tmp_path / "trace"
+    rc = cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                   str(lp), str(rp), "--disp-high", "16", "--pyramid", "2",
+                   "--densify", str(dense), "--trace", str(trace_dir),
+                   "--out", str(out), "--supports-out",
+                   str(tmp_path / "s.txt")])
+    assert rc == 0
+    assert out.exists() and dense.exists()
+    arr, _ = read_png(str(dense))
+    assert arr.ndim == 3 and arr.shape[:2] == (64, 96)
+
+    # --contract masked is rejected in sequence (directory) mode
+    ldir = tmp_path / "ld"
+    rdir = tmp_path / "rd"
+    ldir.mkdir()
+    rdir.mkdir()
+    write_png(str(ldir / "f0.png"), left)
+    write_png(str(rdir / "f0.png"), right)
+    assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                     str(ldir), str(rdir), "--contract", "masked",
+                     "--out", str(tmp_path / "x" / "d.png")]) == 1
