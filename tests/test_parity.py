@@ -323,3 +323,57 @@ def test_fast_contracts_minimal_interior():
         assert got_r == want, f"rows h={h}"
         if h == 28:
             assert len(want) > 0, "h=28 should still emit supports"
+
+
+def test_sparsematch_adversarial_corners(oracle_path, tmp_path):
+    """Degenerate/extreme settings vs the oracle: disp_high=0 (only d=0
+    passes the filter), gradient_threshold=0 (everything textured is a
+    candidate), images too narrow/short for ANY interior candidates, the
+    minimal 29x29 interior, a large vertical tolerance in global mode, and
+    capacity=1 truncation semantics (count reports the TRUE total)."""
+    rng = np.random.default_rng(99)
+    forest = forest_mod.load_forest(
+        os.path.join(FORESTS, "defaultZeroForest.txt"))
+    forest_path = os.path.join(FORESTS, "defaultZeroForest.txt")
+    cases = [
+        dict(h=60, w=90, grad=5, vt=0, dh=0, epi=True),
+        dict(h=60, w=90, grad=0, vt=0, dh=16, epi=True),
+        dict(h=60, w=20, grad=5, vt=0, dh=16, epi=True),
+        dict(h=8, w=90, grad=5, vt=0, dh=16, epi=True),
+        dict(h=60, w=90, grad=5, vt=4, dh=8, epi=False),
+        dict(h=29, w=29, grad=1, vt=0, dh=128, epi=True),
+    ]
+    saw_nonempty = False
+    for i, c in enumerate(cases):
+        left = random_image(rng, c["h"], c["w"])
+        right = np.roll(left, -3, axis=1)
+        s = InferenceSettings(
+            gradient_threshold=c["grad"], vertical_tolerance=c["vt"],
+            disp_high=c["dh"], epipolar_mode=c["epi"], capacity=65536)
+        sub = tmp_path / f"case{i}"
+        sub.mkdir()
+        want = _oracle_supports(oracle_path, sub, forest_path, left, right,
+                                s, c["epi"])
+        m = build_sparsematch(forest, s, use_pallas=False)
+        got = set(map(tuple, supports_to_numpy(*m(left, right)).tolist()))
+        assert got == want, (c, len(got), len(want))
+        saw_nonempty = saw_nonempty or len(want) > 0
+    assert saw_nonempty  # at least threshold=0 / global-vt cases match
+
+    # capacity=1: truncated buffers, true count
+    left = random_image(rng, 60, 90)
+    right = np.roll(left, -3, axis=1)
+    s = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                          disp_high=16, epipolar_mode=True, capacity=1)
+    sub = tmp_path / "cap1"
+    sub.mkdir()
+    s_full = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                               disp_high=16, epipolar_mode=True,
+                               capacity=65536)
+    want = _oracle_supports(oracle_path, sub, forest_path, left, right,
+                            s_full, True)
+    xs, ys, ds, count = build_sparsematch(forest, s, use_pallas=False)(
+        left, right)
+    assert int(count) == len(want) > 1
+    got = supports_to_numpy(xs, ys, ds, count)
+    assert len(got) == 1 and tuple(got[0].tolist()) in want
