@@ -80,6 +80,25 @@ def _interior_rows(key):
     return key, 0
 
 
+def _key_image(left, right, mask: FilterMask, settings: InferenceSettings,
+               use_pallas: bool):
+    """(H, 2W) sentinel-packed key image: Pallas kernel on TPU, jnp ops
+    otherwise — the one builder every sorted-contract impl shares."""
+    if use_pallas:
+        return _fused_key_image(left, right, mask, settings)
+    return _key_image_jnp(left, right, mask, settings, use_pallas=False)
+
+
+def _pad_rows(arr, m, axis, value=0):
+    """Undo an interior-row slice: pad ``m`` rows of ``value`` back on both
+    sides of ``axis`` (no-op for m=0)."""
+    if not m:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (m, m)
+    return jnp.pad(arr, pad, constant_values=value)
+
+
 def _rows_ok(mask: FilterMask, shape, settings: InferenceSettings) -> bool:
     """Full row-form eligibility: epipolar mode, sentinel-packable codes,
     AND the (x, d) row-pack key fitting 30 bits (match._row_pack) — a very
@@ -140,13 +159,11 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
         from opengpc_tpu.match import _match_epipolar_packed
 
         key = _fused_key_image(left, right, mask, settings)
-        if key is not None:
-            (xs, ys, ds), count = _match_epipolar_packed(
-                None, None, None, None, settings.disp_high,
-                settings.capacity, key=key,
-            )
-            return xs, ys, ds, count
-        # image too large for the kernel; split pipeline below
+        (xs, ys, ds), count = _match_epipolar_packed(
+            None, None, None, None, settings.disp_high,
+            settings.capacity, key=key,
+        )
+        return xs, ys, ds, count
     codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
     codes_r, cand_r = _codes_and_candidates(right, mask, settings, use_pallas)
     if settings.epipolar_mode:
@@ -221,17 +238,12 @@ def _sparsematch_rows_impl(left, right, mask: FilterMask,
             f"(width {left.shape[1]} with disp_high {settings.disp_high} "
             "does not); use build_sparsematch"
         )
-    key = _fused_key_image(left, right, mask, settings) if use_pallas else None
-    if key is None:
-        key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
-    key, m = _interior_rows(key)
+    key, m = _interior_rows(_key_image(left, right, mask, settings,
+                                       use_pallas))
     (xs, ds), counts = match_epipolar_rows(None, None, None, None,
                                            settings.disp_high, key=key)
-    if m:
-        xs = jnp.pad(xs, ((m, m), (0, 0)))
-        ds = jnp.pad(ds, ((m, m), (0, 0)))
-        counts = jnp.pad(counts, (m, m))
-    return (xs, ds), counts
+    return ((_pad_rows(xs, m, -2), _pad_rows(ds, m, -2)),
+            _pad_rows(counts, m, -1))
 
 
 def _key_image_jnp(left, right, mask: FilterMask, settings: InferenceSettings,
@@ -295,18 +307,13 @@ def _sparsematch_rows_batched_impl(lefts, rights, mask: FilterMask,
     keys = _batched_key_images(lefts, rights, mask, settings, use_pallas)
     keys, m = _interior_rows(keys)
     hs = h - 2 * m
-    stacked = keys.reshape(b * hs, 2 * w)
     (xs, ds), counts = match_epipolar_rows(
-        None, None, None, None, settings.disp_high, key=stacked
+        None, None, None, None, settings.disp_high,
+        key=keys.reshape(b * hs, 2 * w)
     )
-    xs = xs.reshape(b, hs, w)
-    ds = ds.reshape(b, hs, w)
-    counts = counts.reshape(b, hs)
-    if m:
-        xs = jnp.pad(xs, ((0, 0), (m, m), (0, 0)))
-        ds = jnp.pad(ds, ((0, 0), (m, m), (0, 0)))
-        counts = jnp.pad(counts, ((0, 0), (m, m)))
-    return (xs, ds), counts
+    return ((_pad_rows(xs.reshape(b, hs, w), m, -2),
+             _pad_rows(ds.reshape(b, hs, w), m, -2)),
+            _pad_rows(counts.reshape(b, hs), m, -1))
 
 
 def build_sparsematch_rows(
@@ -382,23 +389,15 @@ def _sparsematch_masked_impl(left, right, mask: FilterMask,
             None, None, None, None, settings.disp_high,
             key=keys.reshape(b * hs, 2 * w),
         )
-        buf = buf.reshape(b, hs, 2 * w)
-        counts = counts.reshape(b, hs)
-        if m:
-            buf = jnp.pad(buf, ((0, 0), (m, m), (0, 0)),
-                          constant_values=MASKED_SENTINEL)
-            counts = jnp.pad(counts, ((0, 0), (m, m)))
-        return buf, counts
-    key = _fused_key_image(left, right, mask, settings) if use_pallas else None
-    if key is None:
-        key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
-    key, m = _interior_rows(key)
+        return (_pad_rows(buf.reshape(b, hs, 2 * w), m, -2,
+                          value=MASKED_SENTINEL),
+                _pad_rows(counts.reshape(b, hs), m, -1))
+    key, m = _interior_rows(_key_image(left, right, mask, settings,
+                                       use_pallas))
     buf, counts = match_epipolar_masked(None, None, None, None,
                                         settings.disp_high, key=key)
-    if m:
-        buf = jnp.pad(buf, ((m, m), (0, 0)), constant_values=MASKED_SENTINEL)
-        counts = jnp.pad(counts, (m, m))
-    return buf, counts
+    return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
+            _pad_rows(counts, m, -1))
 
 
 def build_sparsematch_masked(
@@ -490,10 +489,8 @@ def _sparsematch_global_rows_impl(left, right, mask: FilterMask,
             "global row-form needs <=30-test forests and packable (y, x, d) "
             "keys; use build_sparsematch"
         )
-    key = _fused_key_image(left, right, mask, settings) if use_pallas else None
-    if key is None:
-        key = _key_image_jnp(left, right, mask, settings, use_pallas=False)
-    key, m = _interior_rows(key)
+    key, m = _interior_rows(_key_image(left, right, mask, settings,
+                                       use_pallas))
     return match_global_rows(key, left.shape[1], settings.disp_high,
                              settings.vertical_tolerance, y_offset=m)
 
