@@ -246,6 +246,24 @@ def main():
     mbest = device_time_per_iter(mstep, (left, right), rdep, N_SHORT, N_LONG,
                                  repeats=9)
     masked_mpix = 2 * H * W / 1e6 / _nonzero(mbest)
+    # headline EARLY on stdout (the driver parses this line): the masked
+    # sorted-order contract — full sparse match, every output buffer
+    # consumed, decoded support set asserted identical to the flat
+    # contract (itself oracle-gated above).  Printed as soon as it is
+    # measured so a timeout during the aux-metric tail (a cold relay
+    # compile cache costs ~25-40 s per program across ~20 programs)
+    # cannot lose the headline.
+    print(
+        json.dumps(
+            {
+                "metric": "sintel_sparsematch_throughput",
+                "value": round(masked_mpix, 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(masked_mpix / BASELINE_MPIX_S, 2),
+            }
+        ),
+        flush=True,
+    )
 
     # ------------------------------------------------------------------
     # global (non-epipolar) mode — the reference's DEFAULT settings path
@@ -480,11 +498,8 @@ def main():
          "config 5: vectorized greedy split scorer (_score_level), "
          "32k triplets x 10 resamples x 20 taus")
 
-    # headline LAST on stdout — the driver parses this line.  The headline
-    # is the masked sorted-order contract (build_sparsematch_masked): full
-    # sparse-match, every output buffer consumed, decoded support set
-    # asserted identical to the flat contract (itself oracle-gated).  The
-    # r2 headline (row-form) is the rowform_throughput aux metric above.
+    # (the headline sintel_sparsematch_throughput line was printed to
+    # stdout right after its measurement, in the masked-contract section)
     print(
         "methodology note: all steps consume every output buffer; round 1's "
         "1362 Mpix/s timed a count-only program whose support compaction "
@@ -495,16 +510,6 @@ def main():
         "contract did on device moves to the consumer (one vectorized "
         "nonzero host-side, included in CLI wall-clock numbers).",
         file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "sintel_sparsematch_throughput",
-                "value": round(masked_mpix, 1),
-                "unit": "Mpix/s",
-                "vs_baseline": round(masked_mpix / BASELINE_MPIX_S, 2),
-            }
-        )
     )
 
 
