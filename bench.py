@@ -333,6 +333,70 @@ def main():
          "(decode gated against the oracle-gated flat tau set)")
 
     # ------------------------------------------------------------------
+    # config 4: extract — GT mining throughput (host-side numpy pipeline;
+    # wall clock is the honest metric, no device in the loop), gated on
+    # keypoint correctness against the scene's exact warp
+    # ------------------------------------------------------------------
+    import time as _time
+
+    from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
+
+    rng = np.random.default_rng(1)
+    m_left, m_right, m_disp, m_occ = make_scene(rng, H, W)
+    oof = np.zeros((H, W), np.uint8)
+    n_trip = 2000
+    t0 = _time.perf_counter()
+    kl, kr, kn = mine_stereo_pair(m_disp.astype(np.float64), m_occ, oof,
+                                  n_trip, 10, 20, rng)
+    trips = extract_triplets(m_left, m_right, kl, kr, kn)
+    mine_dt = _time.perf_counter() - t0
+    ok = (m_right[kr[:, 1], kr[:, 0]] == m_left[kl[:, 1], kl[:, 0]]).mean()
+    assert ok > 0.999, f"mining keypoint correctness {ok:.4f}"
+    assert len(trips) >= 0.9 * n_trip
+    _aux("mining_triplets_per_s", len(trips) / _nonzero(mine_dt), "triplets/s",
+         "config 4: extract (mine_stereo_pair + 27x27 patch crops, host)")
+
+    # ------------------------------------------------------------------
+    # config 5: train — split-scorer throughput (the training hot loop),
+    # gated by the existing oracle trainfern parity (tests/test_train.py);
+    # here we re-gate cheaply: scored counts must sum to N per candidate
+    # ------------------------------------------------------------------
+    from opengpc_tpu.train import _score_level, sample_candidates
+
+    n_tr = 32768  # 72 MB upload; the tunnel makes bigger sets slow to ship
+    rng2 = np.random.default_rng(2)
+    ref = rng2.integers(0, 256, (n_tr, 729))
+    pos = np.clip(ref + rng2.integers(-8, 9, (n_tr, 729)), 0, 255)
+    neg = rng2.integers(0, 256, (n_tr, 729))
+    patches = jnp.asarray(
+        np.stack([ref, pos, neg], axis=1).astype(np.uint8))
+    cand = jnp.asarray(sample_candidates(rng2, 0, 10).astype(np.int32))
+    num_taus = 20
+    ones = jnp.ones((n_tr,), bool)
+
+    def tstep(p):
+        counts = _score_level(p, cand, jnp.int32(-10), num_taus,
+                              ones, ones, ones)
+        return counts.sum(dtype=jnp.int32) & 0xFF
+
+    def tdep(s, args):
+        (p,) = args
+        p = jax.lax.dynamic_update_slice(
+            p, (s & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
+        return (p,)
+
+    counts0 = np.asarray(jax.jit(lambda p: _score_level(
+        p, cand, jnp.int32(-10), num_taus, ones, ones, ones))(patches))
+    assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
+    # one scorer pass is ~50 us on chip; chain thousands of iterations so
+    # the loop-length difference dwarfs relay jitter
+    tbest = device_time_per_iter(tstep, (patches,), tdep, 3, 2003, repeats=3)
+    evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
+    _aux("train_split_evals_per_s", evals / _nonzero(tbest) / 1e9, "G evals/s",
+         "config 5: vectorized greedy split scorer (_score_level), "
+         "32k triplets x 10 resamples x 20 taus")
+
+    # ------------------------------------------------------------------
     # config 3a: batched pairs aggregate throughput per chip — the batch
     # is FOLDED into one (B*H, 2W) segmented row sort
     # (infer._sparsematch_rows_batched_impl; A/B vs lax.map-of-pipelines
@@ -433,70 +497,6 @@ def main():
     ppix = 2 * H * W * (1 + 0.25 + 0.0625)
     _aux("pyramid_throughput", ppix / 1e6 / _nonzero(pbest), "Mpix/s",
          "config 3: 3-level pyramid, all-level pixels counted")
-
-    # ------------------------------------------------------------------
-    # config 4: extract — GT mining throughput (host-side numpy pipeline;
-    # wall clock is the honest metric, no device in the loop), gated on
-    # keypoint correctness against the scene's exact warp
-    # ------------------------------------------------------------------
-    import time as _time
-
-    from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
-
-    rng = np.random.default_rng(1)
-    m_left, m_right, m_disp, m_occ = make_scene(rng, H, W)
-    oof = np.zeros((H, W), np.uint8)
-    n_trip = 2000
-    t0 = _time.perf_counter()
-    kl, kr, kn = mine_stereo_pair(m_disp.astype(np.float64), m_occ, oof,
-                                  n_trip, 10, 20, rng)
-    trips = extract_triplets(m_left, m_right, kl, kr, kn)
-    mine_dt = _time.perf_counter() - t0
-    ok = (m_right[kr[:, 1], kr[:, 0]] == m_left[kl[:, 1], kl[:, 0]]).mean()
-    assert ok > 0.999, f"mining keypoint correctness {ok:.4f}"
-    assert len(trips) >= 0.9 * n_trip
-    _aux("mining_triplets_per_s", len(trips) / _nonzero(mine_dt), "triplets/s",
-         "config 4: extract (mine_stereo_pair + 27x27 patch crops, host)")
-
-    # ------------------------------------------------------------------
-    # config 5: train — split-scorer throughput (the training hot loop),
-    # gated by the existing oracle trainfern parity (tests/test_train.py);
-    # here we re-gate cheaply: scored counts must sum to N per candidate
-    # ------------------------------------------------------------------
-    from opengpc_tpu.train import _score_level, sample_candidates
-
-    n_tr = 32768  # 72 MB upload; the tunnel makes bigger sets slow to ship
-    rng2 = np.random.default_rng(2)
-    ref = rng2.integers(0, 256, (n_tr, 729))
-    pos = np.clip(ref + rng2.integers(-8, 9, (n_tr, 729)), 0, 255)
-    neg = rng2.integers(0, 256, (n_tr, 729))
-    patches = jnp.asarray(
-        np.stack([ref, pos, neg], axis=1).astype(np.uint8))
-    cand = jnp.asarray(sample_candidates(rng2, 0, 10).astype(np.int32))
-    num_taus = 20
-    ones = jnp.ones((n_tr,), bool)
-
-    def tstep(p):
-        counts = _score_level(p, cand, jnp.int32(-10), num_taus,
-                              ones, ones, ones)
-        return counts.sum(dtype=jnp.int32) & 0xFF
-
-    def tdep(s, args):
-        (p,) = args
-        p = jax.lax.dynamic_update_slice(
-            p, (s & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
-        return (p,)
-
-    counts0 = np.asarray(jax.jit(lambda p: _score_level(
-        p, cand, jnp.int32(-10), num_taus, ones, ones, ones))(patches))
-    assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
-    # one scorer pass is ~50 us on chip; chain thousands of iterations so
-    # the loop-length difference dwarfs relay jitter
-    tbest = device_time_per_iter(tstep, (patches,), tdep, 3, 2003, repeats=3)
-    evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
-    _aux("train_split_evals_per_s", evals / _nonzero(tbest) / 1e9, "G evals/s",
-         "config 5: vectorized greedy split scorer (_score_level), "
-         "32k triplets x 10 resamples x 20 taus")
 
     # (the headline sintel_sparsematch_throughput line was printed to
     # stdout right after its measurement, in the masked-contract section)
