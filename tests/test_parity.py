@@ -358,6 +358,17 @@ def test_sparsematch_adversarial_corners(oracle_path, tmp_path):
         got = set(map(tuple, supports_to_numpy(*m(left, right)).tolist()))
         assert got == want, (c, len(got), len(want))
         saw_nonempty = saw_nonempty or len(want) > 0
+        # the fast contracts must agree on the same degenerate draw
+        from opengpc_tpu.infer import (_rows_ok, build_sparsematch_masked,
+                                       masked_supports_to_numpy)
+
+        fmask = forest_mod.make_filter_mask(forest)
+        if c["epi"] and _rows_ok(fmask, left.shape, s):
+            buf, counts = build_sparsematch_masked(
+                forest, s, use_pallas=False)(left, right)
+            got_m = set(map(tuple, masked_supports_to_numpy(
+                buf, counts, s.disp_high).tolist()))
+            assert got_m == want, (c, "masked")
     assert saw_nonempty  # at least threshold=0 / global-vt cases match
 
     # capacity=1: truncated buffers, true count
