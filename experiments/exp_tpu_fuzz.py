@@ -1,0 +1,46 @@
+"""Randomized TPU-vs-CPU parity sweep: N random (shape, settings, forest)
+draws through the masked contract with the Pallas kernels on the real
+chip, each compared set-exactly against the CPU jnp path (itself
+oracle-pinned by the test suite).
+
+Each new shape costs a remote compile (~25-40 s through the relay), so
+keep N small; run uncontended (CPU-side pytest soaks starve the host
+threads and stall compiles).
+
+Run on the TPU: python experiments/exp_tpu_fuzz.py [N] [seed]
+"""
+import sys
+
+sys.path.insert(0, ".")
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest
+from opengpc_tpu.infer import (build_sparsematch, build_sparsematch_masked,
+                               masked_supports_to_numpy, supports_to_numpy)
+from opengpc_tpu.utils.scenes import make_scene
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+seed = int(sys.argv[2]) if len(sys.argv) > 2 else 606
+rng = np.random.default_rng(seed)
+forests = {n: load_forest(f"forests/{n}") for n in
+           ("defaultZeroForest.txt", "defaultTauForest.txt")}
+for trial in range(N):
+    h = int(rng.integers(48, 400))
+    w = int(rng.integers(64, 1400))
+    grad = int(rng.integers(1, 30))
+    dh = int(rng.choice([16, 64, 128]))
+    fname = str(rng.choice(list(forests)))
+    left, right, _, _ = make_scene(rng, h, w)
+    s = InferenceSettings(gradient_threshold=grad, vertical_tolerance=0,
+                          disp_high=dh, epipolar_mode=True, capacity=1 << 19)
+    forest = forests[fname]
+    want = set(map(tuple, supports_to_numpy(*build_sparsematch(
+        forest, s, use_pallas=False)(left, right)).tolist()))
+    got = set(map(tuple, masked_supports_to_numpy(
+        *build_sparsematch_masked(forest, s, use_pallas=True)(left, right),
+        s.disp_high).tolist()))
+    assert got == want, (trial, h, w, grad, dh, fname, len(got), len(want))
+    print(f"trial {trial}: ({h},{w}) grad={grad} dh={dh} {fname[:11]} "
+          f"-> {len(want)} supports, TPU==CPU", flush=True)
+print("TPU randomized parity sweep OK")
