@@ -374,12 +374,12 @@ def main():
     num_taus = 20
     ones = jnp.ones((n_tr,), bool)
 
-    def tstep(p):
+    def trn_step(p):
         counts = _score_level(p, cand, jnp.int32(-10), num_taus,
                               ones, ones, ones)
         return counts.sum(dtype=jnp.int32) & 0xFF
 
-    def tdep(s, args):
+    def trn_dep(s, args):
         (p,) = args
         p = jax.lax.dynamic_update_slice(
             p, (s & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
@@ -390,9 +390,11 @@ def main():
     assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
     # one scorer pass is ~50 us on chip; chain thousands of iterations so
     # the loop-length difference dwarfs relay jitter
-    tbest = device_time_per_iter(tstep, (patches,), tdep, 3, 2003, repeats=3)
+    trn_best = device_time_per_iter(trn_step, (patches,), trn_dep, 3, 2003,
+                                    repeats=3)
     evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
-    _aux("train_split_evals_per_s", evals / _nonzero(tbest) / 1e9, "G evals/s",
+    _aux("train_split_evals_per_s", evals / _nonzero(trn_best) / 1e9,
+         "G evals/s",
          "config 5: vectorized greedy split scorer (_score_level), "
          "32k triplets x 10 resamples x 20 taus")
 

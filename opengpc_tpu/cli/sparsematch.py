@@ -371,6 +371,13 @@ def _run_sequence(args, forest, settings) -> int:
     probe = read_gray(lefts[0])
     fmask = make_filter_mask(forest)
     row_form = _rows_ok(fmask, probe.shape, settings)
+    if args.contract == "rows" and not row_form:
+        # honor an explicit contract choice instead of silently riding the
+        # flat fallback (auto mode still falls back per frame)
+        print("--contract rows needs epipolar mode, a <=30-test forest and "
+              f"packable (x, d) keys for frame shape {probe.shape}",
+              file=sys.stderr)
+        return 1
     if row_form:
         from opengpc_tpu.infer import (build_sparsematch_rows,
                                        row_supports_to_numpy)

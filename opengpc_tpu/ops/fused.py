@@ -229,11 +229,13 @@ def _prep(img, mask: FilterMask, gradient_threshold: int, tile=None):
     else:
         tw = min(_round_up(w, 128), 1024)
         th = _pick_tile_h(tw)
-    # DMA row offsets are i*th: keep them aligned to the uint8 memory
-    # tile (_HALO_R) even if the stack budget constants are ever retuned
-    # (an unaligned offset fails to compile only on real TPU, invisible
-    # to the interpret-mode suite)
+    # DMA offsets are i*th / j*tw: keep them aligned to the uint8 memory
+    # tile (_HALO_R, _HALO_C) even if the stack budget constants are ever
+    # retuned or a tile override is passed (an unaligned offset/extent
+    # fails to compile only on real TPU, invisible to the interpret-mode
+    # suite)
     assert th % _HALO_R == 0, (th, _HALO_R)
+    assert tw % _HALO_C == 0, (tw, _HALO_C)
     n_rt = (h + th - 1) // th
     n_ct = (w + tw - 1) // tw
     # pad so every tile's halo read (rows [i*th, i*th + th + _HALO_R),
