@@ -306,6 +306,67 @@ def fused_codes(
     return _fused_codes_impl(img, mask, gradient_threshold, bool(interpret))
 
 
+def _kernel_census(img_ref, code_ref, scratch, sem, *, h, w, th, tw):
+    """One (th, tw) tile of the 5x5 census transform — the fused-kernel
+    recast of the reference's SSE census (filter.hpp:722-818; scalar
+    contract filter.hpp:692-712, implemented by ops/census.census5x5):
+    24-bit codes, bit i set iff neighbor > center, px-major scan skipping
+    the center.  Same per-tile HBM DMA pattern as the code kernels (the
+    PAD-row halo is reused; census only needs 2 of its 14 rows)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x32 = _fetch_tile(img_ref, scratch, sem, th, tw)
+    center = jax.lax.slice(x32, (PAD, PAD), (PAD + th, PAD + tw))
+    code = jnp.zeros((th, tw), jnp.int32)
+    bit = 0
+    for px in range(-2, 3):
+        for py in range(-2, 3):
+            if px == 0 and py == 0:
+                continue
+            nb = jax.lax.slice(
+                x32, (PAD + py, PAD + px), (PAD + py + th, PAD + px + tw)
+            )
+            code = code | jnp.where(nb > center, jnp.int32(1 << bit),
+                                    jnp.int32(0))
+            bit += 1
+    yy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + i * th
+    xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
+    valid = (yy >= 2) & (yy <= h - 4) & (xx >= 2) & (xx <= w - 3)
+    code_ref[:] = jnp.where(valid, code, jnp.int32(0))
+
+
+def fused_census(img: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """(H, W) int32 dense 5x5 census codes in one DMA-tiled Pallas pass —
+    pixel-identical to ops/census.census5x5 (itself oracle-gated in
+    tests/test_parity.py).  Same interpret/any-resolution contract as
+    fused_codes."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = img.shape
+    tw = min(_round_up(w, 128), 1024)
+    th = _pick_tile_h(tw)
+    n_rt = (h + th - 1) // th
+    n_ct = (w + tw - 1) // tw
+    padded = jnp.pad(
+        img,
+        ((PAD, n_rt * th + _HALO_R - h - PAD),
+         (PAD, n_ct * tw + _HALO_C - w - PAD)),
+        constant_values=0,
+    )
+    kernel = functools.partial(_kernel_census, h=h, w=w, th=th, tw=tw)
+    codes = pl.pallas_call(
+        kernel,
+        grid=(n_rt, n_ct),
+        out_shape=jax.ShapeDtypeStruct((n_rt * th, n_ct * tw), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=_tile_scratch(th, tw),
+        interpret=bool(interpret),
+    )(padded)
+    return codes[:h, :w]
+
+
 def fused_keys(
     img: jnp.ndarray,
     mask: FilterMask,

@@ -144,3 +144,16 @@ def test_wide_image_pallas_pipeline_end_to_end():
     got = supports_to_numpy(*pal(left, right))
     assert len(want) > 100
     assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (100, 250), (37, 130), (200, 1100)])
+def test_fused_census_matches_jnp(shape):
+    from opengpc_tpu.ops.census import census5x5
+    from opengpc_tpu.ops.fused import fused_census
+
+    rng = np.random.default_rng(sum(shape) + 7)
+    img = structured_image(rng, *shape)
+    got = np.asarray(fused_census(img, interpret=True))
+    want = np.asarray(census5x5(img))
+    assert want.any()
+    np.testing.assert_array_equal(got, want)
