@@ -1,0 +1,167 @@
+"""Re-litigate per-row candidate compaction at REALISTIC density
+(VERDICT r3 item 2 / weak #2).
+
+The README dead-end table pruned "compact candidate rows before the
+matcher sort" on a 79%-dense scene, where a compacted row rounds back up
+to full width.  At real-footage density (~10-20% of pixels pass
+gradientThreshold 5) a compacted row could shrink the matcher sort
+severalfold.  Design: split each (2W) row into nc chunks of S, sort each
+chunk (valid codes < SENTINEL_BASE sort left), keep the first K columns,
+and finish with one narrower (nc*K) row sort — total sort work
+~ chunks*S*log2(S)^2 + (nc*K)*log2(nc*K)^2 instead of 2W*log2(2W)^2.
+An overflow flag (any chunk holding > K candidates) guards exactness;
+overflowing frames must re-run the full-width matcher.
+
+Chunking layouts measured:
+  contiguous — chunk c holds positions [c*S, (c+1)*S): FAILS on real
+      sparsity (candidates cluster inside texture patches: a chunk inside
+      a patch is ~100% dense, so K must approach S and the win vanishes —
+      measured via the overflow flag below).
+  strided — chunk c holds positions {p : p % nc == c} (one transpose):
+      clusters spread uniformly, so per-chunk load ~ row_count/nc and the
+      guard becomes an effective per-ROW capacity of nc*K.
+
+Measures on the TPU, per scene (79%-dense make_pair and 15%-dense
+make_sparse_pair): baseline masked matcher vs both variants across
+(S, K); decoded support sets asserted equal whenever no overflow.
+
+Run: python experiments/exp_lowdens.py
+"""
+import functools
+import json
+import sys
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest, make_filter_mask
+from opengpc_tpu.infer import (_interior_rows, _key_image, _pad_rows,
+                               masked_supports_to_numpy)
+from opengpc_tpu.match import (MASKED_SENTINEL, SENTINEL_BASE,
+                               _detect_pairs_packed, match_epipolar_masked)
+from opengpc_tpu.utils import device_time_per_iter
+from opengpc_tpu.utils.scenes import make_pair, make_sparse_pair
+
+H, W = 436, 1024
+DISP = 16
+
+
+def masked_compact(key, disp_high, chunk, k, strided=False):
+    """Chunked pre-compaction masked matcher: (buf (H, nc*k+1), counts,
+    overflow).  Exact whenever overflow is False."""
+    h, w2 = key.shape
+    w = w2 // 2
+    assert w2 % chunk == 0, (w2, chunk)
+    nc = w2 // chunk
+    pos = jnp.broadcast_to(jnp.arange(w2, dtype=jnp.int32)[None, :], (h, w2))
+    if strided:
+        # chunk c <- positions {p : p % nc == c}: reshape (h, S, nc) then
+        # swap so the chunk axis is major (elements stride nc apart)
+        kc = key.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
+        pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
+    else:
+        kc = key.reshape(h * nc, chunk)
+        pc = pos.reshape(h * nc, chunk)
+    vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
+    overflow = jnp.any(vc > k)
+    ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1, is_stable=False)
+    ks = ks[:, :k].reshape(h, nc * k)
+    ps = ps[:, :k].reshape(h, nc * k)
+    key_s, pos_s = jax.lax.sort((ks, ps), dimension=1, num_keys=1,
+                                is_stable=False)
+    keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
+    bd = max(1, int(2 * disp_high).bit_length())
+    out = jnp.where(keep, (src_x << bd) | (d + disp_high),
+                    jnp.int32(MASKED_SENTINEL))
+    out = jnp.pad(out, ((0, 0), (0, 1)), constant_values=MASKED_SENTINEL)
+    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    return out, counts, overflow
+
+
+def main():
+    use_pallas = jax.default_backend() == "tpu"
+    mask = make_filter_mask(load_forest("forests/defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=128, epipolar_mode=True,
+                                 capacity=1 << 19)
+
+    def key_image(l, r):
+        return _key_image(l, r, mask, settings, use_pallas)
+
+    def dep(s, args):
+        a, b = args
+        upd = (s.astype(jnp.int32) & 1).astype(jnp.uint8).reshape(1, 1)
+        a = jax.lax.dynamic_update_slice(a, upd, (0, 0))
+        return (a, b)
+
+    def report(name, sec, extra=None):
+        rec = {"exp": name, "ms": round(sec * 1e3, 3),
+               "mpix_s": round(2 * H * W / 1e6 / max(sec, 1e-9), 1)}
+        if extra:
+            rec.update(extra)
+        print(json.dumps(rec), flush=True)
+
+    scenes = {
+        "dense": make_pair(H, W, DISP),
+        "sparse": make_sparse_pair(H, W, DISP, density=0.15),
+    }
+
+    for sname, (l, r) in scenes.items():
+        def base_step(a, b):
+            key, m = _interior_rows(key_image(a, b))
+            buf, counts = match_epipolar_masked(None, None, None, None,
+                                                settings.disp_high, key=key)
+            return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+
+        key0, m0 = _interior_rows(jax.jit(key_image)(l, r))
+        buf0, cnt0 = jax.jit(functools.partial(
+            match_epipolar_masked, disp_high=settings.disp_high))(
+                None, None, None, None, key=jnp.asarray(key0))
+        want = set(map(tuple, masked_supports_to_numpy(
+            np.asarray(_pad_rows(buf0, m0, -2, value=MASKED_SENTINEL)),
+            np.asarray(_pad_rows(cnt0, m0, -1)),
+            settings.disp_high).tolist()))
+
+        sec = device_time_per_iter(base_step, (l, r), dep, 3, 43, repeats=5)
+        report(f"baseline_{sname}", sec, {"supports": len(want)})
+
+        for strided in (False, True):
+            tag = "strided" if strided else "contig"
+            for chunk, k in ((256, 64), (128, 32), (128, 64), (64, 16),
+                             (64, 32)):
+                name = f"compact_{tag}_S{chunk}_K{k}_{sname}"
+
+                def cstep(a, b, chunk=chunk, k=k, strided=strided):
+                    key, m = _interior_rows(key_image(a, b))
+                    buf, counts, ovf = masked_compact(
+                        key, settings.disp_high, chunk, k, strided)
+                    return (buf.sum(dtype=jnp.int32)
+                            + counts.sum(dtype=jnp.int32)
+                            + ovf.astype(jnp.int32))
+
+                def cout(a, b, chunk=chunk, k=k, strided=strided):
+                    key, m = _interior_rows(key_image(a, b))
+                    buf, counts, ovf = masked_compact(
+                        key, settings.disp_high, chunk, k, strided)
+                    return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
+                            _pad_rows(counts, m, -1), ovf)
+
+                buf, counts, ovf = jax.jit(cout)(l, r)
+                if bool(np.asarray(ovf)):
+                    report(name, float("nan"), {"overflow": True})
+                    continue
+                got = set(map(tuple, masked_supports_to_numpy(
+                    np.asarray(buf), np.asarray(counts),
+                    settings.disp_high).tolist()))
+                assert got == want, (
+                    f"{name}: set mismatch ({len(got)} vs {len(want)})")
+                sec = device_time_per_iter(cstep, (l, r), dep, 3, 43,
+                                           repeats=5)
+                report(name, sec, {"overflow": False})
+
+
+if __name__ == "__main__":
+    main()

@@ -263,6 +263,33 @@ def _key_image_jnp(left, right, mask: FilterMask, settings: InferenceSettings,
     return jnp.where(valid, code, SENTINEL_BASE + pos)
 
 
+def _key_image_jnp_slab(slab_l, slab_r, mask: FilterMask,
+                        settings: InferenceSettings, y0, h_total: int):
+    """(sh, 2W) sentinel-packed key image for one ROW SLAB of a larger
+    frame — the jnp twin of ops/fused.fused_keys_slab (shares the same
+    contract math, tile_codes_and_cand, called as one big "tile").
+
+    ``slab_*``: (sh + 2*PAD, W) with PAD rows of halo context on both
+    sides (zeros outside the image); ``y0`` (traced ok) is the global row
+    of the slab's first output row, ``h_total`` the full-image height.
+    Bit-equal to rows [y0, y0+sh) of _key_image_jnp on the full frame."""
+    from opengpc_tpu.match import SENTINEL_BASE
+    from opengpc_tpu.ops.fused import PAD, mask_tests, tile_codes_and_cand
+
+    sh = slab_l.shape[0] - 2 * PAD
+    w = slab_l.shape[1]
+    tests = mask_tests(mask)
+    thr2 = int(settings.gradient_threshold) ** 2
+
+    def one(slab, pos_base):
+        x32 = jnp.pad(slab.astype(jnp.int32), ((0, 0), (PAD, PAD)))
+        code, cand = tile_codes_and_cand(x32, y0, h_total, w, sh, tests, thr2)
+        xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+        return jnp.where(cand, code, SENTINEL_BASE + pos_base + xx)
+
+    return jnp.concatenate([one(slab_l, 0), one(slab_r, w)], axis=1)
+
+
 def _batched_key_images(lefts, rights, mask: FilterMask,
                         settings: InferenceSettings, use_pallas: bool):
     """(B, H, 2W) sentinel-packed key images for a batch of pairs: per-pair

@@ -216,6 +216,20 @@ def _kernel_keys(img_ref, key_ref, scratch, sem, *, h, w, th, tw, tests,
     key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
 
 
+def mask_tests(mask: FilterMask):
+    """The forest's tests as a static tuple of python ints
+    (iy, ix, jy, jx, tau) — the compile-time constants every kernel bakes
+    in (the analog of readForest's FilterMask, inference.hpp:404-446)."""
+    i_off = np.asarray(mask.i_off)
+    j_off = np.asarray(mask.j_off)
+    tau = np.asarray(mask.tau)
+    return tuple(
+        (int(i_off[t, 0]), int(i_off[t, 1]), int(j_off[t, 0]),
+         int(j_off[t, 1]), int(tau[t]))
+        for t in range(mask.num_tests)
+    )
+
+
 def _prep(img, mask: FilterMask, gradient_threshold: int, tile=None):
     """Shared pallas_call scaffolding: padded input + static test tuple.
 
@@ -246,14 +260,7 @@ def _prep(img, mask: FilterMask, gradient_threshold: int, tile=None):
          (PAD, n_ct * tw + _HALO_C - w - PAD)),
         constant_values=0,
     )
-    i_off = np.asarray(mask.i_off)
-    j_off = np.asarray(mask.j_off)
-    tau = np.asarray(mask.tau)
-    tests = tuple(
-        (int(i_off[t, 0]), int(i_off[t, 1]), int(j_off[t, 0]), int(j_off[t, 1]),
-         int(tau[t]))
-        for t in range(mask.num_tests)
-    )
+    tests = mask_tests(mask)
     thr2 = int(gradient_threshold) * int(gradient_threshold)
     return padded, h, w, th, tw, n_rt, n_ct, tests, thr2
 
@@ -403,3 +410,84 @@ def fused_keys(
         interpret=bool(interpret),
     )(padded)
     return keys[:h, :w]
+
+
+def _kernel_keys_slab(y0_ref, img_ref, key_ref, scratch, sem, *, h, w, th,
+                      tw, tests, thr2, pos_base, sentinel_base):
+    """Slab variant of _kernel_keys for row-sharded single-frame matching:
+    the slab's first output row sits at global image row ``y0_ref[0]``
+    (an SMEM scalar — traced per shard under shard_map), and all
+    row-coordinate math (box boundary clearing, candidate margin) runs in
+    GLOBAL coordinates against the full image height ``h``, so a shard's
+    keys are bit-identical to the same rows of a single-device run."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x32 = _fetch_tile(img_ref, scratch, sem, th, tw)
+    code, cand = tile_codes_and_cand(
+        x32, y0_ref[0] + i * th, h, w, th, tests, thr2, x0=j * tw, tw=tw
+    )
+    xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
+    key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
+
+
+def fused_keys_slab(
+    slab: jnp.ndarray,
+    mask: FilterMask,
+    gradient_threshold: int,
+    pos_base: int,
+    sentinel_base: int,
+    y0,
+    h_total: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Sentinel-packed matcher keys for a ROW SLAB of a larger image —
+    the per-shard kernel of the single-frame multi-chip path
+    (parallel.build_sharded_frame_sparsematch), the TPU-native recast of
+    the reference's parFor row partitioning (filter.hpp:128-145,601-604).
+
+    ``slab``: (sh + 2*PAD, W) uint8 holding global rows
+    [y0 - PAD, y0 + sh + PAD) of the image (zeros where outside — exactly
+    the zero padding a single-device run sees at the image border; interior
+    shards get real neighbor rows via halo exchange).  ``y0`` may be a
+    traced scalar (``lax.axis_index`` under shard_map); ``h_total`` is the
+    static full-image height.  Returns the (sh, W) key block — bit-equal
+    to rows [y0, y0+sh) of fused_keys on the full image.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sh = slab.shape[0] - 2 * PAD
+    w = slab.shape[1]
+    assert sh >= 1, slab.shape
+    tw = min(_round_up(w, 128), 1024)
+    th = _pick_tile_h(tw)
+    n_rt = (sh + th - 1) // th
+    n_ct = (w + tw - 1) // tw
+    # the slab already carries its PAD rows of top context (halo); pad the
+    # bottom/right only up to the tiles' DMA reach
+    padded = jnp.pad(
+        slab,
+        ((0, n_rt * th + _HALO_R - sh - 2 * PAD),
+         (PAD, n_ct * tw + _HALO_C - w - PAD)),
+        constant_values=0,
+    )
+    kernel = functools.partial(
+        _kernel_keys_slab, h=int(h_total), w=w, th=th, tw=tw,
+        tests=mask_tests(mask),
+        thr2=int(gradient_threshold) * int(gradient_threshold),
+        pos_base=int(pos_base), sentinel_base=int(sentinel_base),
+    )
+    y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
+    keys = pl.pallas_call(
+        kernel,
+        grid=(n_rt, n_ct),
+        out_shape=jax.ShapeDtypeStruct((n_rt * th, n_ct * tw), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=_tile_scratch(th, tw),
+        interpret=bool(interpret),
+    )(y0_arr, padded)
+    return keys[:sh, :w]

@@ -195,6 +195,137 @@ def build_batched_sparsematch_global_rows(forest: Forest,
     return jax.jit(fn)
 
 
+def build_sharded_frame_sparsematch(forest_or_mask,
+                                    settings: InferenceSettings,
+                                    mesh: Mesh, use_pallas=None,
+                                    contract: str = "masked"):
+    """SINGLE-FRAME multi-chip matcher: shard ONE (H, W) pair's ROWS over
+    the mesh — the direct multi-chip recast of the reference's only
+    intra-image parallelism, parFor row partitioning
+    (/root/reference/lib/gpc/filter.hpp:128-145, used by the hot kernel at
+    filter.hpp:601-604).  Epipolar rows are independent, so the result is
+    exact by construction with ZERO matcher collectives; the only
+    communication is a 14-row halo exchange (two ``ppermute``s over ICI)
+    so each shard's preprocessing/code windows see real neighbor rows.
+
+    Each chip receives H/n rows (H must divide by the mesh size), swaps
+    halos, runs the fused key kernel (ops/fused.fused_keys_slab — global-
+    coordinate margin math via an SMEM scalar row offset) plus the matcher
+    on its slab, and emits its row block of the full-image result:
+
+    * ``contract="masked"`` (default): (buf (H, 2W), row_counts (H,)) —
+      identical to build_sparsematch_masked on the whole frame.
+    * ``contract="rows"``: ((xs, ds) (H, W) each, row_counts (H,)) —
+      identical to build_sparsematch_rows.
+
+    Global (non-epipolar) mode is deliberately NOT offered here: its
+    uniqueness domain spans the whole image pair, so a row-sharded version
+    needs a cross-shard duplicate check (all-gather of per-shard candidate
+    codes or a distributed sort) — a collective-heavy design documented as
+    out of scope in PARITY.md §2.10; use the batch-sharded
+    build_batched_sparsematch_global_rows for global-mode scale-out.
+
+    Shards at the image's top/bottom see zero halos (``ppermute`` fills
+    non-received edges with zeros), which is exactly the zero padding a
+    single-device run applies outside the frame.  The interior-row slicing
+    optimization of the single-chip path (sorting only rows [13, H-13))
+    is skipped here — margin rows land in the edge shards only and cost
+    <3% of their sort at realistic H (documented deviation).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _key_image_jnp_slab, _rows_ok
+    from opengpc_tpu.match import (SENTINEL_BASE, match_epipolar_masked,
+                                   match_epipolar_rows)
+    from opengpc_tpu.ops.fused import PAD, fused_keys_slab
+
+    if contract not in ("masked", "rows"):
+        raise ValueError(f"contract must be 'masked' or 'rows', got {contract!r}")
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = int(np.prod(mesh.devices.shape))
+    axis = DATA_AXIS
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+
+    def local(l_slab, r_slab):
+        sh, w = l_slab.shape
+        h_total = n * sh
+        if sh < PAD:
+            raise ValueError(
+                f"shards of {sh} rows are below the {PAD}-row halo (one "
+                f"ppermute hop exchanges at most a full shard); use a "
+                f"smaller mesh for images under {PAD * n} rows"
+            )
+        if not settings.epipolar_mode:
+            raise ValueError(
+                "sharded-frame matching is epipolar-only (global mode "
+                "needs cross-shard uniqueness; see docstring)"
+            )
+        if not _rows_ok(mask, (h_total, w), settings):
+            raise ValueError(
+                "sharded-frame matching needs <=30-test forests and a "
+                "packable (x, d) key; see infer._rows_ok"
+            )
+        y0 = jax.lax.axis_index(axis).astype(jnp.int32) * sh
+
+        def with_halo(x):
+            if n == 1:
+                zeros = jnp.zeros((PAD, w), x.dtype)
+                return jnp.concatenate([zeros, x, zeros], axis=0)
+            top = jax.lax.ppermute(x[-PAD:], axis, fwd)
+            bot = jax.lax.ppermute(x[:PAD], axis, bwd)
+            return jnp.concatenate([top, x, bot], axis=0)
+
+        hl = with_halo(l_slab)
+        hr = with_halo(r_slab)
+        if use_pallas:
+            key = jnp.concatenate([
+                fused_keys_slab(hl, mask, settings.gradient_threshold,
+                                0, SENTINEL_BASE, y0, h_total),
+                fused_keys_slab(hr, mask, settings.gradient_threshold,
+                                w, SENTINEL_BASE, y0, h_total),
+            ], axis=1)
+        else:
+            key = _key_image_jnp_slab(hl, hr, mask, settings, y0, h_total)
+        if contract == "masked":
+            return match_epipolar_masked(None, None, None, None,
+                                         settings.disp_high, key=key)
+        return match_epipolar_rows(None, None, None, None,
+                                   settings.disp_high, key=key)
+
+    spec = P(DATA_AXIS)
+    out_specs = (spec, spec) if contract == "masked" else ((spec, spec), spec)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim != 2:
+            raise ValueError(
+                "sharded-frame matching takes ONE (H, W) pair (that is the "
+                "point); use build_batched_sparsematch_* for batches"
+            )
+        if left.shape[0] % n:
+            raise ValueError(
+                f"image height {left.shape[0]} must divide by the mesh "
+                f"size {n} (pad the pair or pick a divisor mesh)"
+            )
+        return fn(left, right)
+
+    return run
+
+
 def sharded_train_fern(
     triplets, scale, optimizer, max_depth, mesh: Mesh, seed: int = 0,
     verbose: bool = False,
@@ -280,6 +411,26 @@ def sharded_sparsematch_step(n_devices: int) -> None:
     mcounts.block_until_ready()
     assert (np.asarray(mcounts).sum(axis=1) == np.asarray(count)).all(), (
         "masked sharded counts != flat sharded counts"
+    )
+
+    # SINGLE-FRAME row sharding (r4): one pair's rows split over the mesh,
+    # 14-row halo exchange via ppermute — must equal the whole-frame result
+    fh, fw = 16 * n_devices, 128
+    fl = rng.integers(0, 256, (fh, fw)).astype(np.uint8)
+    fr = np.roll(fl, -2, axis=1)
+    run_frame = build_sharded_frame_sparsematch(forest, settings, mesh)
+    fbuf, fcounts = run_frame(fl, fr)
+    fcounts.block_until_ready()
+    assert fbuf.shape == (fh, 2 * fw) and fcounts.shape == (fh,)
+    from opengpc_tpu.infer import build_sparsematch_masked
+
+    wbuf, wcounts = build_sparsematch_masked(forest, settings,
+                                             use_pallas=False)(fl, fr)
+    assert (np.asarray(fcounts) == np.asarray(wcounts)).all(), (
+        "sharded-frame row counts != whole-frame masked counts"
+    )
+    assert (np.asarray(fbuf) == np.asarray(wbuf)).all(), (
+        "sharded-frame masked buffer != whole-frame masked buffer"
     )
 
     # full training step, triplet axis sharded over the same mesh

@@ -367,3 +367,45 @@ def test_cli_three_stage_workflow_e2e(sintel_tree, tmp_path):
     # trained forest must recover it for the clear majority of supports
     frac = float((supports[:, 2] == SHIFT).mean())
     assert frac > 0.9, frac
+
+
+def test_cli_three_stage_workflow_tau_e2e(sintel_tree, tmp_path):
+    """extract -> train --fern-type tau -> sparsematch through the real
+    argv mains (VERDICT r3 item 4): the tau training path (τ line search,
+    Fern.hpp:337-350) exercised end-to-end, with the freshly written tau
+    forest recovering the synthetic tree's constant disparity."""
+    from opengpc_tpu.cli.extract import main as extract_main
+    from opengpc_tpu.cli.sparsematch import main as sparsematch_main
+    from opengpc_tpu.cli.train import main as train_main
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.io.supports import read_supports
+
+    triplets_bin = tmp_path / "triplets.bin"
+    forest_txt = tmp_path / "fresh_tau.txt"
+    rc = extract_main([sintel_tree, str(triplets_bin), "--mode", "stereo",
+                       "--triplets-per-pair", "120", "--radius-lower", "5",
+                       "--radius-upper", "12", "--seed", "6"])
+    assert rc == 0
+    rc = train_main([str(triplets_bin), str(forest_txt), "--num-s", "1",
+                     "--num-m", "1", "--num-l", "1", "--depth", "4",
+                     "--num-resamples", "6", "--seed", "7",
+                     "--fern-type", "tau"])
+    assert rc == 0
+    forest = load_forest(str(forest_txt))
+    assert len(forest.ferns) == 3
+    taus = [t.tau for fern in forest.ferns for t in fern.tests]
+    assert any(t != 0 for t in taus), taus  # tau freedom actually used
+
+    left = os.path.join(sintel_tree, "training", "clean_left", "alley_1",
+                        "frame_0001.png")
+    right = os.path.join(sintel_tree, "training", "clean_right", "alley_1",
+                         "frame_0001.png")
+    sup_out = tmp_path / "supports_tau.txt"
+    rc = sparsematch_main([str(forest_txt), left, right, "--disp-high", "16",
+                           "--out", str(tmp_path / "d.png"),
+                           "--supports-out", str(sup_out)])
+    assert rc == 0
+    supports = read_supports(str(sup_out))
+    assert len(supports) > 50
+    frac = float((supports[:, 2] == SHIFT).mean())
+    assert frac > 0.9, frac

@@ -210,3 +210,52 @@ def test_trained_forest_quality_vs_pretrained():
     # worse than 1% on exact-disparity precision
     assert n_fresh >= 0.9 * n_pre, (n_fresh, n_pre)
     assert p_fresh >= p_pre - 0.01, (p_fresh, p_pre)
+
+
+def test_tau_trained_forest_quality_vs_pretrained():
+    """Selection QUALITY gate for TAU training (VERDICT r3 item 4): a
+    tau_optimizer()-trained forest (the τ line search of Fern.hpp:337-350,
+    built by samples/train.cpp:24-37) must match a held-out multi-plane
+    scene about as well as the pretrained defaultTauForest.  Tau selection
+    had exact parity tests but no end-to-end quality assertion — a
+    tau-specific scoring regression that still picks *some* valid test
+    ships through parity and fails here."""
+    from opengpc_tpu import (InferenceSettings, build_sparsematch,
+                             fern_factory, load_forest, supports_to_numpy,
+                             tau_optimizer)
+    from opengpc_tpu.metrics import support_precision
+    from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
+    from opengpc_tpu.train import train_forest
+    from opengpc_tpu.utils.scenes import make_scene
+
+    rng = np.random.default_rng(15)
+    h, w = 240, 480
+    left, right, gt, occ = make_scene(rng, h, w)
+    kl, kr, kn = mine_stereo_pair(gt, occ, np.zeros((h, w), np.uint8),
+                                  2500, 10, 25, rng)
+    trips = extract_triplets(left, right, kl, kr, kn)
+    assert len(trips) >= 2000
+    fresh = train_forest(trips, fern_factory(2, 2, 2, 5), tau_optimizer(),
+                         seed=2, verbose=False)
+    # the trained ferns must actually USE the tau freedom (a zero-stuck
+    # tau search is exactly the regression class this test exists for)
+    taus = [t.tau for fern in fresh.ferns for t in fern.tests]
+    assert any(t != 0 for t in taus), taus
+
+    l2, r2, gt2, occ2 = make_scene(np.random.default_rng(78), h, w)
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 17)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pre = load_forest(os.path.join(repo, "forests", "defaultTauForest.txt"))
+    results = {}
+    for name, forest in (("fresh", fresh), ("pretrained", pre)):
+        supp = supports_to_numpy(
+            *build_sparsematch(forest, settings, use_pallas=False)(l2, r2))
+        prec, n = support_precision(supp, gt2, valid=(occ2 == 0), tol=0)
+        results[name] = (len(supp), prec)
+    n_fresh, p_fresh = results["fresh"]
+    n_pre, p_pre = results["pretrained"]
+    assert n_pre > 10000
+    assert n_fresh >= 0.9 * n_pre, (n_fresh, n_pre)
+    assert p_fresh >= p_pre - 0.01, (p_fresh, p_pre)
