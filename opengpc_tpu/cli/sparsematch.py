@@ -87,6 +87,13 @@ def main(argv=None) -> int:
         "epipolar-only; sequence mode supports auto/rows",
     )
     p.add_argument(
+        "--shard-frame", type=int, default=0, metavar="N",
+        help="shard ONE pair's rows over the first N devices "
+        "(parallel.build_sharded_frame_sparsematch; epipolar only, image "
+        "height must divide by N and give each shard >= 14 rows).  The "
+        "multi-chip path for a single large frame; 0 (default) = off",
+    )
+    p.add_argument(
         "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
         help="sort: on-device clean unique-collision matcher (default); "
         "quirk: host-side bit-exact reference sweep incl. its edge quirks "
@@ -148,7 +155,51 @@ def main(argv=None) -> int:
     row_form = False
     global_rows = False
     masked_form = False
-    if args.pyramid > 1:
+    if args.shard_frame > 1:
+        import jax
+
+        from opengpc_tpu.forest import make_filter_mask
+        from opengpc_tpu.infer import (_rows_ok, build_sparsematch_masked,
+                                       masked_supports_to_numpy,
+                                       row_supports_to_numpy)
+        from opengpc_tpu.parallel import (build_sharded_frame_sparsematch,
+                                          make_mesh)
+
+        n = args.shard_frame
+        bad = [name for name, on in (
+            ("--pyramid", args.pyramid > 1),
+            ("--global-mode", args.global_mode),
+            (f"--matcher {args.matcher}", args.matcher != "sort"),
+            ("--contract flat", args.contract == "flat"),
+        ) if on]
+        if bad:
+            print(f"--shard-frame does not support: {', '.join(bad)}",
+                  file=sys.stderr)
+            return 1
+        devs = jax.devices()
+        if len(devs) < n:
+            print(f"--shard-frame {n}: only {len(devs)} devices visible",
+                  file=sys.stderr)
+            return 1
+        fmask = make_filter_mask(forest)
+        if not _rows_ok(fmask, left.shape, settings) or left.shape[0] % n \
+                or left.shape[0] // n < 14:
+            print(f"--shard-frame {n} needs epipolar mode, a <=30-test "
+                  "forest, packable (x, d) keys, and an image height "
+                  f"divisible by {n} with >= 14 rows per shard "
+                  f"(got {left.shape})", file=sys.stderr)
+            return 1
+        contract = "rows" if args.contract == "rows" else "masked"
+        masked_form = contract == "masked"
+        row_form = contract == "rows"
+        match = build_sharded_frame_sparsematch(
+            fmask, settings, make_mesh(devs[:n]), contract=contract)
+
+        def run():
+            out = match(left, right)
+            _force(out[1])
+            return out
+    elif args.pyramid > 1:
         from opengpc_tpu.pyramid import (
             build_pyramid_sparsematch,
             pyramid_supports_to_numpy,

@@ -551,3 +551,42 @@ def test_cli_flag_combinations_smoke(tmp_path):
     assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
                      str(ldir), str(rdir), "--contract", "masked",
                      "--out", str(tmp_path / "x" / "d.png")]) == 1
+
+
+def test_cli_shard_frame_matches_single_device(tmp_path):
+    """--shard-frame 8 (single-frame row sharding over the 8-device CPU
+    mesh) writes the same supports file as the default single-device run."""
+    from opengpc_tpu.cli.sparsematch import main as sparsematch_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.utils.scenes import make_pair
+
+    left, right = make_pair(128, 160, 6)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, left)
+    write_png(rp, right)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = os.path.join(repo, "forests", "defaultZeroForest.txt")
+    base = [forest, lp, rp, "--disp-high", "32",
+            "--out", str(tmp_path / "d.png")]
+    rc = sparsematch_main(base + ["--supports-out",
+                                  str(tmp_path / "s_single.txt")])
+    assert rc == 0
+    rc = sparsematch_main(base + ["--shard-frame", "8", "--supports-out",
+                                  str(tmp_path / "s_shard.txt")])
+    assert rc == 0
+    a = read_supports(str(tmp_path / "s_single.txt"))
+    b = read_supports(str(tmp_path / "s_shard.txt"))
+    assert len(a) > 100
+    assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist()))
+    # rows contract variant too
+    rc = sparsematch_main(base + ["--shard-frame", "8", "--contract", "rows",
+                                  "--supports-out",
+                                  str(tmp_path / "s_shard_rows.txt")])
+    assert rc == 0
+    c = read_supports(str(tmp_path / "s_shard_rows.txt"))
+    assert set(map(tuple, c.tolist())) == set(map(tuple, a.tolist()))
+    # rejected combinations
+    assert sparsematch_main(base + ["--shard-frame", "8",
+                                    "--global-mode"]) == 1
+    assert sparsematch_main(base + ["--shard-frame", "3"]) == 1  # 128 % 3
