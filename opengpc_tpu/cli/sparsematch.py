@@ -113,11 +113,13 @@ def main(argv=None) -> int:
     import os
 
     if os.path.isdir(args.left):
-        if args.contract not in ("auto", "rows"):
+        if args.contract not in ("auto", "rows", "masked"):
             print(f"--contract {args.contract} is not supported in "
                   "sequence (directory) mode — it rides the row-form "
-                  "contract (auto/rows), falling back to flat per frame "
-                  "only when ineligible", file=sys.stderr)
+                  "contract by default (auto/rows; explicit 'masked' "
+                  "selects the masked sorted-order contract), falling "
+                  "back to flat per frame only in auto mode",
+                  file=sys.stderr)
             return 1
         return _run_sequence(args, forest, settings)
     if args.batch > 1:
@@ -421,15 +423,22 @@ def _run_sequence(args, forest, settings) -> int:
 
     probe = read_gray(lefts[0])
     fmask = make_filter_mask(forest)
-    row_form = _rows_ok(fmask, probe.shape, settings)
-    if args.contract == "rows" and not row_form:
+    eligible = _rows_ok(fmask, probe.shape, settings)
+    if args.contract in ("rows", "masked") and not eligible:
         # honor an explicit contract choice instead of silently riding the
         # flat fallback (auto mode still falls back per frame)
-        print("--contract rows needs epipolar mode, a <=30-test forest and "
-              f"packable (x, d) keys for frame shape {probe.shape}",
-              file=sys.stderr)
+        print(f"--contract {args.contract} needs epipolar mode, a <=30-test "
+              f"forest and packable (x, d) keys for frame shape "
+              f"{probe.shape}", file=sys.stderr)
         return 1
-    if row_form:
+    masked_form = eligible and args.contract == "masked"
+    row_form = eligible and not masked_form
+    if masked_form:
+        from opengpc_tpu.infer import (build_sparsematch_masked,
+                                       masked_supports_to_numpy)
+
+        match = build_sparsematch_masked(fmask, settings)
+    elif row_form:
         from opengpc_tpu.infer import (build_sparsematch_rows,
                                        row_supports_to_numpy)
 
@@ -440,13 +449,16 @@ def _run_sequence(args, forest, settings) -> int:
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
     total_matches = 0
-    flat_match = None if row_form else match
-    batch = max(1, args.batch) if row_form else 1
-    if args.batch > 1 and not row_form:
+    fast = row_form or masked_form
+    mode = "masked" if masked_form else ("rows" if row_form else "flat")
+    flat_match = match if mode == "flat" else None
+    batch = max(1, args.batch) if fast else 1
+    if args.batch > 1 and not fast:
         print(
             f"--batch {args.batch} ignored: batched dispatch needs the "
-            "row-form contract (epipolar mode, <=30-test forest, packable "
-            "(x, d) keys for this image size); frames dispatch singly",
+            "row-form/masked contracts (epipolar mode, <=30-test forest, "
+            "packable (x, d) keys for this image size); frames dispatch "
+            "singly",
             file=sys.stderr,
         )
 
@@ -460,15 +472,21 @@ def _run_sequence(args, forest, settings) -> int:
     def assemble(pending):
         """Fetch one dispatch's device outputs (one frame, or a --batch
         stack of frames) and write the per-frame supports files."""
-        i0, used_rows, out, k = pending
-        if used_rows and k > 1:
+        i0, dmode, out, k = pending
+        if dmode == "masked":
+            mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
+            for j in range(k):
+                write_frame(i0 + j, masked_supports_to_numpy(
+                    mbuf[j] if k > 1 else mbuf,
+                    mcounts[j] if k > 1 else mcounts, settings.disp_high))
+        elif dmode == "rows" and k > 1:
             (rxs, rds), rcounts = out
             rxs, rds = np.asarray(rxs), np.asarray(rds)
             rcounts = np.asarray(rcounts)
             for j in range(k):
                 write_frame(i0 + j,
                             row_supports_to_numpy(rxs[j], rds[j], rcounts[j]))
-        elif used_rows:
+        elif dmode == "rows":
             (rxs, rds), rcounts = out
             write_frame(i0, row_supports_to_numpy(rxs, rds, rcounts))
         else:
@@ -477,15 +495,16 @@ def _run_sequence(args, forest, settings) -> int:
     def dispatch_group(group):
         """One jit dispatch for a FULL same-shape group: a stacked
         (B, H, W) batch folds into ONE (B*H, 2W) segmented sort on device
-        (infer._sparsematch_rows_batched_impl) — per-dispatch overhead is
-        paid once per B frames, with per-frame outputs identical to
-        single-frame dispatches (pinned by test_cli_sequence_mode_batched)."""
+        (infer._sparsematch_rows_batched_impl / the masked impl's native
+        batch fold) — per-dispatch overhead is paid once per B frames,
+        with per-frame outputs identical to single-frame dispatches
+        (pinned by test_cli_sequence_mode_batched)."""
         i0 = group[0][0]
         if len(group) == 1:  # --batch 1: plain 2-D single-frame dispatch
-            return (i0, True, match(group[0][1], group[0][2]), 1)
+            return (i0, mode, match(group[0][1], group[0][2]), 1)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
-        return (i0, True, match(lb, rb), len(group))
+        return (i0, mode, match(lb, rb), len(group))
 
     def flush_group(group):
         """Dispatch a partial (flushed or leftover) group as SINGLE frames:
@@ -494,7 +513,7 @@ def _run_sequence(args, forest, settings) -> int:
         of dispatch — the single-frame program is one compile reused by
         every partial group."""
         for i, l, r in group:
-            submit((i, True, match(l, r), 1))
+            submit((i, mode, match(l, r), 1))
 
     # software pipeline: jax dispatch is async, assembly (device->host
     # fetch + supports write — numpy and the native writer both release
@@ -542,7 +561,7 @@ def _run_sequence(args, forest, settings) -> int:
                 left = read_gray(pairs[i][0])
                 right = read_gray(pairs[i][1])
             total_px += 2 * left.size
-            if row_form and left.shape == probe.shape:
+            if fast and left.shape == probe.shape:
                 group.append((i, left, right))
                 if len(group) < batch:
                     continue
@@ -560,7 +579,7 @@ def _run_sequence(args, forest, settings) -> int:
                     group = []
                 if flat_match is None:
                     flat_match = build_sparsematch(fmask, settings)
-                submit((i, False, flat_match(left, right), 1))
+                submit((i, "flat", flat_match(left, right), 1))
         if group:
             flush_group(group)
         while futures:

@@ -590,3 +590,48 @@ def test_cli_shard_frame_matches_single_device(tmp_path):
     assert sparsematch_main(base + ["--shard-frame", "8",
                                     "--global-mode"]) == 1
     assert sparsematch_main(base + ["--shard-frame", "3"]) == 1  # 128 % 3
+
+
+def test_cli_sequence_mode_masked_contract(tmp_path):
+    """Sequence mode with --contract masked (+ --batch 2, shape change,
+    leftover group): per-frame supports equal direct single-pair runs."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(7):  # 2+2, shape-change flush, leftover single
+        if i == 4:
+            l, r = make_pair(72, 112, 4, seed=70 + i)
+        else:
+            l, r = make_pair(96, 144, 3 + (i % 3), seed=70 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    out = tmp_path / "out" / "d.png"
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--disp-high", "32", "--batch", "2",
+                   "--contract", "masked", "--out", str(out)])
+    assert rc == 0
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 16)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    matchers = {}
+    for i, (l, r) in enumerate(frames):
+        got = read_supports(str(tmp_path / "out" / f"supports_{i:04d}.txt"))
+        if l.shape not in matchers:
+            matchers[l.shape] = build_sparsematch(forest, settings,
+                                                  use_pallas=False)
+        want = supports_to_numpy(*matchers[l.shape](l, r))
+        assert len(want) > 50
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist()))), f"frame {i}"
+    # explicit masked on an ineligible setup errors out (global mode)
+    assert cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                     "--global-mode", "--contract", "masked",
+                     "--out", str(out)]) == 1
