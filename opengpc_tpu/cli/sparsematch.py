@@ -549,8 +549,15 @@ def _run_sequence(args, forest, settings) -> int:
 
     group = []
     t0 = time.perf_counter()
+    t_half = None
+    px_half = 0
     try:
         for i in range(len(pairs)):
+            if i == len(pairs) // 2 and i > 0:
+                # steady-state marker: by mid-sequence the first dispatch's
+                # (possibly relayed, ~25-40 s) compile is long done
+                t_half = time.perf_counter()
+                px_half = total_px
             if PREFETCH:
                 left, right = reads.popleft().result()
                 if i + PREFETCH < len(pairs):
@@ -587,12 +594,20 @@ def _run_sequence(args, forest, settings) -> int:
     finally:
         rd.shutdown(wait=False, cancel_futures=True)
         ex.shutdown(wait=True)
-    dt = time.perf_counter() - t0
+    t_end = time.perf_counter()
+    dt = t_end - t0
     print(
         f"{len(lefts)} pairs, {total_matches} supports, "
         f"{dt * 1e3:.1f} ms total (incl. first-call compile + host IO), "
         f"{total_px / 1e6 / dt:.1f} Mpix/s end-to-end"
     )
+    if t_half is not None and t_end > t_half:
+        sdt = t_end - t_half
+        spx = total_px - px_half
+        print(
+            f"steady-state (2nd half, compile excluded): {sdt * 1e3:.1f} ms, "
+            f"{spx / 1e6 / sdt:.1f} Mpix/s end-to-end"
+        )
     return 0
 
 
