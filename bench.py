@@ -277,7 +277,9 @@ def main():
     from opengpc_tpu.utils.scenes import make_sparse_pair
 
     sl, sr = make_sparse_pair(H, W, TRUE_DISP, density=0.15)
-    sdens = float(np.asarray(candidate_mask(sobel3(sl, 5))).mean())
+    # jitted: eager jnp ops each compile remotely through the relay
+    sdens = float(np.asarray(jax.jit(
+        lambda x: candidate_mask(sobel3(x, 5)).mean())(sl)))
     s_supp = supports_to_numpy(*match(sl, sr))
     s_acc = float((s_supp[:, 2] == TRUE_DISP).mean())
     assert len(s_supp) > 1000, f"low-density: too few supports {len(s_supp)}"

@@ -113,6 +113,11 @@ def main(argv=None) -> int:
     import os
 
     if os.path.isdir(args.left):
+        if args.shard_frame > 1:
+            print("--shard-frame applies to single-pair mode only "
+                  "(sequence mode scales over the batch axis instead: "
+                  "parallel.build_batched_sparsematch_*)", file=sys.stderr)
+            return 1
         if args.contract not in ("auto", "rows", "masked"):
             print(f"--contract {args.contract} is not supported in "
                   "sequence (directory) mode — it rides the row-form "
@@ -161,9 +166,9 @@ def main(argv=None) -> int:
         import jax
 
         from opengpc_tpu.forest import make_filter_mask
-        from opengpc_tpu.infer import (_rows_ok, build_sparsematch_masked,
-                                       masked_supports_to_numpy,
+        from opengpc_tpu.infer import (_rows_ok, masked_supports_to_numpy,
                                        row_supports_to_numpy)
+        from opengpc_tpu.ops.fused import PAD
         from opengpc_tpu.parallel import (build_sharded_frame_sparsematch,
                                           make_mesh)
 
@@ -185,10 +190,10 @@ def main(argv=None) -> int:
             return 1
         fmask = make_filter_mask(forest)
         if not _rows_ok(fmask, left.shape, settings) or left.shape[0] % n \
-                or left.shape[0] // n < 14:
+                or left.shape[0] // n < PAD:
             print(f"--shard-frame {n} needs epipolar mode, a <=30-test "
                   "forest, packable (x, d) keys, and an image height "
-                  f"divisible by {n} with >= 14 rows per shard "
+                  f"divisible by {n} with >= {PAD} rows per shard "
                   f"(got {left.shape})", file=sys.stderr)
             return 1
         contract = "rows" if args.contract == "rows" else "masked"
@@ -575,15 +580,32 @@ def _run_sequence(args, forest, settings) -> int:
                 submit(dispatch_group(group))
                 group = []
             else:
-                # shape change mid-sequence: flush any batched group, then
-                # fall back to the flat pipeline (row_form eligibility was
-                # probed on the first frame).  ONE flat matcher is built
-                # lazily and reused — jit's per-shape cache then makes
-                # repeated fallback shapes free, instead of paying a fresh
-                # trace/compile per mismatched frame
+                # shape change mid-sequence: flush any batched group first
                 if group:
                     flush_group(group)
                     group = []
+                if fast and args.contract != "auto":
+                    # EXPLICIT fast contract: honor it for the new shape
+                    # (jit's per-shape cache pays one extra compile) or
+                    # error out — never silently downgrade to the
+                    # capacity-bounded flat pipeline the user didn't ask
+                    # for (r4 review finding)
+                    if _rows_ok(fmask, left.shape, settings):
+                        submit((i, mode, match(left, right), 1))
+                        continue
+                    print(
+                        f"--contract {args.contract}: frame {i} shape "
+                        f"{left.shape} has no packable (x, d) key — cannot "
+                        "honor the explicit contract; re-run with "
+                        "--contract auto to allow the flat fallback",
+                        file=sys.stderr,
+                    )
+                    return 1
+                # auto mode: fall back to the flat pipeline (eligibility
+                # was probed on the first frame).  ONE flat matcher is
+                # built lazily and reused — jit's per-shape cache then
+                # makes repeated fallback shapes free, instead of paying a
+                # fresh trace/compile per mismatched frame
                 if flat_match is None:
                     flat_match = build_sparsematch(fmask, settings)
                 submit((i, "flat", flat_match(left, right), 1))

@@ -216,6 +216,22 @@ def _kernel_keys(img_ref, key_ref, scratch, sem, *, h, w, th, tw, tests,
     key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
 
 
+def _tile_geom(out_h: int, w: int, tile=None):
+    """Tile choice + grid for every DMA-tiled kernel — the ONE place the
+    Mosaic alignment invariants live: DMA offsets i*th / j*tw and copy
+    extents must be multiples of the uint8 memory tile (_HALO_R, _HALO_C);
+    an unaligned offset/extent fails to compile only on real TPU,
+    invisible to the interpret-mode suite.  Returns (th, tw, n_rt, n_ct)."""
+    if tile is not None:
+        th, tw = tile
+    else:
+        tw = min(_round_up(w, 128), 1024)
+        th = _pick_tile_h(tw)
+    assert th % _HALO_R == 0, (th, _HALO_R)
+    assert tw % _HALO_C == 0, (tw, _HALO_C)
+    return th, tw, (out_h + th - 1) // th, (w + tw - 1) // tw
+
+
 def mask_tests(mask: FilterMask):
     """The forest's tests as a static tuple of python ints
     (iy, ix, jy, jx, tau) — the compile-time constants every kernel bakes
@@ -238,20 +254,7 @@ def _prep(img, mask: FilterMask, gradient_threshold: int, tile=None):
     (multiples of tw) stay 128-aligned.  ``tile=(th, tw)`` overrides the
     choice (experiments/exp_tile.py A/Bs tile aspect ratios)."""
     h, w = img.shape
-    if tile is not None:
-        th, tw = tile
-    else:
-        tw = min(_round_up(w, 128), 1024)
-        th = _pick_tile_h(tw)
-    # DMA offsets are i*th / j*tw: keep them aligned to the uint8 memory
-    # tile (_HALO_R, _HALO_C) even if the stack budget constants are ever
-    # retuned or a tile override is passed (an unaligned offset/extent
-    # fails to compile only on real TPU, invisible to the interpret-mode
-    # suite)
-    assert th % _HALO_R == 0, (th, _HALO_R)
-    assert tw % _HALO_C == 0, (tw, _HALO_C)
-    n_rt = (h + th - 1) // th
-    n_ct = (w + tw - 1) // tw
+    th, tw, n_rt, n_ct = _tile_geom(h, w, tile)
     # pad so every tile's halo read (rows [i*th, i*th + th + _HALO_R),
     # cols [j*tw, j*tw + tw + _HALO_C)) stays in bounds
     padded = jnp.pad(
@@ -350,10 +353,7 @@ def fused_census(img: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndar
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = img.shape
-    tw = min(_round_up(w, 128), 1024)
-    th = _pick_tile_h(tw)
-    n_rt = (h + th - 1) // th
-    n_ct = (w + tw - 1) // tw
+    th, tw, n_rt, n_ct = _tile_geom(h, w)
     padded = jnp.pad(
         img,
         ((PAD, n_rt * th + _HALO_R - h - PAD),
@@ -458,10 +458,7 @@ def fused_keys_slab(
     sh = slab.shape[0] - 2 * PAD
     w = slab.shape[1]
     assert sh >= 1, slab.shape
-    tw = min(_round_up(w, 128), 1024)
-    th = _pick_tile_h(tw)
-    n_rt = (sh + th - 1) // th
-    n_ct = (w + tw - 1) // tw
+    th, tw, n_rt, n_ct = _tile_geom(sh, w)
     # the slab already carries its PAD rows of top context (halo); pad the
     # bottom/right only up to the tiles' DMA reach
     padded = jnp.pad(

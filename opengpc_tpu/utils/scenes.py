@@ -60,8 +60,10 @@ def make_sparse_pair(h, w, d, density=0.15, seed=42, patch=24):
         for _ in range(2):
             tex = (np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
                    + np.roll(tex, 1, 1) + np.roll(tex, -1, 1) + tex) / 5
-        scene[py:py + patch, px:px + patch] = tex
-        tex_mask[py:py + patch, px:px + patch] = True
+        # clip to the scene for images smaller than one patch
+        ph, pw = min(patch, h - py), min(patch, ws - px)
+        scene[py:py + ph, px:px + pw] = tex[:ph, :pw]
+        tex_mask[py:py + ph, px:px + pw] = True
     scene = scene.astype(np.uint8)
     return scene[:, :w].copy(), scene[:, d:].copy()
 

@@ -541,7 +541,8 @@ def test_cli_flag_combinations_smoke(tmp_path):
     arr, _ = read_png(str(dense))
     assert arr.ndim == 3 and arr.shape[:2] == (64, 96)
 
-    # --contract masked is rejected in sequence (directory) mode
+    # --contract flat is rejected in sequence (directory) mode (masked
+    # became a supported sequence contract in r4); --shard-frame too
     ldir = tmp_path / "ld"
     rdir = tmp_path / "rd"
     ldir.mkdir()
@@ -549,7 +550,10 @@ def test_cli_flag_combinations_smoke(tmp_path):
     write_png(str(ldir / "f0.png"), left)
     write_png(str(rdir / "f0.png"), right)
     assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
-                     str(ldir), str(rdir), "--contract", "masked",
+                     str(ldir), str(rdir), "--contract", "flat",
+                     "--out", str(tmp_path / "x" / "d.png")]) == 1
+    assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                     str(ldir), str(rdir), "--shard-frame", "2",
                      "--out", str(tmp_path / "x" / "d.png")]) == 1
 
 
