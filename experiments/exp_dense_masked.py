@@ -58,9 +58,14 @@ def main():
         b = jax.lax.dynamic_update_slice(b, upd, (0, b.shape[1] - 1))
         return (b,)
 
-    for name, iters, n_long in (("seed_only", 0, 43), ("densify_dev", 64, 11)):
-        def step(b, iters=iters):
-            d, f = _densify_from_masked(b, settings.disp_high, iters)
+    for name, iters, n_long, impl in (
+            ("seed_scatter", 0, 43, "scatter"),
+            ("seed_sortmerge", 0, 43, "sortmerge"),
+            ("densify_dev_scatter", 64, 11, "scatter"),
+            ("densify_dev_sortmerge", 64, 11, "sortmerge")):
+        def step(b, iters=iters, impl=impl):
+            d, f = _densify_from_masked(b, settings.disp_high, iters,
+                                        seed_impl=impl)
             return d.sum(dtype=jnp.float32) + f.sum(dtype=jnp.int32)
 
         sec = device_time_per_iter(step, (buf,), dep, 3, n_long, repeats=5)

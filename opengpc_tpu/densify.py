@@ -74,8 +74,11 @@ def _diffuse(value, known, num_iters: int):
     return value, filled
 
 
-@functools.partial(jax.jit, static_argnames=("disp_high", "num_iters"))
-def _densify_from_masked(buf, disp_high: int, num_iters: int):
+def _masked_seed_scatter(buf, disp_high: int):
+    """Scatter seeding of the dense grid from a masked buffer.  Correct
+    but SLOW on TPU: one .at[].set of ~n_supports updates costs ~10 ms at
+    Sintel density (measured, experiments/exp_dense_masked.py) — kept for
+    the A/B; the sort-merge seeding below is the production path."""
     from opengpc_tpu.match import MASKED_SENTINEL
 
     h, w2 = buf.shape
@@ -97,6 +100,63 @@ def _densify_from_masked(buf, disp_high: int, num_iters: int):
     )
     known = kn[: h * w].reshape(h, w)
     value = jnp.where(known, seed[: h * w].reshape(h, w), 0.0)
+    return value, known
+
+
+def _masked_seed_sortmerge(buf, disp_high: int):
+    """Sort-merge seeding: place masked-buffer entries into the dense grid
+    with TWO row sorts instead of a scatter (XLA TPU scatter costs ~10 ms
+    for Sintel-density seeds; the sorts ~1 ms — measured A/B in
+    experiments/exp_dense_masked.py, same trade as match.compact).
+
+    Merge trick: per row, sort candidate keys ``2x`` (unique — a source
+    pixel pairs at most once) together with one placeholder key ``2x+1``
+    per output column; after the sort each placeholder's LEFT NEIGHBOR is
+    its column's candidate iff one exists (equal x, even key).  A second
+    sort by placeholder-x left-packs the W per-column results into the
+    dense row."""
+    from opengpc_tpu.match import MASKED_SENTINEL
+
+    h, w2 = buf.shape
+    w = w2 // 2
+    bd = max(1, int(2 * disp_high).bit_length())
+    valid = buf != MASKED_SENTINEL
+    x = buf >> bd
+    dpk = buf & ((1 << bd) - 1)  # d + disp_high, >= 0
+    big = jnp.int32(0x7FFFFFFE)  # even: never mistaken for a placeholder
+    ckey = jnp.where(valid, x << 1, big)
+    cpay = jnp.where(valid, dpk, 0)
+    pkey = jnp.broadcast_to(
+        (jnp.arange(w, dtype=jnp.int32) * 2 + 1)[None, :], (h, w))
+    key = jnp.concatenate([ckey, pkey], axis=1)          # (H, 2W + W)
+    pay = jnp.concatenate([cpay, jnp.zeros((h, w), jnp.int32)], axis=1)
+    key_s, pay_s = jax.lax.sort((key, pay), dimension=1, num_keys=1,
+                                is_stable=False)
+    prev_key = jnp.pad(key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+    prev_pay = jnp.pad(pay_s[:, :-1], ((0, 0), (1, 0)))
+    is_ph = (key_s & 1) == 1
+    found = is_ph & (prev_key == key_s - 1)
+    # second sort: placeholders keyed by their column, everything else big;
+    # payload packs (found, d) so one operand carries both outputs
+    key2 = jnp.where(is_ph, key_s >> 1, jnp.int32(0x7FFFFFFF))
+    pay2 = jnp.where(found, (1 << bd) | prev_pay, 0)
+    _, pay2_s = jax.lax.sort((key2, pay2), dimension=1, num_keys=1,
+                             is_stable=False)
+    row = pay2_s[:, :w]
+    known = (row >> bd) == 1
+    value = jnp.where(known,
+                      (row & ((1 << bd) - 1)).astype(jnp.float32) - disp_high,
+                      0.0)
+    return value, known
+
+
+@functools.partial(jax.jit, static_argnames=("disp_high", "num_iters",
+                                             "seed_impl"))
+def _densify_from_masked(buf, disp_high: int, num_iters: int,
+                         seed_impl: str = "sortmerge"):
+    seed = (_masked_seed_sortmerge if seed_impl == "sortmerge"
+            else _masked_seed_scatter)
+    value, known = seed(buf, disp_high)
     return _diffuse(value, known, num_iters)
 
 

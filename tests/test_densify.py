@@ -90,3 +90,11 @@ def test_densify_from_masked_equals_host_path():
                                        num_iters=24)
     np.testing.assert_array_equal(np.asarray(got_f), want_f)
     np.testing.assert_array_equal(np.asarray(got_d), want_d)
+    # both seeding implementations are bit-identical (sort-merge is the
+    # production path; scatter is the measured-slow reference)
+    from opengpc_tpu.densify import _densify_from_masked
+
+    sc_d, sc_f = _densify_from_masked(buf, settings.disp_high, 24,
+                                      seed_impl="scatter")
+    np.testing.assert_array_equal(np.asarray(sc_f), want_f)
+    np.testing.assert_array_equal(np.asarray(sc_d), want_d)
