@@ -157,3 +157,28 @@ def test_fused_census_matches_jnp(shape):
     want = np.asarray(census5x5(img))
     assert want.any()
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("y0,sh", [(0, 64), (64, 64), (32, 96), (192, 64)])
+def test_fused_keys_slab_matches_full_image(y0, sh):
+    """fused_keys_slab on rows [y0, y0+sh) of a 256-row image (halo from
+    the real neighbors, zeros outside) == the same rows of fused_keys on
+    the whole image — the per-shard kernel of the sharded-frame path."""
+    from opengpc_tpu.match import SENTINEL_BASE
+    from opengpc_tpu.ops.fused import PAD, fused_keys, fused_keys_slab
+
+    rng = np.random.default_rng(y0 + sh)
+    h, w = 256, 160
+    img = structured_image(rng, h, w)
+    forest = forest_mod.load_forest(os.path.join(FORESTS,
+                                                 "defaultTauForest.txt"))
+    mask = forest_mod.make_filter_mask(forest)
+    full = np.asarray(fused_keys(img, mask, 5, pos_base=0,
+                                 sentinel_base=SENTINEL_BASE,
+                                 interpret=True))
+    padded = np.pad(img, ((PAD, PAD), (0, 0)))
+    slab = padded[y0:y0 + sh + 2 * PAD]  # rows [y0-PAD, y0+sh+PAD) global
+    got = np.asarray(fused_keys_slab(slab, mask, 5, pos_base=0,
+                                     sentinel_base=SENTINEL_BASE,
+                                     y0=y0, h_total=h, interpret=True))
+    np.testing.assert_array_equal(got, full[y0:y0 + sh])
