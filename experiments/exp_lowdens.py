@@ -128,10 +128,15 @@ def main():
         sec = device_time_per_iter(base_step, (l, r), dep, 3, 43, repeats=5)
         report(f"baseline_{sname}", sec, {"supports": len(want)})
 
-        for strided in (False, True):
+        # contiguous chunking is omitted from the timed sweep: the CPU
+        # overflow-flag sweep already proved it infeasible on BOTH scenes
+        # (candidates cluster inside texture patches, so a chunk inside a
+        # patch is ~100% dense and K must approach S) — recorded in the
+        # README ledger.  Strided variants keep K = S/2 (effective per-row
+        # capacity nc*K = W, the bound patch-heavy rows need).
+        for strided in (True,):
             tag = "strided" if strided else "contig"
-            for chunk, k in ((256, 64), (128, 32), (128, 64), (64, 16),
-                             (64, 32)):
+            for chunk, k in ((64, 32), (128, 64), (256, 128)):
                 name = f"compact_{tag}_S{chunk}_K{k}_{sname}"
 
                 def cstep(a, b, chunk=chunk, k=k, strided=strided):

@@ -47,6 +47,7 @@ from opengpc_tpu.infer import (
     row_supports_to_numpy,
     supports_to_numpy,
 )
+from opengpc_tpu.densify import densify_from_masked, densify_supports
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 
 __version__ = "0.4.0"

@@ -63,3 +63,30 @@ for b0, xs_d in xs_l.items():
 assert checked == 2, checked  # 2 of the 4 batch elements live here
 print(f"proc {proc}: local shards ({checked} pairs) supports identical",
       flush=True)
+
+# SINGLE-FRAME row sharding across the process boundary (r4): the 14-row
+# halo ppermute between devices 1 and 2 crosses processes — the DCN analog
+# of the sharded-frame path.  Each process validates its local row shards
+# against a single-device masked run.
+from opengpc_tpu.infer import build_sparsematch_masked
+from opengpc_tpu.parallel import build_sharded_frame_sparsematch
+
+fl, fr = make_pair(64, 96, 3, seed=77)  # 16 rows/shard on the 4-device mesh
+frun = build_sharded_frame_sparsematch(forest, settings, mesh,
+                                       use_pallas=False)
+fbuf, fcounts = frun(fl, fr)
+wbuf, wcounts = build_sparsematch_masked(forest, settings,
+                                         use_pallas=False)(fl, fr)
+wbuf, wcounts = np.asarray(wbuf), np.asarray(wcounts)
+fchecked = 0
+for s in fbuf.addressable_shards:
+    r0 = s.index[0].start or 0
+    rows = np.asarray(s.data)
+    assert (rows == wbuf[r0:r0 + rows.shape[0]]).all(), (proc, r0)
+    fchecked += rows.shape[0]
+for s in fcounts.addressable_shards:
+    r0 = s.index[0].start or 0
+    c = np.asarray(s.data)
+    assert (c == wcounts[r0:r0 + c.shape[0]]).all(), (proc, r0)
+assert fchecked == 32, fchecked  # 2 of the 4 row shards live here
+print(f"proc {proc}: sharded-frame local rows identical", flush=True)
