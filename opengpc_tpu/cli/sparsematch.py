@@ -438,6 +438,7 @@ def _run_sequence(args, forest, settings) -> int:
         return 1
     masked_form = eligible and args.contract == "masked"
     row_form = eligible and not masked_form
+    global_rows = False
     if masked_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        masked_supports_to_numpy)
@@ -449,21 +450,33 @@ def _run_sequence(args, forest, settings) -> int:
 
         match = build_sparsematch_rows(fmask, settings)
     else:
-        match = build_sparsematch(fmask, settings)
+        from opengpc_tpu.infer import _global_rows_ok
+
+        if (not settings.epipolar_mode
+                and _global_rows_ok(fmask, probe.shape, settings)):
+            # --global-mode sequences ride the segmented global contract
+            # (same auto selection as the single-pair path)
+            from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                           global_row_supports_to_numpy)
+
+            global_rows = True
+            match = build_sparsematch_global_rows(fmask, settings)
+        else:
+            match = build_sparsematch(fmask, settings)
     out_dir = os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
     total_matches = 0
-    fast = row_form or masked_form
-    mode = "masked" if masked_form else ("rows" if row_form else "flat")
+    fast = row_form or masked_form or global_rows
+    mode = ("masked" if masked_form else "rows" if row_form
+            else "global_rows" if global_rows else "flat")
     flat_match = match if mode == "flat" else None
     batch = max(1, args.batch) if fast else 1
     if args.batch > 1 and not fast:
         print(
             f"--batch {args.batch} ignored: batched dispatch needs the "
-            "row-form/masked contracts (epipolar mode, <=30-test forest, "
-            "packable (x, d) keys for this image size); frames dispatch "
-            "singly",
+            "row-form/masked/global-rows contracts (<=30-test forest, "
+            "packable keys for this image size); frames dispatch singly",
             file=sys.stderr,
         )
 
@@ -478,7 +491,16 @@ def _run_sequence(args, forest, settings) -> int:
         """Fetch one dispatch's device outputs (one frame, or a --batch
         stack of frames) and write the per-frame supports files."""
         i0, dmode, out, k = pending
-        if dmode == "masked":
+        if dmode == "global_rows":
+            (gxs, gys, gds), gcounts = out
+            gxs, gys, gds = np.asarray(gxs), np.asarray(gys), np.asarray(gds)
+            gcounts = np.asarray(gcounts)
+            for j in range(k):
+                write_frame(i0 + j, global_row_supports_to_numpy(
+                    gxs[j] if k > 1 else gxs, gys[j] if k > 1 else gys,
+                    gds[j] if k > 1 else gds,
+                    gcounts[j] if k > 1 else gcounts))
+        elif dmode == "masked":
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
                 write_frame(i0 + j, masked_supports_to_numpy(

@@ -639,3 +639,40 @@ def test_cli_sequence_mode_masked_contract(tmp_path):
     assert cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
                      "--global-mode", "--contract", "masked",
                      "--out", str(out)]) == 1
+
+
+def test_cli_sequence_mode_global_rows(tmp_path):
+    """--global-mode sequences ride the segmented global contract (with
+    --batch 2): per-frame supports equal direct single-pair flat runs."""
+    import dataclasses
+
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(5):
+        l, r = make_pair(80, 128, 2 + i, seed=60 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    out = tmp_path / "out" / "d.png"
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--disp-high", "32", "--global-mode", "--batch", "2",
+                   "--out", str(out)])
+    assert rc == 0
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=False,
+                                 capacity=1 << 16)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    flat = build_sparsematch(forest, settings, use_pallas=False)
+    for i, (l, r) in enumerate(frames):
+        got = read_supports(str(tmp_path / "out" / f"supports_{i:04d}.txt"))
+        want = supports_to_numpy(*flat(l, r))
+        assert len(want) > 50
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist()))), f"frame {i}"
