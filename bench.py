@@ -298,6 +298,34 @@ def main():
          f"({len(s_supp)} supports; headline scene is 0.79-dense) — "
          "oracle-gated")
 
+    # chunk-compacted masked contract (the adopted low-density fast path,
+    # experiments/exp_lowdens.py): gate on no-overflow + set equality
+    from opengpc_tpu.infer import _sparsematch_masked_compact_impl
+
+    cfn = jax.jit(lambda l, r: _sparsematch_masked_compact_impl(
+        l, r, mask=mask, settings=settings, use_pallas=use_pallas,
+        chunk=128, k=64))
+    cbuf, ccounts, covf = cfn(sl, sr)
+    assert not bool(np.asarray(covf)), "low-density scene tripped overflow"
+    cdec = masked_supports_to_numpy(cbuf, ccounts, settings.disp_high)
+    assert set(map(tuple, cdec.tolist())) == set(map(tuple,
+                                                     s_supp.tolist())), \
+        "compact masked set != flat set"
+
+    def cstep(a, b):
+        buf, counts, ovf = _sparsematch_masked_compact_impl(
+            a, b, mask=mask, settings=settings, use_pallas=use_pallas,
+            chunk=128, k=64)
+        return (buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+                + ovf.astype(jnp.int32))
+
+    cbest = device_time_per_iter(cstep, (sl, sr), rdep, N_SHORT, N_LONG,
+                                 repeats=5)
+    _aux("lowdensity_compact_throughput",
+         2 * H * W / 1e6 / _nonzero(cbest), "Mpix/s",
+         "chunk-compacted masked contract (strided S=128 K=64) on the "
+         "low-density scene — overflow-guarded, set-equality gated")
+
     # ------------------------------------------------------------------
     # global (non-epipolar) mode — the reference's DEFAULT settings path
     # (inference.hpp:75) — on the segmented global row-form contract

@@ -454,6 +454,69 @@ def build_sparsematch_masked(
     return jax.jit(fn)
 
 
+def _sparsematch_masked_compact_impl(left, right, mask: FilterMask,
+                                     settings: InferenceSettings,
+                                     use_pallas: bool, chunk: int, k: int):
+    """Chunk-compacted masked pipeline: (buf (H, C) int32, row_counts (H,),
+    overflow bool[]) — see match.match_epipolar_masked_compact.  Batches
+    fold into the row axis like the masked pipeline."""
+    from opengpc_tpu.match import (MASKED_SENTINEL,
+                                   match_epipolar_masked_compact)
+
+    batched = left.ndim == 3
+    shape = left.shape[-2:]
+    if not settings.epipolar_mode:
+        raise ValueError("masked output is epipolar-only")
+    if not _rows_ok(mask, shape, settings):
+        raise ValueError(
+            "masked output needs <=30-test forests and a packable (x, d) "
+            "key; use build_sparsematch"
+        )
+    if batched:
+        b, h, w = left.shape
+        keys = _batched_key_images(left, right, mask, settings, use_pallas)
+        keys, m = _interior_rows(keys)
+        hs = h - 2 * m
+        buf, counts, ovf = match_epipolar_masked_compact(
+            keys.reshape(b * hs, 2 * w), settings.disp_high, chunk, k)
+        return (_pad_rows(buf.reshape(b, hs, buf.shape[1]), m, -2,
+                          value=MASKED_SENTINEL),
+                _pad_rows(counts.reshape(b, hs), m, -1), ovf)
+    key, m = _interior_rows(_key_image(left, right, mask, settings,
+                                       use_pallas))
+    buf, counts, ovf = match_epipolar_masked_compact(
+        key, settings.disp_high, chunk, k)
+    return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
+            _pad_rows(counts, m, -1), ovf)
+
+
+def build_sparsematch_masked_compact(
+    forest_or_mask, settings: InferenceSettings,
+    use_pallas: Optional[bool] = None, chunk: int = 128, k: int = 64,
+) -> Callable:
+    """Jitted ``(left, right) -> (buf, row_counts, overflow)`` LOW-DENSITY
+    masked matcher: strided chunked pre-compaction shrinks the matcher
+    sort ~27% at realistic (~15%) candidate density (adopted from
+    experiments/exp_lowdens.py; VERDICT r3 item 2).  EXACT same support
+    set as build_sparsematch_masked whenever ``overflow`` is False; when
+    True (a chunk exceeded ``k`` candidates — dense frames) the result is
+    incomplete and the caller must re-run the full-width masked matcher.
+    ``buf`` is narrower ((H, 2W/chunk*k + 1)) but decodes with
+    :func:`masked_supports_to_numpy` unchanged."""
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = functools.partial(
+        _sparsematch_masked_compact_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas, chunk=chunk, k=k,
+    )
+    return jax.jit(fn)
+
+
 def masked_supports_to_numpy(buf, row_counts, disp_high: int) -> np.ndarray:
     """Decode one pair's masked sorted-order buffer into the (n, 3) int
     (x, y, d) support array (row-major; code-sorted within each row —

@@ -325,6 +325,67 @@ def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
     return out, counts
 
 
+def match_epipolar_masked_compact(key, disp_high, chunk: int = 128,
+                                  k: int = 64):
+    """Low-density fast path of the masked contract: STRIDED chunked
+    pre-compaction shrinks the matcher sort (VERDICT r3 item 2, adopted
+    from experiments/exp_lowdens.py: 0.338 vs 0.430 ms at 15% candidate
+    density — 2640 vs 2077 Mpix/s — exact support set).
+
+    Each (2W) key row is split into nc = 2W/chunk STRIDED chunks (chunk c
+    holds positions p with p % nc == c, so texture-patch candidate
+    clusters spread uniformly; contiguous chunking overflows on real
+    sparsity — measured).  Each chunk is sorted (valid codes <
+    SENTINEL_BASE sort left), its first ``k`` columns survive, and one
+    narrower (nc*k) row sort finishes the row.  Exactness guard: if any
+    chunk holds more than ``k`` candidates the returned ``overflow`` flag
+    is True and the caller MUST re-run the full-width matcher
+    (match_epipolar_masked) — with k = chunk/2 the guard is an effective
+    per-row candidate capacity of W, so it trips on ~>=50%-dense rows
+    (the 79%-density bench scene trips it; the 15% scene never does).
+
+    Returns (buf (H, nc*k + 1) int32, row_counts (H,), overflow bool[]).
+    ``buf`` decodes with infer.masked_supports_to_numpy exactly like the
+    full-width masked buffer (same packing, narrower rows).
+    """
+    h, w2 = key.shape
+    w = w2 // 2
+    assert k <= chunk, (k, chunk)
+    pos = jnp.broadcast_to(jnp.arange(w2, dtype=jnp.int32)[None, :], (h, w2))
+    if w2 % chunk:
+        # pad to a chunk multiple with unique non-pairing sentinels
+        # (positions >= 2W can never pass the cross check)
+        padn = chunk - w2 % chunk
+        pad_pos = jnp.broadcast_to(
+            jnp.arange(w2, w2 + padn, dtype=jnp.int32)[None, :], (h, padn))
+        key = jnp.concatenate([key, SENTINEL_BASE + pad_pos], axis=1)
+        pos = jnp.concatenate([pos, pad_pos], axis=1)
+    w2p = key.shape[1]
+    nc = w2p // chunk
+    kc = key.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
+    pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
+    vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
+    overflow = jnp.any(vc > k)
+    ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1, is_stable=False)
+    ks = ks[:, :k].reshape(h, nc * k)
+    ps = ps[:, :k].reshape(h, nc * k)
+    key_s, pos_s = jax.lax.sort((ks, ps), dimension=1, num_keys=1,
+                                is_stable=False)
+    keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
+    bd = max(1, int(2 * disp_high).bit_length())
+    bx = max(1, int(w - 1).bit_length())
+    if bx + bd > 30:
+        raise ValueError(
+            f"masked pack needs x+d bits <= 30, got {bx}+{bd}; "
+            "use match_epipolar"
+        )
+    out = jnp.where(keep, (src_x << bd) | (d + disp_high),
+                    jnp.int32(MASKED_SENTINEL))
+    out = jnp.pad(out, ((0, 0), (0, 1)), constant_values=MASKED_SENTINEL)
+    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    return out, counts, overflow
+
+
 def _row_pack(keep, src_x, d, w, disp_high):
     """Row-form support output: per-row left-packed (xs, ds) buffers plus
     per-row counts — no flat assembly at all.  Packing is one single-

@@ -676,3 +676,77 @@ def test_cli_sequence_mode_global_rows(tmp_path):
         assert len(want) > 50
         assert (set(map(tuple, got.tolist()))
                 == set(map(tuple, want.tolist()))), f"frame {i}"
+
+
+def test_masked_compact_contract():
+    """Chunk-compacted masked contract: exact set equality with the flat
+    pipeline on a low-density scene (incl. batch fold + odd width that
+    exercises the chunk padding), and a trustworthy overflow flag on a
+    dense scene."""
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   build_sparsematch_masked_compact,
+                                   masked_supports_to_numpy)
+    from opengpc_tpu.utils.scenes import make_pair, make_sparse_pair
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 16)
+    flat = build_sparsematch(forest, settings, use_pallas=False)
+
+    for h, w in ((160, 256), (150, 250)):  # 2W=500: not a chunk multiple
+        l, r = make_sparse_pair(h, w, 8, density=0.15, seed=h)
+        compact = build_sparsematch_masked_compact(
+            forest, settings, use_pallas=False, chunk=128, k=64)
+        buf, counts, ovf = compact(l, r)
+        assert not bool(np.asarray(ovf)), (h, w)
+        got = masked_supports_to_numpy(buf, counts, settings.disp_high)
+        want = supports_to_numpy(*flat(l, r))
+        assert len(want) > 200
+        assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+        # batch fold
+        lb, rb = np.stack([l, l]), np.stack([r, r])
+        bbuf, bcounts, bovf = compact(lb, rb)
+        assert not bool(np.asarray(bovf))
+        for i in range(2):
+            gi = masked_supports_to_numpy(np.asarray(bbuf)[i],
+                                          np.asarray(bcounts)[i],
+                                          settings.disp_high)
+            assert set(map(tuple, gi.tolist())) == set(map(tuple,
+                                                           want.tolist()))
+
+    # dense scene trips the overflow guard instead of dropping supports
+    dl, dr = make_pair(160, 256, 8)
+    compact = build_sparsematch_masked_compact(
+        forest, settings, use_pallas=False, chunk=128, k=64)
+    _, _, ovf = compact(dl, dr)
+    assert bool(np.asarray(ovf))
+
+
+def test_cli_masked_compact_contract(tmp_path):
+    """--contract masked-compact: same supports as the default run on a
+    sparse frame, and the dense-frame overflow fallback also matches."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = os.path.join(repo, "forests", "defaultZeroForest.txt")
+    for name, (l, r) in (
+            ("sparse", make_sparse_pair(160, 256, 8, density=0.15)),
+            ("dense", make_pair(160, 256, 8, seed=3))):
+        lp, rp = str(tmp_path / f"{name}_l.png"), str(tmp_path / f"{name}_r.png")
+        write_png(lp, l)
+        write_png(rp, r)
+        base = [forest, lp, rp, "--disp-high", "32",
+                "--out", str(tmp_path / "d.png")]
+        assert cli_main(base + ["--supports-out",
+                                str(tmp_path / f"{name}_a.txt")]) == 0
+        assert cli_main(base + ["--contract", "masked-compact",
+                                "--supports-out",
+                                str(tmp_path / f"{name}_b.txt")]) == 0
+        a = read_supports(str(tmp_path / f"{name}_a.txt"))
+        b = read_supports(str(tmp_path / f"{name}_b.txt"))
+        assert len(a) > 100, name
+        assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist())), name

@@ -271,6 +271,16 @@ def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
                 got_m = set(map(tuple, masked_supports_to_numpy(
                     buf, counts, settings.disp_high).tolist()))
                 assert got_m == want, f"masked {ctx}"
+
+                from opengpc_tpu.infer import \
+                    build_sparsematch_masked_compact
+
+                cbuf, ccounts, ovf = build_sparsematch_masked_compact(
+                    forest, settings, use_pallas=False)(left, right)
+                if not bool(np.asarray(ovf)):
+                    got_c = set(map(tuple, masked_supports_to_numpy(
+                        cbuf, ccounts, settings.disp_high).tolist()))
+                    assert got_c == want, f"masked-compact {ctx}"
         else:
             from opengpc_tpu.infer import (_global_rows_ok,
                                            build_sparsematch_global_rows,
