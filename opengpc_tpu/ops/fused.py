@@ -327,18 +327,20 @@ def _kernel_census(img_ref, code_ref, scratch, sem, *, h, w, th, tw):
     j = pl.program_id(1)
     x32 = _fetch_tile(img_ref, scratch, sem, th, tw)
     center = jax.lax.slice(x32, (PAD, PAD), (PAD + th, PAD + tw))
+    # accumulate MSB-first with code*2 + bit (the proven Mosaic pattern of
+    # tile_codes_and_cand) — the obvious `code | where(pred, 1<<bit, 0)`
+    # formulation compiles but MISCOMPILES on real TPU (interpret-mode
+    # clean, device output wrong; caught by the r4 TPU differential).
+    # Neighbor scan is px-major with bit i at the i-th neighbor, so the
+    # MSB-first walk runs the scan in reverse.
+    neighbors = [(px, py) for px in range(-2, 3) for py in range(-2, 3)
+                 if not (px == 0 and py == 0)]
     code = jnp.zeros((th, tw), jnp.int32)
-    bit = 0
-    for px in range(-2, 3):
-        for py in range(-2, 3):
-            if px == 0 and py == 0:
-                continue
-            nb = jax.lax.slice(
-                x32, (PAD + py, PAD + px), (PAD + py + th, PAD + px + tw)
-            )
-            code = code | jnp.where(nb > center, jnp.int32(1 << bit),
-                                    jnp.int32(0))
-            bit += 1
+    for px, py in reversed(neighbors):
+        nb = jax.lax.slice(
+            x32, (PAD + py, PAD + px), (PAD + py + th, PAD + px + tw)
+        )
+        code = code * 2 + (nb > center).astype(jnp.int32)
     yy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + i * th
     xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
     valid = (yy >= 2) & (yy <= h - 4) & (xx >= 2) & (xx <= w - 3)
