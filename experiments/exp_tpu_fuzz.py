@@ -17,6 +17,7 @@ import numpy as np
 from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import load_forest
 from opengpc_tpu.infer import (build_sparsematch, build_sparsematch_masked,
+                               build_sparsematch_masked_compact,
                                masked_supports_to_numpy, supports_to_numpy)
 from opengpc_tpu.utils.scenes import make_scene
 
@@ -41,6 +42,16 @@ for trial in range(N):
         *build_sparsematch_masked(forest, s, use_pallas=True)(left, right),
         s.disp_high).tolist()))
     assert got == want, (trial, h, w, grad, dh, fname, len(got), len(want))
+    # chunk-compacted contract on the same draw (r4): exact whenever the
+    # overflow guard stays clear
+    cbuf, ccounts, covf = build_sparsematch_masked_compact(
+        forest, s, use_pallas=True)(left, right)
+    ctag = "overflow"
+    if not bool(np.asarray(covf)):
+        got_c = set(map(tuple, masked_supports_to_numpy(
+            cbuf, ccounts, s.disp_high).tolist()))
+        assert got_c == want, (trial, "compact", h, w, len(got_c), len(want))
+        ctag = "compact=="
     print(f"trial {trial}: ({h},{w}) grad={grad} dh={dh} {fname[:11]} "
-          f"-> {len(want)} supports, TPU==CPU", flush=True)
+          f"-> {len(want)} supports, TPU==CPU, {ctag}", flush=True)
 print("TPU randomized parity sweep OK")
