@@ -159,6 +159,45 @@ def build_batched_sparsematch_masked(forest: Forest,
     return jax.jit(fn)
 
 
+def build_batched_sparsematch_masked_compact(forest: Forest,
+                                             settings: InferenceSettings,
+                                             mesh: Mesh, use_pallas=None,
+                                             chunk: int = 128, k: int = 64):
+    """Chunk-compacted masked contract over a device mesh (the r4
+    low-density fast path): (B, H, W) x2 -> (buf (B, H, C), row_counts
+    (B, H), overflow (n_shards,) bool).  Batch split with shard_map; each
+    shard folds its local pairs into one compacted sort and reports its
+    own overflow flag — re-run the full-width masked builder when
+    ``overflow.any()`` (exactness contract of
+    infer.build_sparsematch_masked_compact)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _sparsematch_masked_compact_impl
+
+    mask = make_filter_mask(forest)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def local(ls, rs):
+        buf, counts, ovf = _sparsematch_masked_compact_impl(
+            ls, rs, mask=mask, settings=settings, use_pallas=use_pallas,
+            chunk=chunk, k=k,
+        )
+        return buf, counts, ovf.reshape(1)
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def build_batched_sparsematch_global_rows(forest: Forest,
                                           settings: InferenceSettings,
                                           mesh: Mesh, use_pallas=None):

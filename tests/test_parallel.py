@@ -367,3 +367,43 @@ def test_sharded_frame_rejects_bad_inputs():
     l3, r3 = _frame_pair(26, 64, 64)  # 8 rows/shard < the 14-row halo
     with pytest.raises(ValueError, match="halo"):
         run(l3, r3)
+
+
+def test_sharded_masked_compact_matches_single_device():
+    """Sharded chunk-compacted masked contract == single-device flat runs
+    on a low-density batch (no overflow)."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   masked_supports_to_numpy,
+                                   supports_to_numpy)
+    from opengpc_tpu.parallel import build_batched_sparsematch_masked_compact
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    b, h, w = 8, 96, 128
+    pairs = [make_sparse_pair(h, w, 3, density=0.15, seed=50 + i)
+             for i in range(b)]
+    lefts = np.stack([p[0] for p in pairs])
+    rights = np.stack([p[1] for p in pairs])
+
+    mesh = make_mesh()
+    sharded = build_batched_sparsematch_masked_compact(
+        forest, settings, mesh, use_pallas=False)
+    bufs, counts, ovf = sharded(lefts, rights)
+    assert not bool(np.asarray(ovf).any())
+    single = build_sparsematch(forest, settings, use_pallas=False)
+    for i in range(b):
+        want = set(map(tuple, supports_to_numpy(
+            *single(lefts[i], rights[i])).tolist()))
+        got = set(map(tuple, masked_supports_to_numpy(
+            np.asarray(bufs)[i], np.asarray(counts)[i],
+            settings.disp_high).tolist()))
+        assert got == want and len(want) > 20, i
