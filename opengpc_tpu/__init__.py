@@ -39,6 +39,7 @@ from opengpc_tpu.infer import (
     build_sparsematch,
     build_sparsematch_global_rows,
     build_sparsematch_masked,
+    build_sparsematch_masked_compact,
     build_sparsematch_rows,
     build_stereomatch,
     extract_descriptors,
