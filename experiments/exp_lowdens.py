@@ -134,38 +134,38 @@ def main():
         # patch is ~100% dense and K must approach S) — recorded in the
         # README ledger.  Strided variants keep K = S/2 (effective per-row
         # capacity nc*K = W, the bound patch-heavy rows need).
-        for strided in (True,):
-            tag = "strided" if strided else "contig"
-            for chunk, k in ((64, 32), (128, 64), (256, 128)):
-                name = f"compact_{tag}_S{chunk}_K{k}_{sname}"
+        strided = True
+        tag = "strided"
+        for chunk, k in ((64, 32), (128, 64), (256, 128)):
+            name = f"compact_{tag}_S{chunk}_K{k}_{sname}"
 
-                def cstep(a, b, chunk=chunk, k=k, strided=strided):
-                    key, m = _interior_rows(key_image(a, b))
-                    buf, counts, ovf = masked_compact(
-                        key, settings.disp_high, chunk, k, strided)
-                    return (buf.sum(dtype=jnp.int32)
-                            + counts.sum(dtype=jnp.int32)
-                            + ovf.astype(jnp.int32))
+            def cstep(a, b, chunk=chunk, k=k, strided=strided):
+                key, m = _interior_rows(key_image(a, b))
+                buf, counts, ovf = masked_compact(
+                    key, settings.disp_high, chunk, k, strided)
+                return (buf.sum(dtype=jnp.int32)
+                        + counts.sum(dtype=jnp.int32)
+                        + ovf.astype(jnp.int32))
 
-                def cout(a, b, chunk=chunk, k=k, strided=strided):
-                    key, m = _interior_rows(key_image(a, b))
-                    buf, counts, ovf = masked_compact(
-                        key, settings.disp_high, chunk, k, strided)
-                    return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
-                            _pad_rows(counts, m, -1), ovf)
+            def cout(a, b, chunk=chunk, k=k, strided=strided):
+                key, m = _interior_rows(key_image(a, b))
+                buf, counts, ovf = masked_compact(
+                    key, settings.disp_high, chunk, k, strided)
+                return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
+                        _pad_rows(counts, m, -1), ovf)
 
-                buf, counts, ovf = jax.jit(cout)(l, r)
-                if bool(np.asarray(ovf)):
-                    report(name, float("nan"), {"overflow": True})
-                    continue
-                got = set(map(tuple, masked_supports_to_numpy(
-                    np.asarray(buf), np.asarray(counts),
-                    settings.disp_high).tolist()))
-                assert got == want, (
-                    f"{name}: set mismatch ({len(got)} vs {len(want)})")
-                sec = device_time_per_iter(cstep, (l, r), dep, 3, 43,
-                                           repeats=5)
-                report(name, sec, {"overflow": False})
+            buf, counts, ovf = jax.jit(cout)(l, r)
+            if bool(np.asarray(ovf)):
+                report(name, float("nan"), {"overflow": True})
+                continue
+            got = set(map(tuple, masked_supports_to_numpy(
+                np.asarray(buf), np.asarray(counts),
+                settings.disp_high).tolist()))
+            assert got == want, (
+                f"{name}: set mismatch ({len(got)} vs {len(want)})")
+            sec = device_time_per_iter(cstep, (l, r), dep, 3, 43,
+                                       repeats=5)
+            report(name, sec, {"overflow": False})
 
 
 if __name__ == "__main__":

@@ -182,6 +182,7 @@ def main(argv=None) -> int:
             ("--global-mode", args.global_mode),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
             ("--contract flat", args.contract == "flat"),
+            ("--contract masked-compact", args.contract == "masked-compact"),
         ) if on]
         if bad:
             print(f"--shard-frame does not support: {', '.join(bad)}",

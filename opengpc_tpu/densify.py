@@ -74,15 +74,14 @@ def _diffuse(value, known, num_iters: int):
     return value, filled
 
 
-def _masked_seed_scatter(buf, disp_high: int):
+def _masked_seed_scatter(buf, disp_high: int, w: int):
     """Scatter seeding of the dense grid from a masked buffer.  Correct
     but SLOW on TPU: one .at[].set of ~n_supports updates costs ~10 ms at
     Sintel density (measured, experiments/exp_dense_masked.py) — kept for
     the A/B; the sort-merge seeding below is the production path."""
     from opengpc_tpu.match import MASKED_SENTINEL
 
-    h, w2 = buf.shape
-    w = w2 // 2
+    h = buf.shape[0]
     bd = max(1, int(2 * disp_high).bit_length())
     valid = buf != MASKED_SENTINEL
     x = buf >> bd
@@ -103,7 +102,7 @@ def _masked_seed_scatter(buf, disp_high: int):
     return value, known
 
 
-def _masked_seed_sortmerge(buf, disp_high: int):
+def _masked_seed_sortmerge(buf, disp_high: int, w: int):
     """Sort-merge seeding: place masked-buffer entries into the dense grid
     with TWO row sorts instead of a scatter (XLA TPU scatter costs ~10 ms
     for Sintel-density seeds; the sorts ~1 ms — measured A/B in
@@ -117,8 +116,7 @@ def _masked_seed_sortmerge(buf, disp_high: int):
     dense row."""
     from opengpc_tpu.match import MASKED_SENTINEL
 
-    h, w2 = buf.shape
-    w = w2 // 2
+    h = buf.shape[0]
     bd = max(1, int(2 * disp_high).bit_length())
     valid = buf != MASKED_SENTINEL
     x = buf >> bd
@@ -151,16 +149,18 @@ def _masked_seed_sortmerge(buf, disp_high: int):
 
 
 @functools.partial(jax.jit, static_argnames=("disp_high", "num_iters",
-                                             "seed_impl"))
+                                             "seed_impl", "width"))
 def _densify_from_masked(buf, disp_high: int, num_iters: int,
-                         seed_impl: str = "sortmerge"):
+                         seed_impl: str = "sortmerge",
+                         width: int = 0):
     seed = (_masked_seed_sortmerge if seed_impl == "sortmerge"
             else _masked_seed_scatter)
-    value, known = seed(buf, disp_high)
+    value, known = seed(buf, disp_high, width or buf.shape[1] // 2)
     return _diffuse(value, known, num_iters)
 
 
-def densify_from_masked(buf, row_counts, disp_high: int, num_iters: int = 64):
+def densify_from_masked(buf, row_counts, disp_high: int, num_iters: int = 64,
+                        width: int = 0):
     """DEVICE-RESIDENT masked-contract consumer: dense float32 disparity
     straight from ``build_sparsematch_masked``'s (buf, row_counts) with NO
     host decode/re-upload — the proof of match.py's "device-resident
@@ -175,10 +175,14 @@ def densify_from_masked(buf, row_counts, disp_high: int, num_iters: int = 64):
     (pinned in tests/test_densify.py).  Returns DEVICE arrays
     (disparity (H, W) float32, filled (H, W) bool); ``row_counts`` is
     accepted for contract symmetry (the buffer alone determines the
-    result).  Device-timed vs the decode-then-densify host loop in
+    result).  ``width``: the image width W — REQUIRED for the
+    chunk-compacted contract's narrower buffers (defaults to
+    buf.shape[1] // 2, correct only for the full-width masked contract).
+    Device-timed vs the decode-then-densify host loop in
     experiments/exp_dense_masked.py."""
     del row_counts
-    return _densify_from_masked(buf, int(disp_high), int(num_iters))
+    return _densify_from_masked(buf, int(disp_high), int(num_iters),
+                                width=int(width))
 
 
 def densify_supports(

@@ -501,7 +501,7 @@ def build_sparsematch_masked_compact(
     set as build_sparsematch_masked whenever ``overflow`` is False; when
     True (a chunk exceeded ``k`` candidates — dense frames) the result is
     incomplete and the caller must re-run the full-width masked matcher.
-    ``buf`` is narrower ((H, 2W/chunk*k + 1)) but decodes with
+    ``buf`` is narrower ((H, 2W/chunk*k)) but decodes with
     :func:`masked_supports_to_numpy` unchanged."""
     mask = (
         make_filter_mask(forest_or_mask)

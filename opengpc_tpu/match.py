@@ -276,6 +276,25 @@ def _detect_pairs_packed(key_s, pos_s, w, disp_high):
 MASKED_SENTINEL = 0x7FFFFFFF
 
 
+def _masked_emit(keep, src_x, d, w, disp_high):
+    """Shared masked-contract emit: pack detected supports as
+    ``(src_x << bd) | (d + disp_high)`` in place, MASKED_SENTINEL
+    elsewhere, one sentinel pad column, per-row counts.  The ONE place
+    the masked pack layout lives (full-width + chunk-compacted matchers)."""
+    bd = max(1, int(2 * disp_high).bit_length())
+    bx = max(1, int(w - 1).bit_length())
+    if bx + bd > 30:
+        raise ValueError(
+            f"masked pack needs x+d bits <= 30, got {bx}+{bd}; "
+            "use match_epipolar"
+        )
+    out = jnp.where(keep, (src_x << bd) | (d + disp_high),
+                    jnp.int32(MASKED_SENTINEL))
+    out = jnp.pad(out, ((0, 0), (0, 1)), constant_values=MASKED_SENTINEL)
+    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    return out, counts
+
+
 def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
                           disp_high, key=None):
     """MASKED sorted-order epipolar matcher — the minimum-device-work
@@ -344,7 +363,7 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = 128,
     per-row candidate capacity of W, so it trips on ~>=50%-dense rows
     (the 79%-density bench scene trips it; the 15% scene never does).
 
-    Returns (buf (H, nc*k + 1) int32, row_counts (H,), overflow bool[]).
+    Returns (buf (H, nc*k) int32, row_counts (H,), overflow bool[]).
     ``buf`` decodes with infer.masked_supports_to_numpy exactly like the
     full-width masked buffer (same packing, narrower rows).
     """
@@ -372,17 +391,7 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = 128,
     key_s, pos_s = jax.lax.sort((ks, ps), dimension=1, num_keys=1,
                                 is_stable=False)
     keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
-    bd = max(1, int(2 * disp_high).bit_length())
-    bx = max(1, int(w - 1).bit_length())
-    if bx + bd > 30:
-        raise ValueError(
-            f"masked pack needs x+d bits <= 30, got {bx}+{bd}; "
-            "use match_epipolar"
-        )
-    out = jnp.where(keep, (src_x << bd) | (d + disp_high),
-                    jnp.int32(MASKED_SENTINEL))
-    out = jnp.pad(out, ((0, 0), (0, 1)), constant_values=MASKED_SENTINEL)
-    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    out, counts = _masked_emit(keep, src_x, d, w, disp_high)
     return out, counts, overflow
 
 

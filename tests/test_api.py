@@ -733,6 +733,9 @@ def test_cli_masked_compact_contract(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     forest = os.path.join(repo, "forests", "defaultZeroForest.txt")
+    import contextlib
+    import io
+
     for name, (l, r) in (
             ("sparse", make_sparse_pair(160, 256, 8, density=0.15)),
             ("dense", make_pair(160, 256, 8, seed=3))):
@@ -743,9 +746,16 @@ def test_cli_masked_compact_contract(tmp_path):
                 "--out", str(tmp_path / "d.png")]
         assert cli_main(base + ["--supports-out",
                                 str(tmp_path / f"{name}_a.txt")]) == 0
-        assert cli_main(base + ["--contract", "masked-compact",
-                                "--supports-out",
-                                str(tmp_path / f"{name}_b.txt")]) == 0
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            assert cli_main(base + ["--contract", "masked-compact",
+                                    "--supports-out",
+                                    str(tmp_path / f"{name}_b.txt")]) == 0
+        # the dense frame MUST trip the overflow guard and take the
+        # full-width fallback; the sparse frame must not — otherwise the
+        # fallback branch has no coverage (r4 review finding)
+        assert ("masked-compact overflow" in err.getvalue()) == (
+            name == "dense"), (name, err.getvalue())
         a = read_supports(str(tmp_path / f"{name}_a.txt"))
         b = read_supports(str(tmp_path / f"{name}_b.txt"))
         assert len(a) > 100, name
