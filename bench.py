@@ -561,6 +561,42 @@ def main():
     _aux("pyramid_throughput", ppix / 1e6 / _nonzero(pbest), "Mpix/s",
          "config 3: 3-level pyramid, all-level pixels counted")
 
+    # low-density pyramid: chunk-compacted per-level matchers (r4
+    # adoption, experiments/exp_pyr.py: +26% over the rows pyramid at
+    # 15% density) — overflow-guarded, set-equality gated vs the rows
+    # pyramid on the same scene (same (H, W) shape reuses its compile)
+    from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
+
+    cpmatch = build_pyramid_sparsematch_compact(
+        forest, settings, num_levels=3, use_pallas=use_pallas)
+    cp_out = cpmatch(sl, sr)
+    assert not bool(np.asarray(cp_out[-1])), \
+        "low-density scene tripped pyramid compact overflow"
+    cp_set = set(map(tuple,
+                     pyramid_supports_to_numpy(*cp_out[:-1]).tolist()))
+    rp_set = set(map(tuple,
+                     pyramid_supports_to_numpy(*pmatch(sl, sr)).tolist()))
+    assert cp_set == rp_set, "compact pyramid set != rows pyramid set"
+
+    def cpstep(a, b):
+        xs, ys, ds, lv, counts, ovf = cpmatch(a, b)
+        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
+                + jnp.sum(counts) + ovf.astype(jnp.int32))
+
+    prbest = device_time_per_iter(pstep, (sl, sr), pdep, N_SHORT, 23,
+                                  repeats=5)
+    cpbest = device_time_per_iter(cpstep, (sl, sr), pdep, N_SHORT, 23,
+                                  repeats=5)
+    _aux("lowdensity_pyramid_rows_throughput",
+         ppix / 1e6 / _nonzero(prbest), "Mpix/s",
+         "3-level rows pyramid on the 0.15-density scene (compact A/B "
+         "baseline)")
+    _aux("lowdensity_pyramid_compact_throughput",
+         ppix / 1e6 / _nonzero(cpbest), "Mpix/s",
+         "3-level chunk-compacted pyramid on the 0.15-density scene — "
+         "overflow-guarded, set-equality gated vs the rows pyramid")
+
     # (the headline sintel_sparsematch_throughput line was printed to
     # stdout right after its measurement, in the masked-contract section)
     print(

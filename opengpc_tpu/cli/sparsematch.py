@@ -141,9 +141,16 @@ def main(argv=None) -> int:
         print(f"image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
         return 1
 
-    if args.contract != "auto" and (args.pyramid > 1 or args.matcher != "sort"):
-        print("--contract applies to the single-scale on-device matcher "
-              "only (not --pyramid / host --matcher modes)", file=sys.stderr)
+    if args.contract != "auto" and args.matcher != "sort":
+        print("--contract applies to the on-device matcher only "
+              "(not host --matcher modes)", file=sys.stderr)
+        return 1
+    if args.pyramid > 1 and args.contract not in ("auto", "masked-compact"):
+        # masked-compact lifts to the pyramid (chunk-compacted per-level
+        # matchers + rows-pyramid overflow fallback); the other contracts
+        # describe single-scale output layouts and don't
+        print("--pyramid supports --contract auto (rows when eligible) or "
+              "masked-compact only", file=sys.stderr)
         return 1
     if args.matcher != "sort":
         dropped = [
@@ -217,7 +224,36 @@ def main(argv=None) -> int:
             pyramid_supports_to_numpy,
         )
 
-        pmatch = build_pyramid_sparsematch(forest, settings, args.pyramid)
+        if args.contract == "masked-compact":
+            from opengpc_tpu.forest import make_filter_mask
+            from opengpc_tpu.infer import _rows_ok
+            from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
+
+            if not _rows_ok(make_filter_mask(forest), left.shape, settings):
+                print("--contract masked-compact needs epipolar mode, a "
+                      "<=30-test forest and packable (x, d) keys for this "
+                      "image size", file=sys.stderr)
+                return 1
+            cpmatch = build_pyramid_sparsematch_compact(
+                forest, settings, args.pyramid)
+            rpmatch = None
+
+            def pmatch(l, r):
+                # overflow guard: a dense frame trips the flag and re-runs
+                # the rows pyramid (exact either way)
+                nonlocal rpmatch
+                out = cpmatch(l, r)
+                if bool(np.asarray(out[-1])):
+                    if rpmatch is None:
+                        rpmatch = build_pyramid_sparsematch(
+                            forest, settings, args.pyramid)
+                    print("masked-compact overflow: dense frame, re-ran "
+                          "the rows pyramid", file=sys.stderr)
+                    return rpmatch(l, r)
+                return out[:-1]
+        else:
+            pmatch = build_pyramid_sparsematch(forest, settings,
+                                               args.pyramid)
 
         def run():
             out = pmatch(left, right)

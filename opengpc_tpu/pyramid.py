@@ -100,6 +100,63 @@ def _pyramid_rows_impl(left, right, mask: FilterMask,
                          settings.disp_high, num_levels)
 
 
+def _pyramid_compact_impl(left, right, mask: FilterMask,
+                          settings: InferenceSettings, num_levels: int,
+                          use_pallas: bool, mult: int, nbd: int,
+                          chunk: int, k: int):
+    """Low-density fast pyramid: every level rides the CHUNK-COMPACTED
+    masked matcher (match_epipolar_masked_compact) — no per-level pack
+    sort AND W-width dedup keys, the best of both prior variants
+    (measured +26% over the rows pyramid at 15% candidate density,
+    experiments/exp_pyr.py; the masked-window variant loses by doubling
+    the dedup sort — README dead-end ledger).  The per-level masked
+    buffers convert elementwise into the packed finest-wins dedup keys:
+    buf's low ``bd`` bits already hold d + disp_high, so they OR straight
+    into the dedup key's disparity field.
+
+    EXACT (identical support set to the rows pyramid) whenever the
+    returned ``overflow`` flag is False; any level's chunk exceeding
+    ``k`` candidates sets it and the caller MUST re-run the rows pyramid
+    (dense frames — the 79%-density bench scene trips it)."""
+    from opengpc_tpu.infer import _interior_rows, _key_image
+    from opengpc_tpu.match import (MASKED_SENTINEL,
+                                   match_epipolar_masked_compact)
+
+    h0, w0 = left.shape
+    sent = jnp.int32(0x7FFFFFFF)
+    disp_high = settings.disp_high
+    # the masked buffer packs (x << bd) | (d + disp_high); for any
+    # disp_high >= 1, 2d and 2d+1 share a bit_length so bd == nbd and the
+    # low bits transfer into the dedup key unchanged
+    bd = max(1, int(2 * disp_high).bit_length())
+    assert bd == nbd, (bd, nbd)
+    keys = []
+    ovf = jnp.bool_(False)
+    l_img, r_img = left, right
+    for level in range(num_levels):
+        key, m = _interior_rows(
+            _key_image(l_img, r_img, mask, settings, use_pallas))
+        buf, _counts, o = match_epipolar_masked_compact(
+            key, disp_high, chunk, k)
+        ovf = ovf | o
+        scale = 1 << level
+        valid = buf != MASKED_SENTINEL
+        x = buf >> bd
+        yy = (jnp.arange(buf.shape[0], dtype=jnp.int32) + m)[:, None]
+        pix = (yy * scale) * w0 + x * scale
+        keys.append(jnp.where(
+            valid,
+            ((pix * mult + level) << nbd) | (buf & ((1 << bd) - 1)),
+            sent,
+        ).reshape(-1))
+        if level + 1 < num_levels:
+            l_img = downscale2(l_img)
+            r_img = downscale2(r_img)
+    out = _dedup_unpack(jnp.concatenate(keys), mult, nbd, w0,
+                        disp_high, num_levels)
+    return out + (ovf,)
+
+
 def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                   num_levels: int, use_pallas: bool, dedup: bool):
     import dataclasses
@@ -259,6 +316,73 @@ def build_pyramid_sparsematch(
         if left.ndim == 3:
             # lax.map for the same reason as build_sparsematch: batched
             # flat sorts are pathological under vmap on TPU
+            return jax.lax.map(lambda ab: fn(*ab), (left, right))
+        return fn(left, right)
+
+    return run
+
+
+def build_pyramid_sparsematch_compact(
+    forest_or_mask,
+    settings: InferenceSettings,
+    num_levels: int = 3,
+    use_pallas: Optional[bool] = None,
+    chunk: int = 128,
+    k: int = 64,
+) -> Callable:
+    """Jitted ``(left, right) -> (x, y, d, level, counts, overflow)``
+    LOW-DENSITY pyramid matcher: every level rides the chunk-compacted
+    masked matcher (VERDICT r3 item 2's adoption, lifted to the pyramid —
+    measured +26% over :func:`build_pyramid_sparsematch` at realistic
+    ~15% candidate density, experiments/exp_pyr.py).
+
+    Same output contract and finest-level-wins dedup as
+    ``build_pyramid_sparsematch(dedup=True)`` plus a trailing ``overflow``
+    bool: EXACT identical support set whenever it is False; when True (a
+    chunk at some level exceeded ``k`` candidates — dense frames) the
+    result is incomplete and the caller must re-run the rows pyramid
+    (the CLI's ``--pyramid --contract masked-compact`` does exactly
+    that).  Works on (H, W) pairs and (B, H, W) batches (lax.map;
+    ``overflow`` becomes per-pair (B,)).
+
+    Eligibility (checked at trace time, ValueError otherwise) matches the
+    rows pyramid: epipolar mode, <=30-test packable forest, 31-bit
+    packable dedup keys, disp_high >= 1.
+    """
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if settings.disp_high < 1:
+        raise ValueError("compact pyramid needs disp_high >= 1")
+
+    def fn(left, right):
+        from opengpc_tpu.infer import _rows_ok
+
+        h0, w0 = left.shape
+        mult = 1
+        while mult < num_levels:
+            mult <<= 1
+        nbd = int(2 * settings.disp_high + 1).bit_length()
+        if not (settings.epipolar_mode
+                and _rows_ok(mask, (h0, w0), settings)
+                and (h0 * w0 * mult) << nbd < 0x7FFFFFFF):
+            raise ValueError(
+                "compact pyramid needs epipolar mode, a <=30-test "
+                "packable forest, and 31-bit packable dedup keys for "
+                f"{h0}x{w0} x {num_levels} levels; use "
+                "build_pyramid_sparsematch instead"
+            )
+        return _pyramid_compact_impl(
+            left, right, mask, settings, num_levels, use_pallas,
+            mult, nbd, chunk, k)
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim == 3:
             return jax.lax.map(lambda ab: fn(*ab), (left, right))
         return fn(left, right)
 

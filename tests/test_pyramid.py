@@ -123,3 +123,85 @@ def test_pyramid_batched():
     a = pyramid_supports_to_numpy(xs[0], ys[0], ds[0], lv[0], counts[0])
     b = pyramid_supports_to_numpy(xs[1], ys[1], ds[1], lv[1], counts[1])
     np.testing.assert_array_equal(a, b)
+
+
+def test_pyramid_compact_equals_rows_sparse():
+    """Chunk-compacted pyramid (r4 adoption, experiments/exp_pyr.py):
+    identical support set to the rows pyramid on a realistic-density
+    scene, overflow False."""
+    from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 16)
+    left, right = make_sparse_pair(120, 256, 8, density=0.15)
+    rows = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                     use_pallas=False)
+    comp = build_pyramid_sparsematch_compact(forest, settings, num_levels=3,
+                                             use_pallas=False)
+    out = comp(left, right)
+    assert not bool(np.asarray(out[-1])), "sparse scene must not overflow"
+    got = pyramid_supports_to_numpy(*out[:-1])
+    want = pyramid_supports_to_numpy(*rows(left, right))
+    assert got.shape[0] > 0
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+
+
+def test_pyramid_compact_overflow_and_eligibility():
+    from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=True,
+                                 capacity=1 << 16)
+    # ~79%-dense texture: >k candidates per chunk, flag MUST trip
+    left, right = make_pair(120, 256, 8, seed=1)
+    comp = build_pyramid_sparsematch_compact(forest, settings, num_levels=2,
+                                             use_pallas=False)
+    assert bool(np.asarray(comp(left, right)[-1]))
+
+    # non-epipolar settings are ineligible (trace-time ValueError)
+    bad = build_pyramid_sparsematch_compact(
+        forest, InferenceSettings(epipolar_mode=False, disp_high=32),
+        use_pallas=False)
+    try:
+        bad(left, right)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "compact pyramid" in str(e)
+
+
+def test_cli_pyramid_masked_compact(tmp_path, capsys):
+    """--pyramid N --contract masked-compact: sparse frame rides the
+    compact pyramid; dense frame takes the rows-pyramid overflow
+    fallback; outputs match plain --pyramid runs either way."""
+    import sys
+
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    forest_path = os.path.join(FORESTS, "defaultZeroForest.txt")
+    scenes = {
+        "sparse": make_sparse_pair(120, 256, 8, density=0.15),
+        "dense": make_pair(120, 256, 8, seed=1),
+    }
+    for name, (left, right) in scenes.items():
+        lp = str(tmp_path / f"{name}_l.png")
+        rp = str(tmp_path / f"{name}_r.png")
+        write_png(lp, left)
+        write_png(rp, right)
+        outs = {}
+        for label, extra in (("compact", ["--contract", "masked-compact"]),
+                             ("plain", [])):
+            op = str(tmp_path / f"{name}_{label}.png")
+            sp = str(tmp_path / f"{name}_{label}.txt")
+            rc = cli_main([forest_path, lp, rp, "--out", op,
+                           "--pyramid", "2", "--disp-high", "32",
+                           "--supports-out", sp] + extra)
+            assert rc == 0, (name, label)
+            with open(sp) as f:
+                outs[label] = sorted(f.read().splitlines())
+        assert outs["compact"] == outs["plain"], name
