@@ -88,7 +88,8 @@ def main(argv=None) -> int:
         "~27%% faster on low-candidate-density frames, with an automatic "
         "full-width fallback when the overflow guard trips).  Identical "
         "support sets; the fast contracts are epipolar-only; sequence "
-        "mode supports auto/rows/masked",
+        "mode supports auto/rows/masked/masked-compact; --pyramid "
+        "supports auto/masked-compact",
     )
     p.add_argument(
         "--shard-frame", type=int, default=0, metavar="N",
@@ -116,18 +117,26 @@ def main(argv=None) -> int:
     )
     import os
 
+    # the native PNG writer does not create directories; make every output
+    # parent up front so a missing dir fails here, not mid-run
+    for out in (args.out, args.densify, args.supports_out):
+        if out:
+            os.makedirs(os.path.dirname(os.path.abspath(out)) or ".",
+                        exist_ok=True)
+
     if os.path.isdir(args.left):
         if args.shard_frame > 1:
             print("--shard-frame applies to single-pair mode only "
                   "(sequence mode scales over the batch axis instead: "
                   "parallel.build_batched_sparsematch_*)", file=sys.stderr)
             return 1
-        if args.contract not in ("auto", "rows", "masked"):
+        if args.contract not in ("auto", "rows", "masked", "masked-compact"):
             print(f"--contract {args.contract} is not supported in "
                   "sequence (directory) mode — it rides the row-form "
-                  "contract by default (auto/rows; explicit 'masked' "
-                  "selects the masked sorted-order contract), falling "
-                  "back to flat per frame only in auto mode",
+                  "contract by default (auto/rows; explicit 'masked'/"
+                  "'masked-compact' select the masked sorted-order / "
+                  "chunk-compacted contracts), falling back to flat per "
+                  "frame only in auto mode",
                   file=sys.stderr)
             return 1
         return _run_sequence(args, forest, settings)
@@ -189,7 +198,6 @@ def main(argv=None) -> int:
             ("--global-mode", args.global_mode),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
             ("--contract flat", args.contract == "flat"),
-            ("--contract masked-compact", args.contract == "masked-compact"),
         ) if on]
         if bad:
             print(f"--shard-frame does not support: {', '.join(bad)}",
@@ -208,11 +216,34 @@ def main(argv=None) -> int:
                   f"divisible by {n} with >= {PAD} rows per shard "
                   f"(got {left.shape})", file=sys.stderr)
             return 1
-        contract = "rows" if args.contract == "rows" else "masked"
-        masked_form = contract == "masked"
+        contract = (args.contract if args.contract in ("rows",
+                                                       "masked-compact")
+                    else "masked")
+        masked_form = contract in ("masked", "masked-compact")
         row_form = contract == "rows"
-        match = build_sharded_frame_sparsematch(
-            fmask, settings, make_mesh(devs[:n]), contract=contract)
+        mesh = make_mesh(devs[:n])
+        smatch = build_sharded_frame_sparsematch(
+            fmask, settings, mesh, contract=contract)
+        smatch_fb = None
+
+        if contract == "masked-compact":
+            def match(l, r):
+                # overflow guard: any shard's dense chunk trips the
+                # replicated flag; re-run the sharded full-width masked
+                # builder (exact either way)
+                nonlocal smatch_fb
+                buf, counts, ovf = smatch(l, r)
+                if bool(np.asarray(ovf)):
+                    if smatch_fb is None:
+                        smatch_fb = build_sharded_frame_sparsematch(
+                            fmask, settings, mesh, contract="masked")
+                    print("masked-compact overflow: dense frame, re-ran "
+                          "the sharded full-width masked matcher",
+                          file=sys.stderr)
+                    return smatch_fb(l, r)
+                return buf, counts
+        else:
+            match = smatch
 
         def run():
             out = match(left, right)
@@ -492,17 +523,25 @@ def _run_sequence(args, forest, settings) -> int:
     probe = read_gray(lefts[0])
     fmask = make_filter_mask(forest)
     eligible = _rows_ok(fmask, probe.shape, settings)
-    if args.contract in ("rows", "masked") and not eligible:
+    if args.contract in ("rows", "masked", "masked-compact") and not eligible:
         # honor an explicit contract choice instead of silently riding the
         # flat fallback (auto mode still falls back per frame)
         print(f"--contract {args.contract} needs epipolar mode, a <=30-test "
               f"forest and packable (x, d) keys for frame shape "
               f"{probe.shape}", file=sys.stderr)
         return 1
+    compact_form = eligible and args.contract == "masked-compact"
     masked_form = eligible and args.contract == "masked"
-    row_form = eligible and not masked_form
+    row_form = eligible and not (masked_form or compact_form)
     global_rows = False
-    if masked_form:
+    mmatch_fb = None  # lazy full-width masked fallback for overflows
+    if compact_form:
+        from opengpc_tpu.infer import (build_sparsematch_masked,
+                                       build_sparsematch_masked_compact,
+                                       masked_supports_to_numpy)
+
+        match = build_sparsematch_masked_compact(fmask, settings)
+    elif masked_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        masked_supports_to_numpy)
 
@@ -530,8 +569,9 @@ def _run_sequence(args, forest, settings) -> int:
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
     total_matches = 0
-    fast = row_form or masked_form or global_rows
-    mode = ("masked" if masked_form else "rows" if row_form
+    fast = row_form or masked_form or compact_form or global_rows
+    mode = ("masked-compact" if compact_form
+            else "masked" if masked_form else "rows" if row_form
             else "global_rows" if global_rows else "flat")
     flat_match = match if mode == "flat" else None
     batch = max(1, args.batch) if fast else 1
@@ -553,8 +593,27 @@ def _run_sequence(args, forest, settings) -> int:
     def assemble(pending):
         """Fetch one dispatch's device outputs (one frame, or a --batch
         stack of frames) and write the per-frame supports files."""
-        i0, dmode, out, k = pending
-        if dmode == "global_rows":
+        i0, dmode, out, k, frames = pending
+        if dmode == "masked-compact":
+            # overflow guard: a dense dispatch (any frame of the stack)
+            # trips the ORed flag and re-runs the whole dispatch through
+            # the full-width masked matcher (exact either way); jax
+            # dispatch from the assembly thread is safe
+            nonlocal mmatch_fb
+            if bool(np.asarray(out[2])):
+                if mmatch_fb is None:
+                    from opengpc_tpu.infer import build_sparsematch_masked
+                    mmatch_fb = build_sparsematch_masked(fmask, settings)
+                print(f"masked-compact overflow in frames {i0}..{i0+k-1}: "
+                      "re-ran the full-width masked matcher",
+                      file=sys.stderr)
+                out = mmatch_fb(*frames)
+            mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
+            for j in range(k):
+                write_frame(i0 + j, masked_supports_to_numpy(
+                    mbuf[j] if k > 1 else mbuf,
+                    mcounts[j] if k > 1 else mcounts, settings.disp_high))
+        elif dmode == "global_rows":
             (gxs, gys, gds), gcounts = out
             gxs, gys, gds = np.asarray(gxs), np.asarray(gys), np.asarray(gds)
             gcounts = np.asarray(gcounts)
@@ -591,10 +650,13 @@ def _run_sequence(args, forest, settings) -> int:
         (pinned by test_cli_sequence_mode_batched)."""
         i0 = group[0][0]
         if len(group) == 1:  # --batch 1: plain 2-D single-frame dispatch
-            return (i0, mode, match(group[0][1], group[0][2]), 1)
+            l, r = group[0][1], group[0][2]
+            return (i0, mode, match(l, r), 1,
+                    (l, r) if compact_form else None)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
-        return (i0, mode, match(lb, rb), len(group))
+        return (i0, mode, match(lb, rb), len(group),
+                (lb, rb) if compact_form else None)
 
     def flush_group(group):
         """Dispatch a partial (flushed or leftover) group as SINGLE frames:
@@ -603,7 +665,8 @@ def _run_sequence(args, forest, settings) -> int:
         of dispatch — the single-frame program is one compile reused by
         every partial group."""
         for i, l, r in group:
-            submit((i, mode, match(l, r), 1))
+            submit((i, mode, match(l, r), 1,
+                    (l, r) if compact_form else None))
 
     # software pipeline: jax dispatch is async, assembly (device->host
     # fetch + supports write — numpy and the native writer both release
@@ -676,7 +739,8 @@ def _run_sequence(args, forest, settings) -> int:
                     # capacity-bounded flat pipeline the user didn't ask
                     # for (r4 review finding)
                     if _rows_ok(fmask, left.shape, settings):
-                        submit((i, mode, match(left, right), 1))
+                        submit((i, mode, match(left, right), 1,
+                                (left, right) if compact_form else None))
                         continue
                     print(
                         f"--contract {args.contract}: frame {i} shape "
@@ -693,7 +757,7 @@ def _run_sequence(args, forest, settings) -> int:
                 # fresh trace/compile per mismatched frame
                 if flat_match is None:
                     flat_match = build_sparsematch(fmask, settings)
-                submit((i, "flat", flat_match(left, right), 1))
+                submit((i, "flat", flat_match(left, right), 1, None))
         if group:
             flush_group(group)
         while futures:

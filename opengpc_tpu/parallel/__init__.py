@@ -237,7 +237,8 @@ def build_batched_sparsematch_global_rows(forest: Forest,
 def build_sharded_frame_sparsematch(forest_or_mask,
                                     settings: InferenceSettings,
                                     mesh: Mesh, use_pallas=None,
-                                    contract: str = "masked"):
+                                    contract: str = "masked",
+                                    chunk: int = 128, k: int = 64):
     """SINGLE-FRAME multi-chip matcher: shard ONE (H, W) pair's ROWS over
     the mesh — the direct multi-chip recast of the reference's only
     intra-image parallelism, parFor row partitioning
@@ -256,6 +257,13 @@ def build_sharded_frame_sparsematch(forest_or_mask,
       identical to build_sparsematch_masked on the whole frame.
     * ``contract="rows"``: ((xs, ds) (H, W) each, row_counts (H,)) —
       identical to build_sparsematch_rows.
+    * ``contract="masked-compact"``: (buf (H, 2W/chunk*k), row_counts,
+      overflow bool[]) — identical to build_sparsematch_masked_compact
+      (the r4 low-density fast path).  Each shard's per-chunk overflow
+      flag is pmax-reduced over the mesh axis into ONE replicated flag;
+      when True the caller must re-run a full-width contract (the CLI's
+      ``--shard-frame --contract masked-compact`` re-runs the sharded
+      masked builder).
 
     Global (non-epipolar) mode is deliberately NOT offered here: its
     uniqueness domain spans the whole image pair, so a row-sharded version
@@ -278,11 +286,14 @@ def build_sharded_frame_sparsematch(forest_or_mask,
 
     from opengpc_tpu.infer import _key_image_jnp_slab, _rows_ok
     from opengpc_tpu.match import (SENTINEL_BASE, match_epipolar_masked,
+                                   match_epipolar_masked_compact,
                                    match_epipolar_rows)
     from opengpc_tpu.ops.fused import PAD, fused_keys_slab
 
-    if contract not in ("masked", "rows"):
-        raise ValueError(f"contract must be 'masked' or 'rows', got {contract!r}")
+    if contract not in ("masked", "rows", "masked-compact"):
+        raise ValueError(
+            f"contract must be 'masked', 'rows' or 'masked-compact', "
+            f"got {contract!r}")
     mask = (
         make_filter_mask(forest_or_mask)
         if isinstance(forest_or_mask, Forest)
@@ -335,6 +346,13 @@ def build_sharded_frame_sparsematch(forest_or_mask,
             ], axis=1)
         else:
             key = _key_image_jnp_slab(hl, hr, mask, settings, y0, h_total)
+        if contract == "masked-compact":
+            buf, counts, ovf = match_epipolar_masked_compact(
+                key, settings.disp_high, chunk, k)
+            # one replicated frame-level flag: any shard's chunk overflow
+            # taints the whole frame (the fallback re-runs it whole)
+            ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis) > 0
+            return buf, counts, ovf
         if contract == "masked":
             return match_epipolar_masked(None, None, None, None,
                                          settings.disp_high, key=key)
@@ -342,7 +360,9 @@ def build_sharded_frame_sparsematch(forest_or_mask,
                                    settings.disp_high, key=key)
 
     spec = P(DATA_AXIS)
-    out_specs = (spec, spec) if contract == "masked" else ((spec, spec), spec)
+    out_specs = ((spec, spec) if contract == "masked"
+                 else (spec, spec, P()) if contract == "masked-compact"
+                 else ((spec, spec), spec))
     fn = shard_map(
         local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
         check_vma=False,

@@ -760,3 +760,48 @@ def test_cli_masked_compact_contract(tmp_path):
         b = read_supports(str(tmp_path / f"{name}_b.txt"))
         assert len(a) > 100, name
         assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist())), name
+
+
+def test_cli_sequence_masked_compact(tmp_path, capfd):
+    """Sequence mode with --contract masked-compact (r4): sparse frames
+    ride the chunk-compacted dispatches; a dense frame inside a --batch
+    group trips the ORed overflow flag and the whole dispatch re-runs
+    full-width in the assembly worker — per-frame supports equal a plain
+    auto-contract run either way."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    for i in range(8):
+        if i == 5:  # dense frame -> overflow -> full-width re-run
+            l, r = make_pair(96, 144, 4, seed=50)
+        else:
+            l, r = make_sparse_pair(96, 144, 4, density=0.15, seed=60 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+    outs = {}
+    for label, extra in (("compact", ["--contract", "masked-compact"]),
+                         ("auto", [])):
+        out = tmp_path / f"out_{label}" / "d.png"
+        rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                       "--disp-high", "32", "--batch", "2",
+                       "--out", str(out)] + extra)
+        err = capfd.readouterr().err
+        assert rc == 0, label
+        if label == "compact":
+            # the dense frame's group must actually take the fallback
+            assert "masked-compact overflow" in err, err
+        frames = []
+        for i in range(8):
+            sf = tmp_path / f"out_{label}" / f"supports_{i:04d}.txt"
+            assert sf.exists(), (label, i)
+            got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+            frames.append(sorted(map(tuple, got.tolist())))
+        outs[label] = frames
+    for i in range(8):
+        assert outs["compact"][i] == outs["auto"][i], f"frame {i}"
+    assert sum(len(f) for f in outs["auto"]) > 400

@@ -407,3 +407,45 @@ def test_sharded_masked_compact_matches_single_device():
             np.asarray(bufs)[i], np.asarray(counts)[i],
             settings.disp_high).tolist()))
         assert got == want and len(want) > 20, i
+
+
+def test_sharded_frame_masked_compact_matches_single_device():
+    """ONE frame's rows sharded over 8 chips on the chunk-compacted
+    contract (r4): bit-equal buffers/counts to the single-device compact
+    matcher on a low-density frame (replicated overflow False), and the
+    replicated overflow flag trips on a dense frame."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import build_sparsematch_masked_compact
+    from opengpc_tpu.parallel import build_sharded_frame_sparsematch
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    h, w = 128, 96  # 16 rows/shard on 8 devices — every shard hits halos
+    left, right = make_sparse_pair(h, w, 3, density=0.15)
+
+    mesh = make_mesh()
+    sharded = build_sharded_frame_sparsematch(forest, settings, mesh,
+                                              use_pallas=False,
+                                              contract="masked-compact")
+    buf, counts, ovf = sharded(left, right)
+    assert not bool(np.asarray(ovf)), "sparse frame must not overflow"
+    single = build_sparsematch_masked_compact(forest, settings,
+                                              use_pallas=False)
+    sbuf, scounts, sovf = single(left, right)
+    assert not bool(np.asarray(sovf))
+    assert int(np.asarray(counts).sum()) > 50
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(scounts))
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(sbuf))
+
+    # dense frame: any shard's chunk overflow taints the replicated flag
+    dl, dr = _frame_pair(21, h, w)
+    _, _, dovf = sharded(dl, dr)
+    assert bool(np.asarray(dovf)), "dense frame must trip the flag"
