@@ -472,6 +472,19 @@ def sharded_sparsematch_step(n_devices: int) -> None:
         "masked sharded counts != flat sharded counts"
     )
 
+    # the CHUNK-COMPACTED masked contract (the r4 low-density fast path) —
+    # per-shard overflow flags reduce into one replicated bool
+    run_compact = build_batched_sparsematch_masked_compact(forest, settings,
+                                                           mesh)
+    _, ccounts, covf = run_compact(lefts, rights)
+    ccounts.block_until_ready()
+    assert np.asarray(covf).shape == (b,)
+    for bi in range(b):
+        if not bool(np.asarray(covf)[bi]):
+            assert int(np.asarray(ccounts)[bi].sum()) == int(
+                np.asarray(count)[bi]), (
+                "compact sharded counts != flat sharded counts")
+
     # SINGLE-FRAME row sharding (r4): one pair's rows split over the mesh,
     # 14-row halo exchange via ppermute — must equal the whole-frame result
     fh, fw = 16 * n_devices, 128
@@ -491,6 +504,15 @@ def sharded_sparsematch_step(n_devices: int) -> None:
     assert (np.asarray(fbuf) == np.asarray(wbuf)).all(), (
         "sharded-frame masked buffer != whole-frame masked buffer"
     )
+    # same single-frame sharding on the chunk-compacted contract
+    run_frame_c = build_sharded_frame_sparsematch(
+        forest, settings, mesh, contract="masked-compact")
+    cfbuf, cfcounts, cfovf = run_frame_c(fl, fr)
+    cfcounts.block_until_ready()
+    if not bool(np.asarray(cfovf)):
+        assert int(np.asarray(cfcounts).sum()) == int(
+            np.asarray(wcounts).sum()), (
+            "sharded-frame compact counts != whole-frame masked counts")
 
     # full training step, triplet axis sharded over the same mesh
     from opengpc_tpu.config import zero_optimizer
