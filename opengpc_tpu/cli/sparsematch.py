@@ -81,7 +81,9 @@ def main(argv=None) -> int:
         choices=("auto", "flat", "rows", "masked", "masked-compact"),
         default="auto",
         help="output contract for the on-device matcher: auto (default; "
-        "row-form when eligible — the best end-to-end default), flat "
+        "row-form when eligible; sequence mode additionally probes frame "
+        "0's candidate density and rides masked-compact on sparse "
+        "sequences), flat "
         "fixed-capacity buffers, row-form per-row packed buffers, the "
         "masked sorted-order buffer (peak device throughput; decode moves "
         "to the consumer), or masked-compact (chunk-compacted masked — "
@@ -530,8 +532,33 @@ def _run_sequence(args, forest, settings) -> int:
               f"forest and packable (x, d) keys for frame shape "
               f"{probe.shape}", file=sys.stderr)
         return 1
-    compact_form = eligible and args.contract == "masked-compact"
-    masked_form = eligible and args.contract == "masked"
+    contract = args.contract
+    if contract == "auto" and eligible:
+        # density-adaptive auto (r4): probe frame 0's candidate density
+        # (one tiny jit program — eager ops would each compile remotely
+        # through a relay) and ride the chunk-compacted masked contract on
+        # sparse sequences (+27% device throughput at ~15% density,
+        # experiments/exp_lowdens.py).  The threshold is conservative vs
+        # the K/S=0.5 chunk capacity; a misprediction is still exact — any
+        # dense dispatch trips the overflow flag and re-runs full-width.
+        import jax
+        import jax.numpy as jnp
+
+        from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
+
+        gt = settings.gradient_threshold
+        dens = float(np.asarray(jax.jit(
+            lambda a, b: jnp.maximum(
+                candidate_mask(sobel3(a, gt)).mean(),
+                candidate_mask(sobel3(b, gt)).mean()))(
+            probe, read_gray(rights[0]))))
+        if dens <= 0.30:
+            contract = "masked-compact"
+            print(f"auto contract: candidate density {dens:.2f} — riding "
+                  "the chunk-compacted masked contract (overflow-guarded)",
+                  file=sys.stderr)
+    compact_form = eligible and contract == "masked-compact"
+    masked_form = eligible and contract == "masked"
     row_form = eligible and not (masked_form or compact_form)
     global_rows = False
     mmatch_fb = None  # lazy full-width masked fallback for overflows

@@ -784,8 +784,10 @@ def test_cli_sequence_masked_compact(tmp_path, capfd):
         write_png(str(ldir / f"f{i:04d}.png"), l)
         write_png(str(rdir / f"f{i:04d}.png"), r)
     outs = {}
+    # explicit rows as the independent baseline: auto itself now
+    # density-selects masked-compact on this sparse sequence (r4)
     for label, extra in (("compact", ["--contract", "masked-compact"]),
-                         ("auto", [])):
+                         ("auto", ["--contract", "rows"])):
         out = tmp_path / f"out_{label}" / "d.png"
         rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
                        "--disp-high", "32", "--batch", "2",
@@ -805,3 +807,45 @@ def test_cli_sequence_masked_compact(tmp_path, capfd):
     for i in range(8):
         assert outs["compact"][i] == outs["auto"][i], f"frame {i}"
     assert sum(len(f) for f in outs["auto"]) > 400
+
+
+def test_cli_sequence_auto_density_adaptive(tmp_path, capfd):
+    """Auto contract in sequence mode (r4): a sparse sequence probes frame
+    0's candidate density and rides the chunk-compacted masked contract
+    without any flag; a dense sequence stays on the row-form contract.
+    Outputs equal an explicit --contract rows run either way."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    for kind, mk in (("sparse", lambda i: make_sparse_pair(
+                          96, 144, 4, density=0.15, seed=80 + i)),
+                     ("dense", lambda i: make_pair(96, 144, 4, seed=80 + i))):
+        ldir = tmp_path / f"{kind}_left"
+        rdir = tmp_path / f"{kind}_right"
+        ldir.mkdir()
+        rdir.mkdir()
+        for i in range(4):
+            l, r = mk(i)
+            write_png(str(ldir / f"f{i:04d}.png"), l)
+            write_png(str(rdir / f"f{i:04d}.png"), r)
+        outs = {}
+        for label, extra in (("auto", []), ("rows", ["--contract", "rows"])):
+            out = tmp_path / f"{kind}_out_{label}" / "d.png"
+            rc = cli_main(["forests/defaultZeroForest.txt", str(ldir),
+                           str(rdir), "--disp-high", "32",
+                           "--out", str(out)] + extra)
+            err = capfd.readouterr().err
+            assert rc == 0, (kind, label)
+            if label == "auto":
+                picked = "auto contract: candidate density" in err
+                assert picked == (kind == "sparse"), (kind, err)
+            frames = []
+            for i in range(4):
+                sf = tmp_path / f"{kind}_out_{label}" / f"supports_{i:04d}.txt"
+                got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+                frames.append(sorted(map(tuple, got.tolist())))
+            outs[label] = frames
+        for i in range(4):
+            assert outs["auto"][i] == outs["rows"][i], (kind, i)
+        assert sum(len(f) for f in outs["rows"]) > 200, kind
