@@ -309,10 +309,31 @@ def main(argv=None) -> int:
                   "<=30-test forest and packable (x, d) keys for this "
                   "image size", file=sys.stderr)
             return 1
-        masked_form = eligible and args.contract in ("masked",
-                                                     "masked-compact")
-        row_form = eligible and args.contract in ("auto", "rows")
-        if eligible and args.contract == "masked-compact":
+        contract = args.contract
+        if contract == "auto" and eligible:
+            # density-adaptive auto, same probe as sequence mode: sparse
+            # frames ride the chunk-compacted masked contract (+27% device
+            # throughput at ~15% density); the overflow guard re-runs a
+            # dense misprediction full-width, so this is exact either way
+            import jax
+            import jax.numpy as jnp
+
+            from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
+
+            gt = settings.gradient_threshold
+            dens = float(np.asarray(jax.jit(
+                lambda a, b: jnp.maximum(
+                    candidate_mask(sobel3(a, gt)).mean(),
+                    candidate_mask(sobel3(b, gt)).mean()))(left, right)))
+            if dens <= 0.30:
+                contract = "masked-compact"
+                print(f"auto contract: candidate density {dens:.2f} — "
+                      "riding the chunk-compacted masked contract "
+                      "(overflow-guarded)", file=sys.stderr)
+        masked_form = eligible and contract in ("masked",
+                                                "masked-compact")
+        row_form = eligible and contract in ("auto", "rows")
+        if eligible and contract == "masked-compact":
             from opengpc_tpu.infer import (build_sparsematch_masked,
                                            build_sparsematch_masked_compact,
                                            masked_supports_to_numpy)

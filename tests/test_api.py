@@ -849,3 +849,36 @@ def test_cli_sequence_auto_density_adaptive(tmp_path, capfd):
         for i in range(4):
             assert outs["auto"][i] == outs["rows"][i], (kind, i)
         assert sum(len(f) for f in outs["rows"]) > 200, kind
+
+
+def test_cli_single_pair_auto_density_adaptive(tmp_path, capfd):
+    """Single-pair auto contract (r4): a sparse pair density-probes onto
+    the chunk-compacted masked contract (same supports as explicit rows);
+    a dense pair stays on row-form with no probe message."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+    for name, (l, r) in (
+            ("sparse", make_sparse_pair(160, 256, 8, density=0.15, seed=9)),
+            ("dense", make_pair(160, 256, 8, seed=9))):
+        lp, rp = str(tmp_path / f"{name}_l.png"), str(tmp_path / f"{name}_r.png")
+        write_png(lp, l)
+        write_png(rp, r)
+        base = [forest, lp, rp, "--disp-high", "32",
+                "--out", str(tmp_path / "d.png")]
+        rc = cli_main(base + ["--supports-out",
+                              str(tmp_path / f"{name}_auto.txt")])
+        err = capfd.readouterr().err
+        assert rc == 0, name
+        assert ("auto contract: candidate density" in err) == (
+            name == "sparse"), (name, err)
+        rc = cli_main(base + ["--contract", "rows", "--supports-out",
+                              str(tmp_path / f"{name}_rows.txt")])
+        assert rc == 0, name
+        a = read_supports(str(tmp_path / f"{name}_auto.txt"))
+        b = read_supports(str(tmp_path / f"{name}_rows.txt"))
+        assert len(a) > 100, name
+        assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist())), name
