@@ -48,6 +48,12 @@ from opengpc_tpu.infer import (
     row_supports_to_numpy,
     supports_to_numpy,
 )
+from opengpc_tpu.aot import (
+    export_sparsematch,
+    load_artifact,
+    load_sparsematch,
+    save_artifact,
+)
 from opengpc_tpu.densify import densify_from_masked, densify_supports
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 

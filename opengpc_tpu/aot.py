@@ -1,0 +1,198 @@
+"""AOT export / serving: freeze a matcher pipeline into a serialized
+StableHLO artifact.
+
+``jax.export`` traces and lowers the COMPLETE device pipeline once
+(preprocess + codes + matcher + output contract) and serializes the
+resulting StableHLO module; a serving process deserializes and calls it
+with zero Python re-tracing — only jax and the artifact are needed, not
+this package or the forest file.  This is the TPU-native analog of
+shipping the reference's compiled sparsematch binary
+(/root/reference/samples/sparsematch.cpp, built once per deployment):
+the forest, settings, frame shape, and output contract are burned in at
+export time, and the PJRT runtime executes the module on any matching
+backend.
+
+Artifacts are self-describing: a small JSON header records the output
+contract and the decode parameters, so a generic server can route the
+device outputs to the right host-side decoder
+(``masked_supports_to_numpy`` & co — which remain ordinary host code).
+
+Exporting the Pallas kernel path targets TPU only (Mosaic custom calls
+do not lower for CPU); the jnp path can target several platforms in one
+artifact (``platforms=("cpu", "tpu")``).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import struct
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import Forest, make_filter_mask
+
+CONTRACTS = ("flat", "rows", "masked", "masked-compact", "global-rows")
+
+_MAGIC = b"OGPCAOT1"
+
+# Mosaic kernels lower to this custom-call target; exporting them is safe
+# (the serving backend carries the Mosaic runtime) but jax.export wants
+# the acknowledgement to be explicit.
+_MOSAIC_TARGET = "tpu_custom_call"
+
+
+def _impl_for(contract: str, mask, settings: InferenceSettings,
+              shape, use_pallas: bool) -> Callable:
+    """Resolve the jit-able impl for ``contract``, validating eligibility
+    for ``shape`` the same way the build_* constructors do."""
+    from opengpc_tpu.infer import (_global_rows_ok, _rows_ok,
+                                   _sparsematch_global_rows_impl,
+                                   _sparsematch_impl,
+                                   _sparsematch_masked_compact_impl,
+                                   _sparsematch_masked_impl,
+                                   _sparsematch_rows_impl)
+
+    if contract not in CONTRACTS:
+        raise ValueError(f"contract must be one of {CONTRACTS}, "
+                         f"got {contract!r}")
+    if contract == "flat":
+        return functools.partial(_sparsematch_impl, mask=mask,
+                                 settings=settings, use_pallas=use_pallas)
+    if contract == "global-rows":
+        if settings.epipolar_mode:
+            raise ValueError("contract 'global-rows' needs "
+                             "epipolar_mode=False")
+        if not _global_rows_ok(mask, shape, settings):
+            raise ValueError(f"contract 'global-rows' has no packable key "
+                             f"for shape {shape}")
+        return functools.partial(_sparsematch_global_rows_impl, mask=mask,
+                                 settings=settings, use_pallas=use_pallas)
+    if not _rows_ok(mask, shape, settings):
+        raise ValueError(f"contract {contract!r} needs epipolar mode, a "
+                         f"<=30-test forest and packable (x, d) keys for "
+                         f"shape {shape}")
+    if contract == "masked-compact":
+        return functools.partial(_sparsematch_masked_compact_impl,
+                                 mask=mask, settings=settings,
+                                 use_pallas=use_pallas, chunk=128, k=64)
+    impl = {"rows": _sparsematch_rows_impl,
+            "masked": _sparsematch_masked_impl}[contract]
+    return functools.partial(impl, mask=mask, settings=settings,
+                             use_pallas=use_pallas)
+
+
+def export_sparsematch(forest_or_mask, settings: InferenceSettings,
+                       shape: Tuple[int, int], contract: str = "masked",
+                       use_pallas: Optional[bool] = None,
+                       platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the full matcher pipeline for one (H, W) frame shape.
+
+    Returns the raw ``jax.export`` blob (no container header — see
+    ``save_artifact`` for the self-describing file format).  ``platforms``
+    defaults to the current backend; pass ``("cpu", "tpu")`` for one
+    multi-platform jnp artifact.  ``use_pallas=None`` selects the Pallas
+    kernel path exactly when every target platform is TPU.
+    """
+    import jax
+    from jax import export as jexport
+
+    mask = (make_filter_mask(forest_or_mask)
+            if isinstance(forest_or_mask, Forest) else forest_or_mask)
+    plats = tuple(platforms) if platforms else None
+    if use_pallas is None:
+        targets = plats or (jax.default_backend(),)
+        use_pallas = all(p == "tpu" for p in targets)
+    if use_pallas and plats and any(p != "tpu" for p in plats):
+        raise ValueError("the Pallas kernel path lowers for TPU only; "
+                         "use use_pallas=False for multi-platform "
+                         f"artifacts (got platforms={plats})")
+    fn = jax.jit(_impl_for(contract, mask, settings, shape, use_pallas))
+    spec = jax.ShapeDtypeStruct(tuple(shape), np.uint8)
+    disabled = ([jexport.DisabledSafetyCheck.custom_call(_MOSAIC_TARGET)]
+                if use_pallas else [])
+    exp = jexport.export(fn, platforms=plats,
+                         disabled_checks=disabled)(spec, spec)
+    return bytes(exp.serialize())
+
+
+def load_sparsematch(data: bytes) -> Callable:
+    """Deserialize an ``export_sparsematch`` blob into a jitted callable
+    ``(left, right) -> device outputs`` (layout per the exported
+    contract).  Needs only jax — no forest file, no re-trace."""
+    import jax
+    from jax import export as jexport
+
+    return jax.jit(jexport.deserialize(bytearray(data)).call)
+
+
+def save_artifact(path: str, blob: bytes, *, contract: str,
+                  settings: InferenceSettings, shape: Tuple[int, int],
+                  platforms: Optional[Sequence[str]] = None,
+                  use_pallas: bool = False) -> None:
+    """Write a self-describing artifact file: magic, JSON metadata (the
+    decode parameters a generic server needs), then the export blob."""
+    meta = {
+        "contract": contract,
+        "shape": list(shape),
+        "disp_high": settings.disp_high,
+        "capacity": settings.capacity,
+        "epipolar_mode": settings.epipolar_mode,
+        "gradient_threshold": settings.gradient_threshold,
+        "vertical_tolerance": settings.vertical_tolerance,
+        "platforms": list(platforms) if platforms else None,
+        "use_pallas": use_pallas,
+    }
+    head = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(head)))
+        f.write(head)
+        f.write(blob)
+
+
+def load_artifact(path: str) -> Tuple[Callable, dict]:
+    """Load a ``save_artifact`` file: (jitted callable, metadata dict)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an opengpc AOT artifact "
+                             f"(bad magic {magic!r})")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hlen).decode())
+        blob = f.read()
+    return load_sparsematch(blob), meta
+
+
+def decode_outputs(meta: dict, out) -> np.ndarray:
+    """Route an artifact's device outputs to the matching host decoder,
+    returning (n, 3) [x, y, d] supports.  The masked-compact contract's
+    overflow flag raises here — an AOT artifact has a single frozen
+    program, so the caller must re-export (or ship alongside) a
+    full-width artifact for dense frames."""
+    from opengpc_tpu.infer import (global_row_supports_to_numpy,
+                                   masked_supports_to_numpy,
+                                   row_supports_to_numpy, supports_to_numpy)
+
+    contract = meta["contract"]
+    if contract == "flat":
+        return supports_to_numpy(*out)
+    if contract == "rows":
+        (xs, ds), counts = out
+        return row_supports_to_numpy(xs, ds, counts)
+    if contract == "masked":
+        buf, counts = out
+        return masked_supports_to_numpy(buf, counts, meta["disp_high"])
+    if contract == "masked-compact":
+        buf, counts, ovf = out
+        if bool(np.asarray(ovf)):
+            raise OverflowError(
+                "masked-compact chunk overflow: frame too dense for this "
+                "artifact — serve a full-width 'masked' artifact for it")
+        return masked_supports_to_numpy(buf, counts, meta["disp_high"])
+    if contract == "global-rows":
+        (xs, ys, ds), counts = out
+        return global_row_supports_to_numpy(xs, ys, ds, counts)
+    raise ValueError(f"unknown contract {contract!r} in artifact metadata")

@@ -1,0 +1,138 @@
+"""AOT artifact CLI: export a frozen matcher pipeline, run one for serving.
+
+``export`` freezes forest + settings + frame shape + output contract into
+one self-describing StableHLO artifact (see opengpc_tpu.aot) — the
+TPU-native analog of building the reference's sparsematch binary once per
+deployment (/root/reference/samples/sparsematch.cpp).  ``run`` is the
+serving side: deserialize, execute, decode, write supports — no forest
+file, no pipeline re-trace.
+
+    python -m opengpc_tpu.cli.aot export forest.txt matcher.ogpcx \\
+        --height 436 --width 1024 --contract masked --disp-high 128
+    python -m opengpc_tpu.cli.aot run matcher.ogpcx left.png right.png \\
+        --supports-out supports.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from opengpc_tpu.aot import (CONTRACTS, decode_outputs, export_sparsematch,
+                             load_artifact, save_artifact)
+from opengpc_tpu.config import InferenceSettings
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="opengpc-aot", description=__doc__.splitlines()[0]
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("export", help="freeze a matcher into an artifact")
+    pe.add_argument("forest", help="text forest path")
+    pe.add_argument("artifact", help="output artifact path (.ogpcx)")
+    pe.add_argument("--height", type=int, required=True)
+    pe.add_argument("--width", type=int, required=True)
+    pe.add_argument("--contract", choices=CONTRACTS, default="masked")
+    pe.add_argument("--gradient-threshold", type=int, default=5)
+    pe.add_argument("--disp-high", type=int, default=128)
+    pe.add_argument("--vertical-tolerance", type=int, default=0)
+    pe.add_argument("--global-mode", action="store_true")
+    pe.add_argument("--capacity", type=int, default=65536,
+                    help="flat-contract support capacity")
+    pe.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. cpu,tpu "
+                    "(default: current backend)")
+    pe.add_argument("--pallas", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="Pallas kernel path (TPU-only lowering); auto = "
+                    "on exactly when every target platform is tpu")
+
+    pr = sub.add_parser("run", help="serve one pair from an artifact")
+    pr.add_argument("artifact")
+    pr.add_argument("left")
+    pr.add_argument("right")
+    pr.add_argument("--supports-out", default=None,
+                    help="write (x, y, d) supports here")
+    pr.add_argument("--repeats", type=int, default=1,
+                    help="re-run the call N times, report the best")
+
+    args = p.parse_args(argv)
+    return _export(args) if args.cmd == "export" else _run(args)
+
+
+def _export(args) -> int:
+    from opengpc_tpu.forest import load_forest
+
+    forest = load_forest(args.forest)
+    settings = InferenceSettings(
+        gradient_threshold=args.gradient_threshold,
+        disp_high=args.disp_high,
+        vertical_tolerance=args.vertical_tolerance,
+        epipolar_mode=not args.global_mode,
+        capacity=args.capacity,
+    )
+    plats = tuple(args.platforms.split(",")) if args.platforms else None
+    use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
+    shape = (args.height, args.width)
+    try:
+        blob = export_sparsematch(forest, settings, shape,
+                                  contract=args.contract,
+                                  use_pallas=use_pallas, platforms=plats)
+    except ValueError as e:
+        print(f"export failed: {e}", file=sys.stderr)
+        return 1
+    if use_pallas is None:
+        import jax
+
+        targets = plats or (jax.default_backend(),)
+        use_pallas = all(pf == "tpu" for pf in targets)
+    save_artifact(args.artifact, blob, contract=args.contract,
+                  settings=settings, shape=shape, platforms=plats,
+                  use_pallas=use_pallas)
+    print(f"wrote {args.artifact} ({len(blob)} byte module, contract "
+          f"{args.contract}, shape {shape}, platforms "
+          f"{','.join(plats) if plats else 'default'})")
+    return 0
+
+
+def _run(args) -> int:
+    from opengpc_tpu.io.png import read_gray
+    from opengpc_tpu.io.supports import write_supports
+
+    call, meta = load_artifact(args.artifact)
+    left = read_gray(args.left)
+    right = read_gray(args.right)
+    want = tuple(meta["shape"])
+    if left.shape != want or right.shape != want:
+        print(f"artifact is frozen for shape {want}; got "
+              f"{left.shape} / {right.shape}", file=sys.stderr)
+        return 1
+    try:
+        t0 = time.perf_counter()
+        out = call(left, right)
+        supports = decode_outputs(meta, out)
+        t_first = time.perf_counter() - t0
+        best = t_first
+        for _ in range(max(0, args.repeats - 1)):
+            t0 = time.perf_counter()
+            supports = decode_outputs(meta, call(left, right))
+            best = min(best, time.perf_counter() - t0)
+    except OverflowError as e:
+        print(f"{e}", file=sys.stderr)
+        return 1
+    print(f"tTotal: {best * 1e3:.2f} ms (first call incl. compile: "
+          f"{t_first * 1e3:.1f} ms; incl. host decode), "
+          f"num matches: {len(supports)} (contract {meta['contract']})")
+    if args.supports_out:
+        write_supports(args.supports_out, supports)
+        print(f"wrote {args.supports_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""AOT export / serving artifacts (opengpc_tpu.aot, jax.export).
+
+The exported StableHLO module must reproduce the live builders' outputs
+bit-for-bit after a serialize/deserialize round-trip, for every output
+contract; the artifact file is self-describing (decode routing from
+metadata alone) and the CLI export/run pair is the serving path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.forest import load_forest
+
+FORESTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "forests"
+)
+
+
+def make_pair(h, w, d, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w + d)).astype(np.float32)
+    for _ in range(2):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    scene = base.astype(np.uint8)
+    return scene[:, :w].copy(), scene[:, d:].copy()
+
+
+@pytest.fixture(scope="module")
+def forest():
+    return load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+
+
+def _settings(epipolar=True):
+    return InferenceSettings(gradient_threshold=5, epipolar_mode=epipolar,
+                             disp_high=32, vertical_tolerance=0 if epipolar
+                             else 1, capacity=8192)
+
+
+@pytest.mark.parametrize("contract", ["flat", "rows", "masked",
+                                      "masked-compact"])
+def test_export_round_trip_equals_builder(forest, contract):
+    """serialize -> deserialize -> call must equal the live builder's
+    outputs exactly (same arrays, not just the same set)."""
+    from opengpc_tpu.aot import export_sparsematch, load_sparsematch
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   build_sparsematch_masked,
+                                   build_sparsematch_masked_compact,
+                                   build_sparsematch_rows)
+
+    settings = _settings()
+    h, w = 96, 144
+    left, right = make_pair(h, w, 4, seed=11)
+    blob = export_sparsematch(forest, settings, (h, w), contract=contract,
+                              use_pallas=False)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    call = load_sparsematch(blob)
+    got = call(left, right)
+    builder = {"flat": build_sparsematch,
+               "rows": build_sparsematch_rows,
+               "masked": build_sparsematch_masked,
+               "masked-compact": build_sparsematch_masked_compact}[contract]
+    want = builder(forest, settings, use_pallas=False)(left, right)
+    got_flat, _ = __import__("jax").tree.flatten(got)
+    want_flat, _ = __import__("jax").tree.flatten(want)
+    assert len(got_flat) == len(want_flat) > 0
+    for g, x in zip(got_flat, want_flat):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
+
+
+def test_export_global_rows_round_trip(forest):
+    from opengpc_tpu.aot import export_sparsematch, load_sparsematch
+    from opengpc_tpu.infer import build_sparsematch_global_rows
+    import jax
+
+    settings = _settings(epipolar=False)
+    h, w = 96, 144
+    left, right = make_pair(h, w, 4, seed=12)
+    blob = export_sparsematch(forest, settings, (h, w),
+                              contract="global-rows", use_pallas=False)
+    got = load_sparsematch(blob)(left, right)
+    want = build_sparsematch_global_rows(forest, settings,
+                                         use_pallas=False)(left, right)
+    for g, x in zip(jax.tree.flatten(got)[0], jax.tree.flatten(want)[0]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
+
+
+def test_export_validates_contract_and_platforms(forest):
+    from opengpc_tpu.aot import export_sparsematch
+
+    settings = _settings()
+    with pytest.raises(ValueError, match="contract"):
+        export_sparsematch(forest, settings, (96, 144), contract="bogus")
+    with pytest.raises(ValueError, match="epipolar_mode=False"):
+        export_sparsematch(forest, settings, (96, 144),
+                           contract="global-rows")
+    with pytest.raises(ValueError, match="Pallas"):
+        export_sparsematch(forest, settings, (96, 144), use_pallas=True,
+                           platforms=("cpu", "tpu"))
+    # non-epipolar settings make the row contracts ineligible
+    with pytest.raises(ValueError, match="epipolar"):
+        export_sparsematch(forest, _settings(epipolar=False), (96, 144),
+                           contract="rows")
+
+
+def test_export_tpu_pallas_lowering(forest):
+    """Cross-platform lowering: the Pallas kernel path serializes for a
+    TPU target from a CPU host (execution is covered by the real-TPU
+    validation runs; here we pin that lowering + serialization work)."""
+    from opengpc_tpu.aot import export_sparsematch
+
+    blob = export_sparsematch(forest, _settings(), (96, 144),
+                              contract="masked", use_pallas=True,
+                              platforms=("tpu",))
+    assert len(blob) > 1000
+
+
+def test_artifact_file_round_trip(forest, tmp_path):
+    """save_artifact/load_artifact: self-describing container routes
+    decode from metadata alone; decoded supports equal the flat set."""
+    from opengpc_tpu.aot import (decode_outputs, export_sparsematch,
+                                 load_artifact, save_artifact)
+    from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+
+    settings = _settings()
+    h, w = 96, 144
+    left, right = make_pair(h, w, 4, seed=13)
+    path = str(tmp_path / "m.ogpcx")
+    blob = export_sparsematch(forest, settings, (h, w), contract="masked",
+                              use_pallas=False)
+    save_artifact(path, blob, contract="masked", settings=settings,
+                  shape=(h, w))
+    call, meta = load_artifact(path)
+    assert meta["contract"] == "masked" and meta["shape"] == [h, w]
+    got = decode_outputs(meta, call(left, right))
+    want = supports_to_numpy(
+        *build_sparsematch(forest, settings, use_pallas=False)(left, right))
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+    assert len(got) > 100
+
+    with pytest.raises(ValueError, match="magic"):
+        bad = tmp_path / "bad.ogpcx"
+        bad.write_bytes(b"NOTANARTIFACT")
+        load_artifact(str(bad))
+
+
+def test_compact_artifact_overflow_raises(forest, tmp_path):
+    """A dense frame through a masked-compact artifact must raise (the
+    frozen program cannot fall back) with a clear serving hint."""
+    from opengpc_tpu.aot import (decode_outputs, export_sparsematch,
+                                 load_artifact, save_artifact)
+
+    settings = _settings()
+    h, w = 96, 144
+    left, right = make_pair(h, w, 4, seed=14)  # 79%-density scene
+    path = str(tmp_path / "c.ogpcx")
+    save_artifact(path, export_sparsematch(forest, settings, (h, w),
+                                           contract="masked-compact",
+                                           use_pallas=False),
+                  contract="masked-compact", settings=settings, shape=(h, w))
+    call, meta = load_artifact(path)
+    with pytest.raises(OverflowError, match="full-width"):
+        decode_outputs(meta, call(left, right))
+
+
+def test_cli_aot_export_run(forest, tmp_path, capfd):
+    """The serving path end-to-end through the real argv mains: export an
+    artifact, run a pair through it, supports equal a live CLI run."""
+    from opengpc_tpu.cli.aot import main as aot_main
+    from opengpc_tpu.cli.sparsematch import main as sm_main
+    from opengpc_tpu.io.png import write_png
+
+    h, w = 96, 144
+    left, right = make_pair(h, w, 4, seed=15)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, left)
+    write_png(rp, right)
+    fpath = os.path.join(FORESTS, "defaultZeroForest.txt")
+    art = str(tmp_path / "m.ogpcx")
+    rc = aot_main(["export", fpath, art, "--height", str(h), "--width",
+                   str(w), "--contract", "masked", "--disp-high", "32",
+                   "--pallas", "off"])
+    assert rc == 0 and os.path.exists(art)
+    sup = tmp_path / "s.txt"
+    rc = aot_main(["run", art, lp, rp, "--supports-out", str(sup)])
+    assert rc == 0
+    got = np.loadtxt(str(sup), dtype=np.int64).reshape(-1, 3)
+    ref_sup = tmp_path / "ref.txt"
+    rc = sm_main([fpath, lp, rp, "--disp-high", "32",
+                  "--out", str(tmp_path / "d.png"),
+                  "--supports-out", str(ref_sup)])
+    assert rc == 0
+    want = np.loadtxt(str(ref_sup), dtype=np.int64).reshape(-1, 3)
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+    assert len(got) > 100
+    # shape mismatch is rejected
+    l2, r2 = make_pair(64, 96, 4, seed=16)
+    write_png(str(tmp_path / "l2.png"), l2)
+    write_png(str(tmp_path / "r2.png"), r2)
+    assert aot_main(["run", art, str(tmp_path / "l2.png"),
+                     str(tmp_path / "r2.png")]) == 1
