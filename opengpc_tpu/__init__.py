@@ -49,8 +49,10 @@ from opengpc_tpu.infer import (
     supports_to_numpy,
 )
 from opengpc_tpu.aot import (
+    export_sharded_frame,
     export_sparsematch,
     load_artifact,
+    load_sharded_frame,
     load_sparsematch,
     save_artifact,
 )

@@ -128,12 +128,62 @@ def load_sparsematch(data: bytes) -> Callable:
     return jax.jit(jexport.deserialize(bytearray(data)).call)
 
 
+def export_sharded_frame(forest_or_mask, settings: InferenceSettings,
+                         shape: Tuple[int, int], mesh,
+                         contract: str = "masked",
+                         use_pallas: Optional[bool] = None) -> bytes:
+    """Serialize the SINGLE-FRAME multi-chip matcher
+    (parallel.build_sharded_frame_sparsematch: one pair's rows over the
+    mesh with a 14-row ppermute halo) — pod-scale serving from one
+    artifact.  The module pins the device count: the serving side loads
+    it over a same-size mesh (``load_sharded_frame``)."""
+    import jax
+    from jax import export as jexport
+
+    from opengpc_tpu.parallel import build_sharded_frame_sparsematch
+
+    fn = build_sharded_frame_sparsematch(forest_or_mask, settings, mesh,
+                                         use_pallas=use_pallas,
+                                         contract=contract)
+    spec = jax.ShapeDtypeStruct(tuple(shape), np.uint8)
+    disabled = [jexport.DisabledSafetyCheck.custom_call(_MOSAIC_TARGET)]
+    exp = jexport.export(fn, disabled_checks=disabled)(spec, spec)
+    return bytes(exp.serialize())
+
+
+def load_sharded_frame(data: bytes, mesh=None) -> Callable:
+    """Deserialize an ``export_sharded_frame`` blob over a serving mesh
+    (default: one mesh over all visible devices).  The mesh size must
+    equal the exported device count; inputs are row-sharded over it by
+    the returned jitted callable."""
+    import jax
+    from jax import export as jexport
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from opengpc_tpu.parallel import DATA_AXIS, make_mesh
+
+    exp = jexport.deserialize(bytearray(data))
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    if getattr(exp, "nr_devices", n) != n:
+        raise ValueError(
+            f"artifact was exported for {exp.nr_devices} devices; the "
+            f"serving mesh has {n}")
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(exp.call, in_shardings=(sh, sh))
+
+
 def save_artifact(path: str, blob: bytes, *, contract: str,
                   settings: InferenceSettings, shape: Tuple[int, int],
                   platforms: Optional[Sequence[str]] = None,
-                  use_pallas: bool = False) -> None:
+                  use_pallas: bool = False,
+                  extra: Optional[dict] = None) -> None:
     """Write a self-describing artifact file: magic, JSON metadata (the
-    decode parameters a generic server needs), then the export blob."""
+    decode parameters a generic server needs), then the export blob.
+    ``extra`` merges additional keys (e.g. ``{"n_devices": 8}`` for
+    sharded-frame artifacts)."""
     meta = {
         "contract": contract,
         "shape": list(shape),
@@ -145,6 +195,8 @@ def save_artifact(path: str, blob: bytes, *, contract: str,
         "platforms": list(platforms) if platforms else None,
         "use_pallas": use_pallas,
     }
+    if extra:
+        meta.update(extra)
     head = json.dumps(meta).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)

@@ -202,3 +202,36 @@ def test_cli_aot_export_run(forest, tmp_path, capfd):
     write_png(str(tmp_path / "r2.png"), r2)
     assert aot_main(["run", art, str(tmp_path / "l2.png"),
                      str(tmp_path / "r2.png")]) == 1
+
+
+def test_export_sharded_frame_round_trip(forest):
+    """Pod-scale serving artifact: the sharded-frame matcher (one pair's
+    rows over the 8-device mesh) serializes and round-trips bit-exact;
+    a wrong-size serving mesh is rejected."""
+    import jax
+    from jax.sharding import Mesh
+
+    from opengpc_tpu.aot import export_sharded_frame, load_sharded_frame
+    from opengpc_tpu.parallel import (build_sharded_frame_sparsematch,
+                                      make_mesh)
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    settings = _settings()
+    h, w = 128, 96
+    left, right = make_sparse_pair(h, w, 3, density=0.15)
+    mesh = make_mesh()
+    blob = export_sharded_frame(forest, settings, (h, w), mesh,
+                                contract="masked", use_pallas=False)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    call = load_sharded_frame(blob)  # fresh serving mesh, all devices
+    buf, counts = call(left, right)
+    want = build_sharded_frame_sparsematch(forest, settings, mesh,
+                                           use_pallas=False)(left, right)
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(want[1]))
+    assert int(np.asarray(counts).sum()) > 20
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    small = Mesh(devs, ("data",))
+    with pytest.raises(ValueError, match="8 devices"):
+        load_sharded_frame(blob, small)
