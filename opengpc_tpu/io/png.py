@@ -202,6 +202,57 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _pass_pixels(raw: bytes, pos: int, pw: int, ph: int, bit_depth: int,
+                 channels: int) -> Tuple[np.ndarray, int]:
+    """Decode one filtered (sub-)image of ``ph`` rows x ``pw`` pixels
+    starting at ``pos`` in the decompressed stream.  Returns raw samples —
+    (ph, pw) uint8 levels for sub-byte depths (unscaled), else
+    (ph, pw, channels) uint8/uint16 — plus the new stream offset."""
+    if bit_depth < 8:
+        stride = (pw * bit_depth + 7) // 8
+        rows = _unfilter(raw[pos:pos + ph * (stride + 1)], ph, stride, 1)
+        pos += ph * (stride + 1)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * bit_depth]
+        vals = bits.reshape(ph, pw, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+        return (vals * weights).sum(axis=2).astype(np.uint8), pos
+    sample_bytes = 2 if bit_depth == 16 else 1
+    bpp = channels * sample_bytes
+    stride = pw * bpp
+    rows = _unfilter(raw[pos:pos + ph * (stride + 1)], ph, stride, bpp)
+    pos += ph * (stride + 1)
+    if bit_depth == 16:
+        arr16 = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
+        return arr16.reshape(ph, pw, channels), pos
+    return rows.reshape(ph, pw, channels), pos
+
+
+def _decode_adam7(raw: bytes, width: int, height: int, bit_depth: int,
+                  channels: int) -> np.ndarray:
+    """Deinterlace: decode the seven independently-filtered passes and
+    scatter each into its strided pixel positions.  Returns the same raw
+    sample layout as ``_pass_pixels`` at full size."""
+    if bit_depth < 8:
+        out = np.zeros((height, width), dtype=np.uint8)
+    else:
+        out = np.zeros((height, width, channels),
+                       dtype=np.uint16 if bit_depth == 16 else np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pix, pos = _pass_pixels(raw, pos, pw, ph, bit_depth, channels)
+        out[y0::dy, x0::dx] = pix
+    return out
+
+
 def _read_python(path: str) -> Tuple[np.ndarray, int]:
     with open(path, "rb") as f:
         data = f.read()
@@ -220,8 +271,8 @@ def _read_python(path: str) -> Tuple[np.ndarray, int]:
             width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise IOError(f"{path}: bad interlace method {interlace}")
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -232,28 +283,17 @@ def _read_python(path: str) -> Tuple[np.ndarray, int]:
         raise IOError(f"{path}: missing IHDR")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
-    sample_bytes = 2 if bit_depth == 16 else 1
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise NotImplementedError("sub-byte depth only for gray/palette")
+    if interlace == 1:
+        arr = _decode_adam7(raw, width, height, bit_depth, channels)
+    else:
+        arr, _ = _pass_pixels(raw, 0, width, height, bit_depth, channels)
     if bit_depth < 8:
-        if color_type not in (0, 3):
-            raise NotImplementedError("sub-byte depth only for gray/palette")
-        stride = (width * bit_depth + 7) // 8
-        rows = _unfilter(raw, height, stride, 1)
-        bits = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
-        vals = bits.reshape(height, width, bit_depth)
-        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
-        arr = (vals * weights).sum(axis=2).astype(np.uint8)
         if color_type == 0:
             arr = (arr.astype(np.uint32) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
         depth_out = 8
     else:
-        bpp = channels * sample_bytes
-        stride = width * bpp
-        rows = _unfilter(raw, height, stride, bpp)
-        if bit_depth == 16:
-            arr16 = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
-            arr = arr16.reshape(height, width, channels)
-        else:
-            arr = rows.reshape(height, width, channels)
         if channels == 1:
             arr = arr[:, :, 0]
         depth_out = bit_depth

@@ -182,7 +182,7 @@ class TestPNGVariants:
 
     @staticmethod
     def _mk_png(width, height, bit_depth, color_type, raw_scanlines,
-                palette=None):
+                palette=None, interlace=0):
         import struct
         import zlib
 
@@ -191,7 +191,7 @@ class TestPNGVariants:
             return c + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
 
         ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
-                           0, 0, 0)
+                           0, 0, interlace)
         out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         if palette is not None:
             out += chunk(b"PLTE", palette)
@@ -245,6 +245,82 @@ class TestPNGVariants:
             f.write(self._mk_png(4, 1, 1, 0, rows))
         g = read_gray(p)
         np.testing.assert_array_equal(g, [[255, 0, 255, 0]])
+
+
+class TestInterlacedPngs:
+    """Adam7-interlaced PNGs (a real-file encoder variant the synthetic
+    fixtures flagged as residual risk): the pure-python fallback must
+    deinterlace exactly like libpng (png_set_interlace_handling,
+    cpp/io.cc:65), pinned here against hand-built pass data AND the
+    native reader when available."""
+
+    _PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    @classmethod
+    def _scanlines(cls, arr, bit_depth):
+        out = b""
+        for x0, y0, dx, dy in cls._PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                if bit_depth == 16:
+                    out += b"\x00" + row.astype(">u2").tobytes()
+                elif bit_depth == 8:
+                    out += b"\x00" + row.astype(np.uint8).tobytes()
+                elif bit_depth == 1:
+                    out += b"\x00" + np.packbits(
+                        row.astype(np.uint8).reshape(-1)).tobytes()
+                else:
+                    raise AssertionError(bit_depth)
+        return out
+
+    def _check(self, tmp_path, arr, bit_depth, color_type, name):
+        from opengpc_tpu.io.png import _read_python, read_png
+
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(TestPNGVariants._mk_png(
+                arr.shape[1], arr.shape[0], bit_depth, color_type,
+                self._scanlines(arr, bit_depth), interlace=1))
+        got, depth = _read_python(p)
+        return p, got, depth
+
+    @pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (8, 8), (13, 21)])
+    def test_gray8(self, tmp_path, h, w):
+        from opengpc_tpu.io.png import read_png
+
+        rng = np.random.default_rng(h * 100 + w)
+        arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        p, got, depth = self._check(tmp_path, arr, 8, 0, "i8.png")
+        assert depth == 8
+        np.testing.assert_array_equal(got, arr)
+        native, ndepth = read_png(p)  # libpng path when built
+        np.testing.assert_array_equal(np.asarray(native), arr)
+
+    def test_gray16(self, tmp_path):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 1 << 16, (6, 11)).astype(np.uint16)
+        _, got, depth = self._check(tmp_path, arr, 16, 0, "i16.png")
+        assert depth == 16 and got.dtype == np.uint16
+        np.testing.assert_array_equal(got, arr)
+
+    def test_rgb8(self, tmp_path):
+        from opengpc_tpu.io.png import read_png
+
+        rng = np.random.default_rng(8)
+        arr = rng.integers(0, 256, (9, 14, 3)).astype(np.uint8)
+        p, got, depth = self._check(tmp_path, arr, 8, 2, "irgb.png")
+        np.testing.assert_array_equal(got, arr)
+        native, _ = read_png(p)
+        np.testing.assert_array_equal(np.asarray(native), arr)
+
+    def test_gray1(self, tmp_path):
+        arr = (np.arange(5 * 9).reshape(5, 9) % 2).astype(np.uint8)
+        _, got, depth = self._check(tmp_path, arr, 1, 0, "i1.png")
+        assert depth == 8
+        np.testing.assert_array_equal(got, arr * 255)
 
 
 def test_read_gray_batch(tmp_path):
