@@ -58,11 +58,11 @@ def main(argv=None) -> int:
                    help="optional text output, one 'x y d' line per support")
     p.add_argument("--repeats", type=int, default=1,
                    help="re-run the jitted matcher N times and report the best")
-    p.add_argument("--batch", type=int, default=1, metavar="B",
+    p.add_argument("--batch", type=int, default=None, metavar="B",
                    help="sequence mode: stack B same-shape frame pairs per "
                    "dispatch (folded into one (B*H, 2W) segmented sort); "
                    "amortizes per-dispatch overhead, identical per-frame "
-                   "outputs")
+                   "outputs.  Default 4 on the fast contracts (1 disables)")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace into LOGDIR")
     p.add_argument("--pyramid", type=int, default=1, metavar="LEVELS",
@@ -142,7 +142,7 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         return _run_sequence(args, forest, settings)
-    if args.batch > 1:
+    if args.batch is not None and args.batch > 1:
         print("--batch applies to sequence (directory) mode only",
               file=sys.stderr)
         return 1
@@ -622,8 +622,12 @@ def _run_sequence(args, forest, settings) -> int:
             else "masked" if masked_form else "rows" if row_form
             else "global_rows" if global_rows else "flat")
     flat_match = match if mode == "flat" else None
-    batch = max(1, args.batch) if fast else 1
-    if args.batch > 1 and not fast:
+    # default: stack 4 frames per dispatch on the fast contracts (folded
+    # batches are exact; 4x fewer dispatch roundtrips — the README A/B);
+    # an explicit --batch 1 disables
+    batch = max(1, args.batch if args.batch is not None else 4) \
+        if fast else 1
+    if args.batch is not None and args.batch > 1 and not fast:
         print(
             f"--batch {args.batch} ignored: batched dispatch needs the "
             "row-form/masked/global-rows contracts (<=30-test forest, "
