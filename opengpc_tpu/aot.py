@@ -84,6 +84,17 @@ def _impl_for(contract: str, mask, settings: InferenceSettings,
                              use_pallas=use_pallas)
 
 
+def resolve_use_pallas(platforms: Optional[Sequence[str]] = None) -> bool:
+    """The auto rule for the Pallas kernel path: on exactly when every
+    lowering target is TPU (``platforms`` empty means the current
+    backend).  Exposed so callers that record artifact metadata
+    (cli.aot) apply the SAME resolution the export itself did."""
+    import jax
+
+    targets = tuple(platforms) if platforms else (jax.default_backend(),)
+    return all(p == "tpu" for p in targets)
+
+
 def export_sparsematch(forest_or_mask, settings: InferenceSettings,
                        shape: Tuple[int, int], contract: str = "masked",
                        use_pallas: Optional[bool] = None,
@@ -94,7 +105,8 @@ def export_sparsematch(forest_or_mask, settings: InferenceSettings,
     ``save_artifact`` for the self-describing file format).  ``platforms``
     defaults to the current backend; pass ``("cpu", "tpu")`` for one
     multi-platform jnp artifact.  ``use_pallas=None`` selects the Pallas
-    kernel path exactly when every target platform is TPU.
+    kernel path exactly when every target platform is TPU
+    (``resolve_use_pallas``).
     """
     import jax
     from jax import export as jexport
@@ -103,8 +115,7 @@ def export_sparsematch(forest_or_mask, settings: InferenceSettings,
             if isinstance(forest_or_mask, Forest) else forest_or_mask)
     plats = tuple(platforms) if platforms else None
     if use_pallas is None:
-        targets = plats or (jax.default_backend(),)
-        use_pallas = all(p == "tpu" for p in targets)
+        use_pallas = resolve_use_pallas(plats)
     if use_pallas and plats and any(p != "tpu" for p in plats):
         raise ValueError("the Pallas kernel path lowers for TPU only; "
                          "use use_pallas=False for multi-platform "
@@ -205,8 +216,14 @@ def save_artifact(path: str, blob: bytes, *, contract: str,
         f.write(blob)
 
 
-def load_artifact(path: str) -> Tuple[Callable, dict]:
-    """Load a ``save_artifact`` file: (jitted callable, metadata dict)."""
+def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
+    """Load a ``save_artifact`` file: (jitted callable, metadata dict).
+
+    A sharded-frame artifact (``extra={"n_devices": N}`` at save time)
+    routes through ``load_sharded_frame`` over ``mesh`` (default: one
+    mesh over all visible devices — the mesh size must equal the
+    exported device count); everything else loads single-device via
+    ``load_sparsematch``.  ``mesh`` is ignored for unsharded blobs."""
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -215,6 +232,8 @@ def load_artifact(path: str) -> Tuple[Callable, dict]:
         (hlen,) = struct.unpack("<I", f.read(4))
         meta = json.loads(f.read(hlen).decode())
         blob = f.read()
+    if meta.get("n_devices", 1) > 1:
+        return load_sharded_frame(blob, mesh), meta
     return load_sparsematch(blob), meta
 
 

@@ -87,10 +87,11 @@ def _export(args) -> int:
         print(f"export failed: {e}", file=sys.stderr)
         return 1
     if use_pallas is None:
-        import jax
+        # the same auto rule export_sparsematch just applied — one source
+        # of truth, so the recorded metadata cannot drift from the module
+        from opengpc_tpu.aot import resolve_use_pallas
 
-        targets = plats or (jax.default_backend(),)
-        use_pallas = all(pf == "tpu" for pf in targets)
+        use_pallas = resolve_use_pallas(plats)
     save_artifact(args.artifact, blob, contract=args.contract,
                   settings=settings, shape=shape, platforms=plats,
                   use_pallas=use_pallas)

@@ -26,6 +26,63 @@ from opengpc_tpu.io.supports import write_supports
 from opengpc_tpu.viz import disparity_visualization
 
 
+# auto-contract density threshold: sparse frames (candidate density at or
+# below this) ride the chunk-compacted contracts.  Conservative vs the
+# K/S=0.5 chunk capacity; a misprediction is still exact — any dense
+# dispatch trips the overflow guard and re-runs full-width.
+_AUTO_COMPACT_DENSITY = 0.30
+
+
+def _probe_density(settings, left, right) -> float:
+    """Candidate density of one pair under ``gradient_threshold``: max of
+    the two images' candidate-mask means, computed by ONE tiny jitted
+    program (eager jnp ops would each compile remotely through a relayed
+    backend).  Drives the density-adaptive auto contract (r4,
+    experiments/exp_lowdens.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
+
+    gt = settings.gradient_threshold
+    return float(np.asarray(jax.jit(
+        lambda a, b: jnp.maximum(
+            candidate_mask(sobel3(a, gt)).mean(),
+            candidate_mask(sobel3(b, gt)).mean()))(left, right)))
+
+
+class _OverflowGuard:
+    """Exactness guard shared by every chunk-compacted call site: the
+    compacted matchers return ``(*outputs, overflow)``, and a True flag
+    (any chunk held more candidates than its capacity — a dense frame)
+    means the compacted outputs must be discarded and the dispatch re-run
+    through the full-width builder.  The fallback builder is constructed
+    lazily (one extra trace/compile, only ever paid on a misprediction)
+    and cached for the run."""
+
+    def __init__(self, make_fallback, notice: str):
+        self._make = make_fallback
+        self._fb = None
+        self.notice = notice
+
+    def fallback(self):
+        if self._fb is None:
+            self._fb = self._make()
+        return self._fb
+
+    def wrap(self, fast_match):
+        """``(l, r) -> outputs`` that transparently re-runs overflows."""
+
+        def match(l, r):
+            out = fast_match(l, r)
+            if bool(np.asarray(out[-1])):
+                print(self.notice, file=sys.stderr)
+                return self.fallback()(l, r)
+            return out[:-1]
+
+        return match
+
+
 def _force(leaf) -> None:
     """Force device completion of a pipeline by fetching one small output
     (the counts leaf — everything else feeds it).  ``block_until_ready``
@@ -81,9 +138,9 @@ def main(argv=None) -> int:
         choices=("auto", "flat", "rows", "masked", "masked-compact"),
         default="auto",
         help="output contract for the on-device matcher: auto (default; "
-        "row-form when eligible; sequence mode additionally probes frame "
-        "0's candidate density and rides masked-compact on sparse "
-        "sequences), flat "
+        "row-form when eligible, and — in both single-pair and sequence "
+        "mode — a candidate-density probe rides masked-compact on sparse "
+        "frames), flat "
         "fixed-capacity buffers, row-form per-row packed buffers, the "
         "masked sorted-order buffer (peak device throughput; decode moves "
         "to the consumer), or masked-compact (chunk-compacted masked — "
@@ -226,24 +283,14 @@ def main(argv=None) -> int:
         mesh = make_mesh(devs[:n])
         smatch = build_sharded_frame_sparsematch(
             fmask, settings, mesh, contract=contract)
-        smatch_fb = None
 
         if contract == "masked-compact":
-            def match(l, r):
-                # overflow guard: any shard's dense chunk trips the
-                # replicated flag; re-run the sharded full-width masked
-                # builder (exact either way)
-                nonlocal smatch_fb
-                buf, counts, ovf = smatch(l, r)
-                if bool(np.asarray(ovf)):
-                    if smatch_fb is None:
-                        smatch_fb = build_sharded_frame_sparsematch(
-                            fmask, settings, mesh, contract="masked")
-                    print("masked-compact overflow: dense frame, re-ran "
-                          "the sharded full-width masked matcher",
-                          file=sys.stderr)
-                    return smatch_fb(l, r)
-                return buf, counts
+            # any shard's dense chunk trips the pmax-replicated flag
+            match = _OverflowGuard(
+                lambda: build_sharded_frame_sparsematch(
+                    fmask, settings, mesh, contract="masked"),
+                "masked-compact overflow: dense frame, re-ran the "
+                "sharded full-width masked matcher").wrap(smatch)
         else:
             match = smatch
 
@@ -269,21 +316,11 @@ def main(argv=None) -> int:
                 return 1
             cpmatch = build_pyramid_sparsematch_compact(
                 forest, settings, args.pyramid)
-            rpmatch = None
-
-            def pmatch(l, r):
-                # overflow guard: a dense frame trips the flag and re-runs
-                # the rows pyramid (exact either way)
-                nonlocal rpmatch
-                out = cpmatch(l, r)
-                if bool(np.asarray(out[-1])):
-                    if rpmatch is None:
-                        rpmatch = build_pyramid_sparsematch(
-                            forest, settings, args.pyramid)
-                    print("masked-compact overflow: dense frame, re-ran "
-                          "the rows pyramid", file=sys.stderr)
-                    return rpmatch(l, r)
-                return out[:-1]
+            pmatch = _OverflowGuard(
+                lambda: build_pyramid_sparsematch(forest, settings,
+                                                  args.pyramid),
+                "masked-compact overflow: dense frame, re-ran the rows "
+                "pyramid").wrap(cpmatch)
         else:
             pmatch = build_pyramid_sparsematch(forest, settings,
                                                args.pyramid)
@@ -315,17 +352,8 @@ def main(argv=None) -> int:
             # frames ride the chunk-compacted masked contract (+27% device
             # throughput at ~15% density); the overflow guard re-runs a
             # dense misprediction full-width, so this is exact either way
-            import jax
-            import jax.numpy as jnp
-
-            from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
-
-            gt = settings.gradient_threshold
-            dens = float(np.asarray(jax.jit(
-                lambda a, b: jnp.maximum(
-                    candidate_mask(sobel3(a, gt)).mean(),
-                    candidate_mask(sobel3(b, gt)).mean()))(left, right)))
-            if dens <= 0.30:
+            dens = _probe_density(settings, left, right)
+            if dens <= _AUTO_COMPACT_DENSITY:
                 contract = "masked-compact"
                 print(f"auto contract: candidate density {dens:.2f} — "
                       "riding the chunk-compacted masked contract "
@@ -339,20 +367,10 @@ def main(argv=None) -> int:
                                            masked_supports_to_numpy)
 
             cmatch = build_sparsematch_masked_compact(fmask, settings)
-            mmatch = None
-
-            def match(l, r):
-                # overflow guard: a dense frame trips the flag and re-runs
-                # the full-width masked matcher (exact either way)
-                nonlocal mmatch
-                buf, counts, ovf = cmatch(l, r)
-                if bool(np.asarray(ovf)):
-                    if mmatch is None:
-                        mmatch = build_sparsematch_masked(fmask, settings)
-                    print("masked-compact overflow: dense frame, re-ran "
-                          "the full-width masked matcher", file=sys.stderr)
-                    return mmatch(l, r)
-                return buf, counts
+            match = _OverflowGuard(
+                lambda: build_sparsematch_masked(fmask, settings),
+                "masked-compact overflow: dense frame, re-ran the "
+                "full-width masked matcher").wrap(cmatch)
         elif masked_form:
             from opengpc_tpu.infer import (build_sparsematch_masked,
                                            masked_supports_to_numpy)
@@ -554,26 +572,14 @@ def _run_sequence(args, forest, settings) -> int:
               f"{probe.shape}", file=sys.stderr)
         return 1
     contract = args.contract
+    right0 = None  # decoded by the density probe; reused for pair 0 below
     if contract == "auto" and eligible:
-        # density-adaptive auto (r4): probe frame 0's candidate density
-        # (one tiny jit program — eager ops would each compile remotely
-        # through a relay) and ride the chunk-compacted masked contract on
-        # sparse sequences (+27% device throughput at ~15% density,
-        # experiments/exp_lowdens.py).  The threshold is conservative vs
-        # the K/S=0.5 chunk capacity; a misprediction is still exact — any
-        # dense dispatch trips the overflow flag and re-runs full-width.
-        import jax
-        import jax.numpy as jnp
-
-        from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
-
-        gt = settings.gradient_threshold
-        dens = float(np.asarray(jax.jit(
-            lambda a, b: jnp.maximum(
-                candidate_mask(sobel3(a, gt)).mean(),
-                candidate_mask(sobel3(b, gt)).mean()))(
-            probe, read_gray(rights[0]))))
-        if dens <= 0.30:
+        # density-adaptive auto (r4): probe frame 0's candidate density and
+        # ride the chunk-compacted masked contract on sparse sequences
+        # (+27% device throughput at ~15% density, exp_lowdens.py)
+        right0 = read_gray(rights[0])
+        dens = _probe_density(settings, probe, right0)
+        if dens <= _AUTO_COMPACT_DENSITY:
             contract = "masked-compact"
             print(f"auto contract: candidate density {dens:.2f} — riding "
                   "the chunk-compacted masked contract (overflow-guarded)",
@@ -582,13 +588,17 @@ def _run_sequence(args, forest, settings) -> int:
     masked_form = eligible and contract == "masked"
     row_form = eligible and not (masked_form or compact_form)
     global_rows = False
-    mmatch_fb = None  # lazy full-width masked fallback for overflows
+    ovf_guard = None  # lazy full-width masked fallback for overflows
     if compact_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        build_sparsematch_masked_compact,
                                        masked_supports_to_numpy)
 
         match = build_sparsematch_masked_compact(fmask, settings)
+        ovf_guard = _OverflowGuard(
+            lambda: build_sparsematch_masked(fmask, settings),
+            "masked-compact overflow: re-ran the full-width masked "
+            "matcher")
     elif masked_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        masked_supports_to_numpy)
@@ -651,15 +661,10 @@ def _run_sequence(args, forest, settings) -> int:
             # trips the ORed flag and re-runs the whole dispatch through
             # the full-width masked matcher (exact either way); jax
             # dispatch from the assembly thread is safe
-            nonlocal mmatch_fb
             if bool(np.asarray(out[2])):
-                if mmatch_fb is None:
-                    from opengpc_tpu.infer import build_sparsematch_masked
-                    mmatch_fb = build_sparsematch_masked(fmask, settings)
-                print(f"masked-compact overflow in frames {i0}..{i0+k-1}: "
-                      "re-ran the full-width masked matcher",
+                print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
                       file=sys.stderr)
-                out = mmatch_fb(*frames)
+                out = ovf_guard.fallback()(*frames)
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
                 write_frame(i0 + j, masked_supports_to_numpy(
@@ -730,7 +735,7 @@ def _run_sequence(args, forest, settings) -> int:
     # sat in series with ~0.5 ms of device work (VERDICT r3 weak #3);
     # measured before/after in the README sequence-throughput note.
     import collections
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import Future, ThreadPoolExecutor
 
     ex = ThreadPoolExecutor(max_workers=1)
     futures = collections.deque()
@@ -747,9 +752,18 @@ def _run_sequence(args, forest, settings) -> int:
     PREFETCH = max(0, int(os.environ.get("OGPC_SEQ_PREFETCH", "4")))
     rd = ThreadPoolExecutor(max_workers=2)
     pairs = list(zip(lefts, rights))
-    reads = collections.deque(
+    reads = collections.deque()
+    start = 0
+    if PREFETCH and right0 is not None:
+        # the density probe already decoded pair 0 — hand it to the
+        # pipeline instead of re-decoding ~2x15 ms synchronously
+        f0 = Future()
+        f0.set_result((probe, right0))
+        reads.append(f0)
+        start = 1
+    reads.extend(
         rd.submit(lambda l, r: (read_gray(l), read_gray(r)), lp, rp)
-        for lp, rp in pairs[:PREFETCH]
+        for lp, rp in pairs[start:PREFETCH]
     )
 
     group = []
@@ -769,6 +783,8 @@ def _run_sequence(args, forest, settings) -> int:
                     reads.append(rd.submit(
                         lambda l, r: (read_gray(l), read_gray(r)),
                         *pairs[i + PREFETCH]))
+            elif i == 0 and right0 is not None:
+                left, right = probe, right0
             else:
                 left = read_gray(pairs[i][0])
                 right = read_gray(pairs[i][1])

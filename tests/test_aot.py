@@ -235,3 +235,36 @@ def test_export_sharded_frame_round_trip(forest):
     small = Mesh(devs, ("data",))
     with pytest.raises(ValueError, match="8 devices"):
         load_sharded_frame(blob, small)
+
+
+def test_sharded_artifact_container_round_trip(forest, tmp_path):
+    """A sharded-frame blob saved with extra={"n_devices": N} must serve
+    through the generic container API: load_artifact routes it to
+    load_sharded_frame (r4 review finding — it used to route every blob
+    single-device, making the documented pod-scale container unservable)."""
+    from opengpc_tpu.aot import (decode_outputs, export_sharded_frame,
+                                 load_artifact, save_artifact)
+    from opengpc_tpu.infer import build_sparsematch_masked
+    from opengpc_tpu.parallel import make_mesh
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    settings = _settings()
+    h, w = 128, 96
+    left, right = make_sparse_pair(h, w, 3, density=0.15)
+    mesh = make_mesh()
+    path = str(tmp_path / "pod.ogpcx")
+    blob = export_sharded_frame(forest, settings, (h, w), mesh,
+                                contract="masked", use_pallas=False)
+    save_artifact(path, blob, contract="masked", settings=settings,
+                  shape=(h, w), extra={"n_devices": mesh.devices.size})
+    call, meta = load_artifact(path)
+    assert meta["n_devices"] == mesh.devices.size
+    got = decode_outputs(meta, call(left, right))
+    want_buf, want_counts = build_sparsematch_masked(
+        forest, settings, use_pallas=False)(left, right)
+    from opengpc_tpu.infer import masked_supports_to_numpy
+
+    want = masked_supports_to_numpy(want_buf, want_counts,
+                                    settings.disp_high)
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+    assert len(got) > 20
