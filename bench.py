@@ -358,6 +358,40 @@ def main():
          "Mpix/s", "global (non-epipolar) mode, segmented row-form "
          "contract, oracle-gated")
 
+    # chunk-compacted GLOBAL contract on the low-density scene (r4,
+    # experiments/exp_global_compact.py: +91% — the flat uniqueness sort
+    # runs on 2HW*(K/S) elements): gate on no-overflow + set equality
+    # with the full global contract
+    from opengpc_tpu.infer import (_sparsematch_global_compact_impl,
+                                   global_row_supports_to_numpy)
+
+    gcfn = jax.jit(lambda l, r: _sparsematch_global_compact_impl(
+        l, r, mask=mask, settings=gsettings, use_pallas=use_pallas,
+        chunk=512, k=128))
+    (gcx, gcy, gcd), gcc, gcovf = gcfn(sl, sr)
+    assert not bool(np.asarray(gcovf)), \
+        "low-density scene tripped the global-compact overflow"
+    (gsx, gsy, gsd), gsc = grows_fn(sl, sr)
+    gsup_sparse = global_row_supports_to_numpy(gsx, gsy, gsd, gsc)
+    gcdec = global_row_supports_to_numpy(gcx, gcy, gcd, gcc)
+    assert set(map(tuple, gcdec.tolist())) == set(map(
+        tuple, gsup_sparse.tolist())), "global-compact set != global set"
+
+    def gcstep(a, b):
+        (xs, ys, ds), counts, ovf = _sparsematch_global_compact_impl(
+            a, b, mask=mask, settings=gsettings, use_pallas=use_pallas,
+            chunk=512, k=128)
+        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                + ds.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+                + ovf.astype(jnp.int32))
+
+    gcbest = device_time_per_iter(gcstep, (sl, sr), rdep, N_SHORT, N_LONG,
+                                  repeats=5)
+    _aux("lowdensity_global_compact_throughput",
+         2 * H * W / 1e6 / _nonzero(gcbest), "Mpix/s",
+         "chunk-compacted global contract (strided S=512 K=128) on the "
+         "low-density scene — overflow-guarded, set-equality gated")
+
     # ------------------------------------------------------------------
     # config 2: defaultTauForest (sequence stands on per-pair throughput;
     # frames stream through the same compiled program)

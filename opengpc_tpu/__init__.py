@@ -37,6 +37,7 @@ from opengpc_tpu.config import (
 )
 from opengpc_tpu.infer import (
     build_sparsematch,
+    build_sparsematch_global_compact,
     build_sparsematch_global_rows,
     build_sparsematch_masked,
     build_sparsematch_masked_compact,

@@ -34,7 +34,8 @@ import numpy as np
 from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import Forest, make_filter_mask
 
-CONTRACTS = ("flat", "rows", "masked", "masked-compact", "global-rows")
+CONTRACTS = ("flat", "rows", "masked", "masked-compact", "global-rows",
+             "global-compact")
 
 _MAGIC = b"OGPCAOT1"
 
@@ -49,6 +50,7 @@ def _impl_for(contract: str, mask, settings: InferenceSettings,
     """Resolve the jit-able impl for ``contract``, validating eligibility
     for ``shape`` the same way the build_* constructors do."""
     from opengpc_tpu.infer import (_global_rows_ok, _rows_ok,
+                                   _sparsematch_global_compact_impl,
                                    _sparsematch_global_rows_impl,
                                    _sparsematch_impl,
                                    _sparsematch_masked_compact_impl,
@@ -61,13 +63,18 @@ def _impl_for(contract: str, mask, settings: InferenceSettings,
     if contract == "flat":
         return functools.partial(_sparsematch_impl, mask=mask,
                                  settings=settings, use_pallas=use_pallas)
-    if contract == "global-rows":
+    if contract in ("global-rows", "global-compact"):
         if settings.epipolar_mode:
-            raise ValueError("contract 'global-rows' needs "
+            raise ValueError(f"contract {contract!r} needs "
                              "epipolar_mode=False")
         if not _global_rows_ok(mask, shape, settings):
-            raise ValueError(f"contract 'global-rows' has no packable key "
+            raise ValueError(f"contract {contract!r} has no packable key "
                              f"for shape {shape}")
+        if contract == "global-compact":
+            return functools.partial(_sparsematch_global_compact_impl,
+                                     mask=mask, settings=settings,
+                                     use_pallas=use_pallas, chunk=None,
+                                     k=None)
         return functools.partial(_sparsematch_global_rows_impl, mask=mask,
                                  settings=settings, use_pallas=use_pallas)
     if not _rows_ok(mask, shape, settings):
@@ -265,5 +272,13 @@ def decode_outputs(meta: dict, out) -> np.ndarray:
         return masked_supports_to_numpy(buf, counts, meta["disp_high"])
     if contract == "global-rows":
         (xs, ys, ds), counts = out
+        return global_row_supports_to_numpy(xs, ys, ds, counts)
+    if contract == "global-compact":
+        (xs, ys, ds), counts, ovf = out
+        if bool(np.asarray(ovf)):
+            raise OverflowError(
+                "global-compact chunk overflow: frame too dense for this "
+                "artifact — serve a full-width 'global-rows' artifact for "
+                "it")
         return global_row_supports_to_numpy(xs, ys, ds, counts)
     raise ValueError(f"unknown contract {contract!r} in artifact metadata")

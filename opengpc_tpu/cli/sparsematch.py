@@ -135,20 +135,23 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--contract",
-        choices=("auto", "flat", "rows", "masked", "masked-compact"),
+        choices=("auto", "flat", "rows", "masked", "masked-compact",
+                 "global-compact"),
         default="auto",
         help="output contract for the on-device matcher: auto (default; "
-        "row-form when eligible, and — in both single-pair and sequence "
-        "mode — a candidate-density probe rides masked-compact on sparse "
-        "frames), flat "
+        "row-form / segmented-global when eligible, and — in both "
+        "single-pair and sequence mode — a candidate-density probe rides "
+        "the chunk-compacted contracts on sparse frames), flat "
         "fixed-capacity buffers, row-form per-row packed buffers, the "
         "masked sorted-order buffer (peak device throughput; decode moves "
-        "to the consumer), or masked-compact (chunk-compacted masked — "
-        "~27%% faster on low-candidate-density frames, with an automatic "
-        "full-width fallback when the overflow guard trips).  Identical "
-        "support sets; the fast contracts are epipolar-only; sequence "
-        "mode supports auto/rows/masked/masked-compact; --pyramid "
-        "supports auto/masked-compact",
+        "to the consumer), masked-compact (chunk-compacted masked — "
+        "~27%% faster on low-candidate-density frames), or global-compact "
+        "(chunk-compacted global mode, ~91%% faster on low-density "
+        "frames; needs --global-mode).  The compacted contracts re-run "
+        "full-width automatically when the overflow guard trips.  "
+        "Identical support sets; rows/masked/masked-compact are "
+        "epipolar-only; sequence mode supports everything but flat; "
+        "--pyramid supports auto/masked-compact",
     )
     p.add_argument(
         "--shard-frame", type=int, default=0, metavar="N",
@@ -189,14 +192,11 @@ def main(argv=None) -> int:
                   "(sequence mode scales over the batch axis instead: "
                   "parallel.build_batched_sparsematch_*)", file=sys.stderr)
             return 1
-        if args.contract not in ("auto", "rows", "masked", "masked-compact"):
-            print(f"--contract {args.contract} is not supported in "
-                  "sequence (directory) mode — it rides the row-form "
-                  "contract by default (auto/rows; explicit 'masked'/"
-                  "'masked-compact' select the masked sorted-order / "
-                  "chunk-compacted contracts), falling back to flat per "
-                  "frame only in auto mode",
-                  file=sys.stderr)
+        if args.contract == "flat":
+            print("--contract flat is not supported in sequence "
+                  "(directory) mode — auto falls back to the flat "
+                  "pipeline per frame only when no fast contract is "
+                  "eligible", file=sys.stderr)
             return 1
         return _run_sequence(args, forest, settings)
     if args.batch is not None and args.batch > 1:
@@ -256,7 +256,8 @@ def main(argv=None) -> int:
             ("--pyramid", args.pyramid > 1),
             ("--global-mode", args.global_mode),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
-            ("--contract flat", args.contract == "flat"),
+            (f"--contract {args.contract}",
+             args.contract in ("flat", "global-compact")),
         ) if on]
         if bad:
             print(f"--shard-frame does not support: {', '.join(bad)}",
@@ -340,23 +341,33 @@ def main(argv=None) -> int:
 
         fmask = make_filter_mask(forest)
         eligible = _rows_ok(fmask, left.shape, settings)
+        geligible = (not settings.epipolar_mode
+                     and _global_rows_ok(fmask, left.shape, settings))
         if args.contract in ("rows", "masked", "masked-compact") \
                 and not eligible:
             print(f"--contract {args.contract} needs epipolar mode, a "
                   "<=30-test forest and packable (x, d) keys for this "
                   "image size", file=sys.stderr)
             return 1
+        if args.contract == "global-compact" and not geligible:
+            print("--contract global-compact needs --global-mode, a "
+                  "<=30-test forest and packable (y, x, d) keys for this "
+                  "image size", file=sys.stderr)
+            return 1
         contract = args.contract
-        if contract == "auto" and eligible:
+        if contract == "auto" and (eligible or geligible):
             # density-adaptive auto, same probe as sequence mode: sparse
-            # frames ride the chunk-compacted masked contract (+27% device
-            # throughput at ~15% density); the overflow guard re-runs a
-            # dense misprediction full-width, so this is exact either way
+            # frames ride the chunk-compacted contracts (+27% epipolar /
+            # +91% global device throughput at ~15% density); the overflow
+            # guard re-runs a dense misprediction full-width, so this is
+            # exact either way
             dens = _probe_density(settings, left, right)
             if dens <= _AUTO_COMPACT_DENSITY:
-                contract = "masked-compact"
+                contract = ("masked-compact" if eligible
+                            else "global-compact")
                 print(f"auto contract: candidate density {dens:.2f} — "
-                      "riding the chunk-compacted masked contract "
+                      f"riding the chunk-compacted "
+                      f"{'masked' if eligible else 'global'} contract "
                       "(overflow-guarded)", file=sys.stderr)
         masked_form = eligible and contract in ("masked",
                                                 "masked-compact")
@@ -381,8 +392,18 @@ def main(argv=None) -> int:
                                            row_supports_to_numpy)
 
             match = build_sparsematch_rows(fmask, settings)
-        elif (args.contract == "auto" and not settings.epipolar_mode
-              and _global_rows_ok(fmask, left.shape, settings)):
+        elif geligible and contract == "global-compact":
+            from opengpc_tpu.infer import (build_sparsematch_global_compact,
+                                           build_sparsematch_global_rows,
+                                           global_row_supports_to_numpy)
+
+            global_rows = True
+            gmatch = build_sparsematch_global_compact(fmask, settings)
+            match = _OverflowGuard(
+                lambda: build_sparsematch_global_rows(fmask, settings),
+                "global-compact overflow: dense frame, re-ran the "
+                "full-width global matcher").wrap(gmatch)
+        elif geligible and args.contract == "auto":
             from opengpc_tpu.infer import (build_sparsematch_global_rows,
                                            global_row_supports_to_numpy)
 
@@ -564,6 +585,10 @@ def _run_sequence(args, forest, settings) -> int:
     probe = read_gray(lefts[0])
     fmask = make_filter_mask(forest)
     eligible = _rows_ok(fmask, probe.shape, settings)
+    from opengpc_tpu.infer import _global_rows_ok
+
+    geligible = (not settings.epipolar_mode
+                 and _global_rows_ok(fmask, probe.shape, settings))
     if args.contract in ("rows", "masked", "masked-compact") and not eligible:
         # honor an explicit contract choice instead of silently riding the
         # flat fallback (auto mode still falls back per frame)
@@ -571,24 +596,31 @@ def _run_sequence(args, forest, settings) -> int:
               f"forest and packable (x, d) keys for frame shape "
               f"{probe.shape}", file=sys.stderr)
         return 1
+    if args.contract == "global-compact" and not geligible:
+        print("--contract global-compact needs --global-mode, a <=30-test "
+              "forest and packable (y, x, d) keys for frame shape "
+              f"{probe.shape}", file=sys.stderr)
+        return 1
     contract = args.contract
     right0 = None  # decoded by the density probe; reused for pair 0 below
-    if contract == "auto" and eligible:
+    if contract == "auto" and (eligible or geligible):
         # density-adaptive auto (r4): probe frame 0's candidate density and
-        # ride the chunk-compacted masked contract on sparse sequences
-        # (+27% device throughput at ~15% density, exp_lowdens.py)
+        # ride the chunk-compacted contracts on sparse sequences (+27%
+        # epipolar / +91% global device throughput at ~15% density,
+        # exp_lowdens.py / exp_global_compact.py)
         right0 = read_gray(rights[0])
         dens = _probe_density(settings, probe, right0)
         if dens <= _AUTO_COMPACT_DENSITY:
-            contract = "masked-compact"
+            contract = "masked-compact" if eligible else "global-compact"
             print(f"auto contract: candidate density {dens:.2f} — riding "
-                  "the chunk-compacted masked contract (overflow-guarded)",
-                  file=sys.stderr)
+                  f"the chunk-compacted {'masked' if eligible else 'global'}"
+                  " contract (overflow-guarded)", file=sys.stderr)
     compact_form = eligible and contract == "masked-compact"
     masked_form = eligible and contract == "masked"
     row_form = eligible and not (masked_form or compact_form)
+    gcompact_form = geligible and contract == "global-compact"
     global_rows = False
-    ovf_guard = None  # lazy full-width masked fallback for overflows
+    ovf_guard = None  # lazy full-width fallback for compact overflows
     if compact_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        build_sparsematch_masked_compact,
@@ -609,28 +641,37 @@ def _run_sequence(args, forest, settings) -> int:
                                        row_supports_to_numpy)
 
         match = build_sparsematch_rows(fmask, settings)
+    elif gcompact_form:
+        from opengpc_tpu.infer import (build_sparsematch_global_compact,
+                                       build_sparsematch_global_rows,
+                                       global_row_supports_to_numpy)
+
+        match = build_sparsematch_global_compact(fmask, settings)
+        ovf_guard = _OverflowGuard(
+            lambda: build_sparsematch_global_rows(fmask, settings),
+            "global-compact overflow: re-ran the full-width global "
+            "matcher")
+    elif geligible:
+        # --global-mode sequences ride the segmented global contract
+        # (same auto selection as the single-pair path)
+        from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                       global_row_supports_to_numpy)
+
+        global_rows = True
+        match = build_sparsematch_global_rows(fmask, settings)
     else:
-        from opengpc_tpu.infer import _global_rows_ok
-
-        if (not settings.epipolar_mode
-                and _global_rows_ok(fmask, probe.shape, settings)):
-            # --global-mode sequences ride the segmented global contract
-            # (same auto selection as the single-pair path)
-            from opengpc_tpu.infer import (build_sparsematch_global_rows,
-                                           global_row_supports_to_numpy)
-
-            global_rows = True
-            match = build_sparsematch_global_rows(fmask, settings)
-        else:
-            match = build_sparsematch(fmask, settings)
+        match = build_sparsematch(fmask, settings)
     out_dir = os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
     total_matches = 0
-    fast = row_form or masked_form or compact_form or global_rows
+    fast = (row_form or masked_form or compact_form or gcompact_form
+            or global_rows)
     mode = ("masked-compact" if compact_form
             else "masked" if masked_form else "rows" if row_form
+            else "global-compact" if gcompact_form
             else "global_rows" if global_rows else "flat")
+    needs_frames = compact_form or gcompact_form  # overflow re-run inputs
     flat_match = match if mode == "flat" else None
     # default: stack 4 frames per dispatch on the fast contracts (folded
     # batches are exact; 4x fewer dispatch roundtrips — the README A/B);
@@ -670,8 +711,14 @@ def _run_sequence(args, forest, settings) -> int:
                 write_frame(i0 + j, masked_supports_to_numpy(
                     mbuf[j] if k > 1 else mbuf,
                     mcounts[j] if k > 1 else mcounts, settings.disp_high))
-        elif dmode == "global_rows":
-            (gxs, gys, gds), gcounts = out
+        elif dmode in ("global_rows", "global-compact"):
+            if dmode == "global-compact" and bool(np.asarray(out[2]).any()):
+                # any frame of the dispatch (lax.map gives per-pair flags)
+                # overflowed: re-run the whole dispatch full-width
+                print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
+                      file=sys.stderr)
+                out = ovf_guard.fallback()(*frames)
+            (gxs, gys, gds), gcounts = out[0], out[1]
             gxs, gys, gds = np.asarray(gxs), np.asarray(gys), np.asarray(gds)
             gcounts = np.asarray(gcounts)
             for j in range(k):
@@ -709,11 +756,11 @@ def _run_sequence(args, forest, settings) -> int:
         if len(group) == 1:  # --batch 1: plain 2-D single-frame dispatch
             l, r = group[0][1], group[0][2]
             return (i0, mode, match(l, r), 1,
-                    (l, r) if compact_form else None)
+                    (l, r) if needs_frames else None)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
         return (i0, mode, match(lb, rb), len(group),
-                (lb, rb) if compact_form else None)
+                (lb, rb) if needs_frames else None)
 
     def flush_group(group):
         """Dispatch a partial (flushed or leftover) group as SINGLE frames:
@@ -723,7 +770,7 @@ def _run_sequence(args, forest, settings) -> int:
         every partial group."""
         for i, l, r in group:
             submit((i, mode, match(l, r), 1,
-                    (l, r) if compact_form else None))
+                    (l, r) if needs_frames else None))
 
     # software pipeline: jax dispatch is async, assembly (device->host
     # fetch + supports write — numpy and the native writer both release
@@ -808,7 +855,7 @@ def _run_sequence(args, forest, settings) -> int:
                     # for (r4 review finding)
                     if _rows_ok(fmask, left.shape, settings):
                         submit((i, mode, match(left, right), 1,
-                                (left, right) if compact_form else None))
+                                (left, right) if needs_frames else None))
                         continue
                     print(
                         f"--contract {args.contract}: frame {i} shape "

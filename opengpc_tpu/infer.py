@@ -619,6 +619,68 @@ def build_sparsematch_global_rows(
     return run
 
 
+def _sparsematch_global_compact_impl(left, right, mask: FilterMask,
+                                     settings: InferenceSettings,
+                                     use_pallas: bool, chunk: int, k: int):
+    """Chunk-compacted global pipeline: ((xs, ys, ds), counts, overflow)
+    — see match.match_global_rows_compact."""
+    from opengpc_tpu.match import match_global_rows_compact
+
+    if settings.epipolar_mode:
+        raise ValueError("global compact output is for global mode; use "
+                         "build_sparsematch_masked_compact for epipolar")
+    if not _global_rows_ok(mask, left.shape, settings):
+        raise ValueError(
+            "global compact needs <=30-test forests and packable (y, x, d) "
+            "keys; use build_sparsematch"
+        )
+    key, m = _interior_rows(_key_image(left, right, mask, settings,
+                                       use_pallas))
+    return match_global_rows_compact(
+        key, left.shape[1], settings.disp_high,
+        settings.vertical_tolerance, chunk=chunk, k=k, y_offset=m)
+
+
+def build_sparsematch_global_compact(
+    forest_or_mask, settings: InferenceSettings,
+    use_pallas: Optional[bool] = None, chunk: Optional[int] = None,
+    k: Optional[int] = None,
+) -> Callable:
+    """Jitted ``(left, right) -> ((xs, ys, ds), counts, overflow)``
+    LOW-DENSITY global matcher: strided chunked pre-compaction shrinks the
+    flat global uniqueness sort from 2HW to 2HW*(K/S) elements — +91% at
+    15% candidate density (0.587 vs 1.119 ms Sintel-sized, adopted r4 from
+    experiments/exp_global_compact.py).  EXACT same support set as
+    build_sparsematch_global_rows whenever ``overflow`` is False; when
+    True (a chunk exceeded ``k`` candidates — dense frames) the result is
+    incomplete and the caller must re-run the full-width global matcher.
+    Segments are narrower but decode with
+    :func:`global_row_supports_to_numpy` unchanged.  Batched via lax.map
+    (per-pair overflow flags; the vmap'd batched global sort is a measured
+    dead end, experiments/exp_global_batch.py).  ``chunk``/``k`` default
+    by row width (match.global_compact_chunks): K/S=1/4 on wide rows,
+    the masked-compact K/S=1/2 rule on narrow ones."""
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = functools.partial(
+        _sparsematch_global_compact_impl, mask=mask, settings=settings,
+        use_pallas=use_pallas, chunk=chunk, k=k,
+    )
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim == 3:
+            return jax.lax.map(lambda ab: fn(*ab), (left, right))
+        return fn(left, right)
+
+    return run
+
+
 def global_row_supports_to_numpy(xs, ys, ds, counts) -> np.ndarray:
     """Assemble global segmented row-form outputs into an (n, 3) int
     (x, y, d) array — same support set as the flat global pipeline, in

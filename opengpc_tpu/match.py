@@ -555,9 +555,21 @@ def match_global_rows(
     """
     h, w2 = key_img.shape
     assert w2 == 2 * w
-    n = h * w2
-    key = key_img.reshape(-1)
-    pos = jnp.arange(n, dtype=jnp.int32)
+    return _global_rows_core(key_img.reshape(-1),
+                             jnp.arange(h * w2, dtype=jnp.int32), w, w2, h,
+                             disp_high, vertical_tolerance, num_rows,
+                             y_offset)
+
+
+def _global_rows_core(key, pos, w, w2, h, disp_high, vertical_tolerance,
+                      num_rows, y_offset):
+    """Shared core of the segmented global contracts: ONE flat 2-operand
+    sort of (key, pos) finds the globally-unique collisions, then a cheap
+    segmented row sort packs the (R, C) output.  ``pos`` values decode as
+    (row, col) of the original (h, w2) key image via divmod(w2); entries
+    whose keys are globally unique (pads, sentinels) are never emitted, so
+    their pos may be arbitrary."""
+    n = key.shape[0]
     key_s, pos_s = jax.lax.sort((key, pos), dimension=0, num_keys=1,
                                 is_stable=False)
     eq = key_s[:-1] == key_s[1:]
@@ -615,6 +627,85 @@ def match_global_rows(
     xs = jnp.where(slot_ok, (pk_s >> bd) & ((1 << bx) - 1), 0)
     ys = jnp.where(slot_ok, pk_s >> (bd + bx), 0)
     return (xs, ys, ds), counts
+
+
+def global_compact_chunks(w2: int):
+    """Default (chunk, k) for the chunk-compacted global contract.  Wide
+    rows (w2 >= 2048) take the deep K/S=1/4 ratio measured best on the
+    Sintel-sized sweep (S=512/K=128, experiments/exp_global_compact.py);
+    narrower rows keep K/S=1/2 (the masked-compact rule, effective
+    per-row capacity W) because the strided chunk count collapses at
+    small widths and a 1/4 capacity then overflows on ordinary
+    patch-textured rows."""
+    return (512, 128) if w2 >= 2048 else (128, 64)
+
+
+def match_global_rows_compact(key_img: jnp.ndarray, w: int, disp_high: int,
+                              vertical_tolerance: int, chunk: int = None,
+                              k: int = None, num_rows: int = 0,
+                              y_offset: int = 0):
+    """Low-density fast path of the global contract: STRIDED chunked
+    pre-compaction shrinks the flat global sort — match_global_rows' cost
+    is ONE density-independent sort over all 2HW elements, and at
+    realistic candidate density most of that input is never-colliding
+    sentinels (experiments/exp_global_compact.py: 0.587 vs 1.119 ms at 15%
+    density on the Sintel-sized scene, 1521 vs 798 Mpix/s, +91% — adopted
+    r4; S=512/K=128 measured best of the sweep, and larger chunks tolerate
+    more local clustering than the masked contract's S=128).
+
+    Each (2W) key row splits into nc strided chunks (chunk c holds
+    positions {p : p % nc == c}); each chunk is sorted (valid codes <
+    SENTINEL_BASE sort left) and its first ``k`` columns survive, so the
+    flat uniqueness sort runs on H*nc*k = 2HW*(K/S) elements.  Exactness
+    (overflow False):
+
+    - every VALID candidate survives (the guard asserts no chunk holds
+      more than ``k``), so the multiset of valid codes — the global
+      uniqueness domain (inference.hpp:227-254) — is unchanged;
+    - dropped elements are all sentinels.  Dropping sentinels can change
+      equal-sentinel run LENGTHS (a column with three invalid pixels can
+      drop to two, forming a new "pair"), but equal sentinels are always
+      same-image same-column (src sentinels are SENTINEL_BASE + [0, W),
+      tar + [W, 2W)), so the cross check rejects every such pair — the
+      same argument match_global_rows already relies on.
+
+    If ``overflow`` is True the caller MUST re-run match_global_rows.
+    Returns ``((xs, ys, ds), counts, overflow)``; segment geometry is
+    (R, C') with C' = ceil(H*nc*k / R) — decode with
+    infer.global_row_supports_to_numpy exactly like the full contract.
+    """
+    h, w2 = key_img.shape
+    assert w2 == 2 * w
+    if chunk is None or k is None:
+        dchunk, dk = global_compact_chunks(w2)
+        chunk = dchunk if chunk is None else chunk
+        k = dk if k is None else k
+    assert k <= chunk, (k, chunk)
+    pos = (jnp.arange(h, dtype=jnp.int32)[:, None] * w2
+           + jnp.arange(w2, dtype=jnp.int32)[None, :])
+    if w2 % chunk:
+        # pad to a chunk multiple with GLOBALLY unique keys above every
+        # real sentinel (real sentinels are SENTINEL_BASE + [0, 2W)), so
+        # pads can never form an equal run; their pos is never emitted
+        padn = chunk - w2 % chunk
+        pad_k = (SENTINEL_BASE + w2
+                 + jnp.arange(h, dtype=jnp.int32)[:, None] * padn
+                 + jnp.arange(padn, dtype=jnp.int32)[None, :])
+        key_img = jnp.concatenate([key_img, pad_k], axis=1)
+        pos = jnp.concatenate(
+            [pos, jnp.full((h, padn), h * w2, dtype=jnp.int32)], axis=1)
+    w2p = key_img.shape[1]
+    nc = w2p // chunk
+    kc = key_img.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
+        h * nc, chunk)
+    pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
+    vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
+    overflow = jnp.any(vc > k)
+    ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1, is_stable=False)
+    out = _global_rows_core(ks[:, :k].reshape(-1), ps[:, :k].reshape(-1),
+                            w, w2, h, disp_high, vertical_tolerance,
+                            num_rows, y_offset)
+    return out + (overflow,)
 
 
 def match_reference_quirk(

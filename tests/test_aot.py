@@ -71,19 +71,22 @@ def test_export_round_trip_equals_builder(forest, contract):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
 
 
-def test_export_global_rows_round_trip(forest):
+@pytest.mark.parametrize("contract", ["global-rows", "global-compact"])
+def test_export_global_round_trip(forest, contract):
     from opengpc_tpu.aot import export_sparsematch, load_sparsematch
-    from opengpc_tpu.infer import build_sparsematch_global_rows
+    from opengpc_tpu.infer import (build_sparsematch_global_compact,
+                                   build_sparsematch_global_rows)
     import jax
 
     settings = _settings(epipolar=False)
     h, w = 96, 144
     left, right = make_pair(h, w, 4, seed=12)
     blob = export_sparsematch(forest, settings, (h, w),
-                              contract="global-rows", use_pallas=False)
+                              contract=contract, use_pallas=False)
     got = load_sparsematch(blob)(left, right)
-    want = build_sparsematch_global_rows(forest, settings,
-                                         use_pallas=False)(left, right)
+    builder = {"global-rows": build_sparsematch_global_rows,
+               "global-compact": build_sparsematch_global_compact}[contract]
+    want = builder(forest, settings, use_pallas=False)(left, right)
     for g, x in zip(jax.tree.flatten(got)[0], jax.tree.flatten(want)[0]):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
 

@@ -723,6 +723,54 @@ def test_masked_compact_contract():
     assert bool(np.asarray(ovf))
 
 
+def test_global_compact_contract():
+    """Chunk-compacted GLOBAL contract (r4): exact set equality with the
+    flat global pipeline on a low-density scene (incl. an odd width that
+    exercises the chunk padding and the batched lax.map path with
+    per-pair overflow flags), and a trustworthy overflow flag on a dense
+    scene."""
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   build_sparsematch_global_compact,
+                                   global_row_supports_to_numpy)
+    from opengpc_tpu.utils.scenes import make_pair, make_sparse_pair
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=False,
+                                 capacity=1 << 16)
+    flat = build_sparsematch(forest, settings, use_pallas=False)
+    dl, dr = make_pair(160, 256, 8, seed=7)
+
+    for h, w in ((160, 256), (150, 250)):  # 2W=500: not a chunk multiple
+        l, r = make_sparse_pair(h, w, 8, density=0.15, seed=h)
+        compact = build_sparsematch_global_compact(
+            forest, settings, use_pallas=False, chunk=128, k=64)
+        (xs, ys, ds), counts, ovf = compact(l, r)
+        assert not bool(np.asarray(ovf)), (h, w)
+        got = global_row_supports_to_numpy(xs, ys, ds, counts)
+        want = supports_to_numpy(*flat(l, r))
+        assert len(want) > 200
+        assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+        if (h, w) == (160, 256):
+            # mixed batch through lax.map: per-pair overflow flags — the
+            # sparse pair stays exact, the dense pair flags truthfully
+            lb, rb = np.stack([l, dl]), np.stack([r, dr])
+            (bxs, bys, bds), bcounts, bovf = compact(lb, rb)
+            bovf = np.asarray(bovf)
+            assert not bool(bovf[0]) and bool(bovf[1])
+            g0 = global_row_supports_to_numpy(
+                np.asarray(bxs)[0], np.asarray(bys)[0], np.asarray(bds)[0],
+                np.asarray(bcounts)[0])
+            assert set(map(tuple, g0.tolist())) == set(map(tuple,
+                                                           want.tolist()))
+
+    # dense scene trips the overflow guard instead of dropping supports
+    compact = build_sparsematch_global_compact(
+        forest, settings, use_pallas=False, chunk=128, k=64)
+    _, _, ovf = compact(dl, dr)
+    assert bool(np.asarray(ovf))
+
+
 def test_cli_masked_compact_contract(tmp_path):
     """--contract masked-compact: same supports as the default run on a
     sparse frame, and the dense-frame overflow fallback also matches."""
@@ -760,6 +808,105 @@ def test_cli_masked_compact_contract(tmp_path):
         b = read_supports(str(tmp_path / f"{name}_b.txt"))
         assert len(a) > 100, name
         assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist())), name
+
+
+def test_cli_global_compact_contract(tmp_path):
+    """--contract global-compact (r4): same supports as the plain
+    --global-mode run on a sparse frame (where auto also density-selects
+    it), and the dense-frame overflow fallback matches too; without
+    --global-mode the explicit contract errors out."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = os.path.join(repo, "forests", "defaultZeroForest.txt")
+    import contextlib
+    import io
+
+    for name, (l, r) in (
+            ("sparse", make_sparse_pair(160, 256, 8, density=0.15)),
+            ("dense", make_pair(160, 256, 8, seed=3))):
+        lp = str(tmp_path / f"{name}_l.png")
+        rp = str(tmp_path / f"{name}_r.png")
+        write_png(lp, l)
+        write_png(rp, r)
+        base = [forest, lp, rp, "--disp-high", "32", "--global-mode",
+                "--out", str(tmp_path / "d.png")]
+        # baseline: explicit full-width segmented global (auto would
+        # density-select global-compact on the sparse frame)
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            assert cli_main(base + ["--supports-out",
+                                    str(tmp_path / f"{name}_a.txt")]) == 0
+        if name == "sparse":
+            # auto's probe must have selected the compacted contract
+            assert "chunk-compacted global contract" in err.getvalue()
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            assert cli_main(base + ["--contract", "global-compact",
+                                    "--supports-out",
+                                    str(tmp_path / f"{name}_b.txt")]) == 0
+        # the dense frame MUST trip the overflow guard and take the
+        # full-width fallback; the sparse frame must not
+        assert ("global-compact overflow" in err.getvalue()) == (
+            name == "dense"), (name, err.getvalue())
+        a = read_supports(str(tmp_path / f"{name}_a.txt"))
+        b = read_supports(str(tmp_path / f"{name}_b.txt"))
+        assert len(a) > 100, name
+        assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist())), name
+
+    # explicit global-compact without --global-mode is an error
+    assert cli_main([forest, str(tmp_path / "sparse_l.png"),
+                     str(tmp_path / "sparse_r.png"), "--disp-high", "32",
+                     "--contract", "global-compact",
+                     "--out", str(tmp_path / "d.png")]) == 1
+
+
+def test_cli_sequence_global_compact(tmp_path, capfd):
+    """Global-mode sequences (r4): auto density-selects global-compact on
+    a sparse sequence; a dense frame inside a --batch group trips a
+    per-pair overflow flag and the whole dispatch re-runs through the
+    full-width global builder — per-frame supports equal explicit
+    full-width global runs either way."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(6):
+        if i == 3:  # dense frame -> overflow -> full-width re-run
+            l, r = make_pair(96, 144, 4, seed=50)
+        else:
+            l, r = make_sparse_pair(96, 144, 4, density=0.15, seed=60 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    out = tmp_path / "out" / "d.png"
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--disp-high", "32", "--global-mode", "--batch", "2",
+                   "--out", str(out)])
+    err = capfd.readouterr().err
+    assert rc == 0
+    assert "chunk-compacted global contract" in err, err
+    assert "global-compact overflow" in err, err
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=32, epipolar_mode=False,
+                                 capacity=1 << 16)
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    flat = build_sparsematch(forest, settings, use_pallas=False)
+    for i, (l, r) in enumerate(frames):
+        got = read_supports(str(tmp_path / "out" / f"supports_{i:04d}.txt"))
+        want = supports_to_numpy(*flat(l, r))
+        assert len(want) > 50, i
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist()))), f"frame {i}"
 
 
 def test_cli_sequence_masked_compact(tmp_path, capfd):

@@ -409,6 +409,58 @@ def test_sharded_masked_compact_matches_single_device():
         assert got == want and len(want) > 20, i
 
 
+def test_sharded_global_compact_matches_single_device():
+    """Sharded chunk-compacted GLOBAL contract (r4) == single-device flat
+    global runs on a low-density batch; a dense pair in the batch flags
+    only its own per-pair overflow."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   global_row_supports_to_numpy,
+                                   supports_to_numpy)
+    from opengpc_tpu.parallel import build_batched_sparsematch_global_compact
+    from opengpc_tpu.utils.scenes import make_pair, make_sparse_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=False, disp_high=64,
+        capacity=8192
+    )
+    b, h, w = 8, 96, 128
+    pairs = [make_sparse_pair(h, w, 3, density=0.15, seed=70 + i)
+             for i in range(b - 1)] + [make_pair(h, w, 3, seed=70)]
+    lefts = np.stack([p[0] for p in pairs])
+    rights = np.stack([p[1] for p in pairs])
+
+    mesh = make_mesh()
+    sharded = build_batched_sparsematch_global_compact(
+        forest, settings, mesh, use_pallas=False)
+    (xs, ys, ds), counts, ovf = sharded(lefts, rights)
+    ovf = np.asarray(ovf)
+    # flags are PER PAIR: the dense pair must flag, most sparse pairs must
+    # not (a locally patch-heavy sparse pair may legitimately flag at this
+    # narrow width), and every unflagged pair must be exact
+    assert bool(ovf[-1])
+    assert (~ovf[:-1]).sum() >= (b - 1) // 2, ovf
+    single = build_sparsematch(forest, settings, use_pallas=False)
+    checked = 0
+    for i in range(b - 1):
+        if bool(ovf[i]):
+            continue
+        want = set(map(tuple, supports_to_numpy(
+            *single(lefts[i], rights[i])).tolist()))
+        got = set(map(tuple, global_row_supports_to_numpy(
+            np.asarray(xs)[i], np.asarray(ys)[i], np.asarray(ds)[i],
+            np.asarray(counts)[i]).tolist()))
+        assert got == want and len(want) > 20, i
+        checked += 1
+    assert checked >= (b - 1) // 2
+
+
 def test_sharded_frame_masked_compact_matches_single_device():
     """ONE frame's rows sharded over 8 chips on the chunk-compacted
     contract (r4): bit-equal buffers/counts to the single-device compact

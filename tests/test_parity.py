@@ -295,6 +295,18 @@ def test_sparsematch_parity_fuzz(oracle_path, tmp_path):
                     xs, ys, ds, counts).tolist()))
                 assert got_g == want, f"global-rows {ctx}"
 
+                from opengpc_tpu.infer import \
+                    build_sparsematch_global_compact
+
+                (cxs, cys, cds), ccounts, ovf = \
+                    build_sparsematch_global_compact(
+                        forest, settings, use_pallas=False,
+                        chunk=128, k=64)(left, right)
+                if not bool(np.asarray(ovf)):
+                    got_gc = set(map(tuple, global_row_supports_to_numpy(
+                        cxs, cys, cds, ccounts).tolist()))
+                    assert got_gc == want, f"global-compact {ctx}"
+
 
 def test_fast_contracts_minimal_interior():
     """Edge sizes around the interior-margin slice: h=28 leaves exactly two
