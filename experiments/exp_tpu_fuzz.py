@@ -18,6 +18,8 @@ from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import load_forest
 from opengpc_tpu.infer import (build_sparsematch, build_sparsematch_masked,
                                build_sparsematch_masked_compact,
+                               build_sparsematch_global_compact,
+                               global_row_supports_to_numpy,
                                masked_supports_to_numpy, supports_to_numpy)
 from opengpc_tpu.utils.scenes import make_scene
 
@@ -52,6 +54,28 @@ for trial in range(N):
             cbuf, ccounts, s.disp_high).tolist()))
         assert got_c == want, (trial, "compact", h, w, len(got_c), len(want))
         ctag = "compact=="
+    # chunk-compacted GLOBAL contract on the same draw (r4 session 2):
+    # global-mode settings, TPU pallas path vs CPU flat-global set
+    from opengpc_tpu.forest import make_filter_mask
+    from opengpc_tpu.infer import _global_rows_ok
+
+    gs = InferenceSettings(gradient_threshold=grad, vertical_tolerance=0,
+                           disp_high=dh, epipolar_mode=False,
+                           capacity=1 << 19)
+    gtag = "g-ineligible"
+    if _global_rows_ok(make_filter_mask(forest), (h, w), gs):
+        gwant = set(map(tuple, supports_to_numpy(*build_sparsematch(
+            forest, gs, use_pallas=False)(left, right)).tolist()))
+        (gxs, gys, gds), gcounts, govf = build_sparsematch_global_compact(
+            forest, gs, use_pallas=True)(left, right)
+        gtag = "g-overflow"
+        if not bool(np.asarray(govf)):
+            got_g = set(map(tuple, global_row_supports_to_numpy(
+                gxs, gys, gds, gcounts).tolist()))
+            assert got_g == gwant, (trial, "gcompact", h, w,
+                                    len(got_g), len(gwant))
+            gtag = "gcompact=="
     print(f"trial {trial}: ({h},{w}) grad={grad} dh={dh} {fname[:11]} "
-          f"-> {len(want)} supports, TPU==CPU, {ctag}", flush=True)
+          f"-> {len(want)} supports, TPU==CPU, {ctag}, {gtag}",
+          flush=True)
 print("TPU randomized parity sweep OK")
