@@ -41,7 +41,9 @@ from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import load_forest, make_filter_mask
 from opengpc_tpu.infer import (_interior_rows, _key_image,
                                global_row_supports_to_numpy)
-from opengpc_tpu.match import SENTINEL_BASE, match_global_rows
+# the experiment measures the SHIPPED compacted matcher (adopted r4), so
+# future semantic fixes can't silently diverge from what this sweep times
+from opengpc_tpu.match import match_global_rows, match_global_rows_compact
 from opengpc_tpu.utils import device_time_per_iter
 from opengpc_tpu.utils.scenes import make_pair, make_sparse_pair
 
@@ -53,73 +55,9 @@ def global_compact(key_img, w, disp_high, vertical_tolerance, chunk, k,
                    y_offset):
     """Strided chunk-compacted global matcher: ((xs, ys, ds), counts,
     overflow).  Exact whenever overflow is False (see module docstring)."""
-    h, w2 = key_img.shape
-    pos = (jnp.arange(h, dtype=jnp.int32)[:, None] * w2
-           + jnp.arange(w2, dtype=jnp.int32)[None, :])
-    if w2 % chunk:
-        # pad to a chunk multiple with GLOBALLY unique keys above every
-        # real sentinel (real sentinels are SENTINEL_BASE + [0, 2W)) so
-        # pads can never form an equal run; their pos is never decoded
-        padn = chunk - w2 % chunk
-        pad_k = (SENTINEL_BASE + w2
-                 + jnp.arange(h, dtype=jnp.int32)[:, None] * padn
-                 + jnp.arange(padn, dtype=jnp.int32)[None, :])
-        key_img = jnp.concatenate([key_img, pad_k], axis=1)
-        pos = jnp.concatenate(
-            [pos, jnp.full((h, padn), h * w2, dtype=jnp.int32)], axis=1)
-    w2p = key_img.shape[1]
-    nc = w2p // chunk
-    kc = key_img.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
-        h * nc, chunk)
-    pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
-    vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
-    overflow = jnp.any(vc > k)
-    ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1, is_stable=False)
-    key_c = ks[:, :k].reshape(-1)
-    pos_c = ps[:, :k].reshape(-1)
-
-    # --- match_global_rows core on the compacted flat arrays ---
-    n = key_c.shape[0]
-    key_s, pos_s = jax.lax.sort((key_c, pos_c), dimension=0, num_keys=1,
-                                is_stable=False)
-    eq = key_s[:-1] == key_s[1:]
-    zeros = jnp.zeros_like(eq[:1])
-    prev = jnp.concatenate([zeros, eq[:-1]])
-    nxt = jnp.concatenate([eq[1:], zeros])
-    pair = eq & ~prev & ~nxt
-    col_l, row_l = pos_s[:-1] % w2, pos_s[:-1] // w2
-    col_r, row_r = pos_s[1:] % w2, pos_s[1:] // w2
-    l_is_src = col_l < w
-    src_x = jnp.where(l_is_src, col_l, col_r)
-    src_y = jnp.where(l_is_src, row_l, row_r)
-    tar_c = jnp.where(l_is_src, col_r, col_l)
-    tar_y = jnp.where(l_is_src, row_r, row_l)
-    cross = (src_x < w) & (tar_c >= w)
-    d = src_x - (tar_c - w)
-    keep = (pair & cross & (jnp.abs(d) <= disp_high)
-            & (jnp.abs(src_y - tar_y) <= vertical_tolerance))
-    if y_offset:
-        src_y = src_y + jnp.int32(y_offset)
-    r = h
-    c = -(-n // r)
-    padn = r * c - (n - 1)
-    keep = jnp.pad(keep, (0, padn))
-    src_x = jnp.pad(src_x, (0, padn))
-    src_y = jnp.pad(src_y, (0, padn))
-    d = jnp.pad(d, (0, padn))
-    bx = max(1, int(w - 1).bit_length())
-    by = max(1, int(h - 1 + y_offset).bit_length())
-    bd = max(1, int(2 * disp_high).bit_length())
-    assert by + bx + bd <= 30
-    pk = jnp.where(keep, (((src_y << bx) | src_x) << bd) | (d + disp_high),
-                   jnp.int32(0x7FFFFFFF)).reshape(r, c)
-    pk_s = jax.lax.sort((pk,), dimension=1, num_keys=1, is_stable=False)[0]
-    counts = jnp.sum(keep.reshape(r, c), axis=1, dtype=jnp.int32)
-    slot_ok = jnp.arange(c, dtype=jnp.int32)[None, :] < counts[:, None]
-    ds = jnp.where(slot_ok, (pk_s & ((1 << bd) - 1)) - disp_high, 0)
-    xs = jnp.where(slot_ok, (pk_s >> bd) & ((1 << bx) - 1), 0)
-    ys = jnp.where(slot_ok, pk_s >> (bd + bx), 0)
-    return (xs, ys, ds), counts, overflow
+    return match_global_rows_compact(
+        key_img, w, disp_high, vertical_tolerance, chunk=chunk, k=k,
+        y_offset=y_offset)
 
 
 def main():

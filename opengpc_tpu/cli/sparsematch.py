@@ -26,11 +26,25 @@ from opengpc_tpu.io.supports import write_supports
 from opengpc_tpu.viz import disparity_visualization
 
 
-# auto-contract density threshold: sparse frames (candidate density at or
-# below this) ride the chunk-compacted contracts.  Conservative vs the
-# K/S=0.5 chunk capacity; a misprediction is still exact — any dense
-# dispatch trips the overflow guard and re-runs full-width.
-_AUTO_COMPACT_DENSITY = 0.30
+# auto-contract density cutoff, as a fraction of the chosen contract's
+# chunk capacity ratio K/S (masked: 64/128 -> cutoff 0.30; wide-row global:
+# 128/512 -> 0.15).  Scaling with the actual per-chunk capacity matters —
+# a flat 0.30 cutoff on wide-row global frames (K/S=1/4) would overflow on
+# nearly every dispatch and pay compact + full-width device work.  A
+# misprediction is still exact either way: the overflow guard re-runs the
+# dispatch full-width.
+_AUTO_COMPACT_FRACTION = 0.6
+
+
+def _auto_compact_threshold(masked: bool, width: int) -> float:
+    """Density at or below which auto mode rides the chunk-compacted
+    contract for this frame width (see _AUTO_COMPACT_FRACTION)."""
+    from opengpc_tpu.match import (MASKED_COMPACT_CHUNKS,
+                                   global_compact_chunks)
+
+    chunk, k = (MASKED_COMPACT_CHUNKS if masked
+                else global_compact_chunks(2 * width))
+    return _AUTO_COMPACT_FRACTION * (k / chunk)
 
 
 def _probe_density(settings, left, right) -> float:
@@ -136,7 +150,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--contract",
         choices=("auto", "flat", "rows", "masked", "masked-compact",
-                 "global-compact"),
+                 "global-rows", "global-compact"),
         default="auto",
         help="output contract for the on-device matcher: auto (default; "
         "row-form / segmented-global when eligible, and — in both "
@@ -145,12 +159,13 @@ def main(argv=None) -> int:
         "fixed-capacity buffers, row-form per-row packed buffers, the "
         "masked sorted-order buffer (peak device throughput; decode moves "
         "to the consumer), masked-compact (chunk-compacted masked — "
-        "~27%% faster on low-candidate-density frames), or global-compact "
-        "(chunk-compacted global mode, ~91%% faster on low-density "
-        "frames; needs --global-mode).  The compacted contracts re-run "
-        "full-width automatically when the overflow guard trips.  "
-        "Identical support sets; rows/masked/masked-compact are "
-        "epipolar-only; sequence mode supports everything but flat; "
+        "~27%% faster on low-candidate-density frames), global-rows "
+        "(explicit full-width segmented global; needs --global-mode), or "
+        "global-compact (chunk-compacted global mode, ~91%% faster on "
+        "low-density frames; needs --global-mode).  The compacted "
+        "contracts re-run full-width automatically when the overflow "
+        "guard trips.  Identical support sets; rows/masked/masked-compact "
+        "are epipolar-only; sequence mode supports everything but flat; "
         "--pyramid supports auto/masked-compact",
     )
     p.add_argument(
@@ -349,8 +364,9 @@ def main(argv=None) -> int:
                   "<=30-test forest and packable (x, d) keys for this "
                   "image size", file=sys.stderr)
             return 1
-        if args.contract == "global-compact" and not geligible:
-            print("--contract global-compact needs --global-mode, a "
+        if args.contract in ("global-rows", "global-compact") \
+                and not geligible:
+            print(f"--contract {args.contract} needs --global-mode, a "
                   "<=30-test forest and packable (y, x, d) keys for this "
                   "image size", file=sys.stderr)
             return 1
@@ -362,7 +378,7 @@ def main(argv=None) -> int:
             # guard re-runs a dense misprediction full-width, so this is
             # exact either way
             dens = _probe_density(settings, left, right)
-            if dens <= _AUTO_COMPACT_DENSITY:
+            if dens <= _auto_compact_threshold(eligible, left.shape[1]):
                 contract = ("masked-compact" if eligible
                             else "global-compact")
                 print(f"auto contract: candidate density {dens:.2f} — "
@@ -403,7 +419,7 @@ def main(argv=None) -> int:
                 lambda: build_sparsematch_global_rows(fmask, settings),
                 "global-compact overflow: dense frame, re-ran the "
                 "full-width global matcher").wrap(gmatch)
-        elif geligible and args.contract == "auto":
+        elif geligible and contract in ("auto", "global-rows"):
             from opengpc_tpu.infer import (build_sparsematch_global_rows,
                                            global_row_supports_to_numpy)
 
@@ -596,8 +612,8 @@ def _run_sequence(args, forest, settings) -> int:
               f"forest and packable (x, d) keys for frame shape "
               f"{probe.shape}", file=sys.stderr)
         return 1
-    if args.contract == "global-compact" and not geligible:
-        print("--contract global-compact needs --global-mode, a <=30-test "
+    if args.contract in ("global-rows", "global-compact") and not geligible:
+        print(f"--contract {args.contract} needs --global-mode, a <=30-test "
               "forest and packable (y, x, d) keys for frame shape "
               f"{probe.shape}", file=sys.stderr)
         return 1
@@ -610,7 +626,7 @@ def _run_sequence(args, forest, settings) -> int:
         # exp_lowdens.py / exp_global_compact.py)
         right0 = read_gray(rights[0])
         dens = _probe_density(settings, probe, right0)
-        if dens <= _AUTO_COMPACT_DENSITY:
+        if dens <= _auto_compact_threshold(eligible, probe.shape[1]):
             contract = "masked-compact" if eligible else "global-compact"
             print(f"auto contract: candidate density {dens:.2f} — riding "
                   f"the chunk-compacted {'masked' if eligible else 'global'}"
@@ -852,15 +868,24 @@ def _run_sequence(args, forest, settings) -> int:
                     # (jit's per-shape cache pays one extra compile) or
                     # error out — never silently downgrade to the
                     # capacity-bounded flat pipeline the user didn't ask
-                    # for (r4 review finding)
-                    if _rows_ok(fmask, left.shape, settings):
+                    # for (r4 review finding).  Eligibility is checked
+                    # with the contract's OWN rule: the global contracts
+                    # need packable (y, x, d) keys, not the epipolar-only
+                    # _rows_ok gate
+                    if args.contract in ("global-rows", "global-compact"):
+                        ok = _global_rows_ok(fmask, left.shape, settings)
+                        keyname = "(y, x, d)"
+                    else:
+                        ok = _rows_ok(fmask, left.shape, settings)
+                        keyname = "(x, d)"
+                    if ok:
                         submit((i, mode, match(left, right), 1,
                                 (left, right) if needs_frames else None))
                         continue
                     print(
                         f"--contract {args.contract}: frame {i} shape "
-                        f"{left.shape} has no packable (x, d) key — cannot "
-                        "honor the explicit contract; re-run with "
+                        f"{left.shape} has no packable {keyname} key — "
+                        "cannot honor the explicit contract; re-run with "
                         "--contract auto to allow the flat fallback",
                         file=sys.stderr,
                     )

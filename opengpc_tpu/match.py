@@ -344,8 +344,14 @@ def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
     return out, counts
 
 
-def match_epipolar_masked_compact(key, disp_high, chunk: int = 128,
-                                  k: int = 64):
+# default (chunk, k) for the chunk-compacted masked contract: S=128/K=64
+# measured best on the low-density sweep (experiments/exp_lowdens.py); the
+# K/S=1/2 ratio makes the guard an effective per-row capacity of W
+MASKED_COMPACT_CHUNKS = (128, 64)
+
+
+def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
+                                  k: int = None):
     """Low-density fast path of the masked contract: STRIDED chunked
     pre-compaction shrinks the matcher sort (VERDICT r3 item 2, adopted
     from experiments/exp_lowdens.py: 0.338 vs 0.430 ms at 15% candidate
@@ -369,7 +375,16 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = 128,
     """
     h, w2 = key.shape
     w = w2 // 2
-    assert k <= chunk, (k, chunk)
+    if chunk is None and k is None:
+        chunk, k = MASKED_COMPACT_CHUNKS
+    elif chunk is None:
+        chunk = 2 * k  # keep the K/S=1/2 rule when only one is tuned
+    elif k is None:
+        k = max(1, chunk // 2)
+    if k > chunk:
+        raise ValueError(
+            f"masked-compact chunk capacity k={k} exceeds chunk size "
+            f"S={chunk}; pass k <= chunk")
     pos = jnp.broadcast_to(jnp.arange(w2, dtype=jnp.int32)[None, :], (h, w2))
     if w2 % chunk:
         # pad to a chunk multiple with unique non-pairing sentinels
@@ -676,11 +691,20 @@ def match_global_rows_compact(key_img: jnp.ndarray, w: int, disp_high: int,
     """
     h, w2 = key_img.shape
     assert w2 == 2 * w
-    if chunk is None or k is None:
-        dchunk, dk = global_compact_chunks(w2)
-        chunk = dchunk if chunk is None else chunk
-        k = dk if k is None else k
-    assert k <= chunk, (k, chunk)
+    dchunk, dk = global_compact_chunks(w2)
+    if chunk is None and k is None:
+        chunk, k = dchunk, dk
+    elif chunk is None:
+        # derive the missing parameter with the width rule's K/S ratio so a
+        # single-parameter tuning call can't mix incompatible defaults
+        chunk = k * (dchunk // dk)
+    elif k is None:
+        k = max(1, chunk // (dchunk // dk))
+    if k > chunk:
+        raise ValueError(
+            f"global-compact chunk capacity k={k} exceeds chunk size "
+            f"S={chunk}; pass k <= chunk (width defaults: "
+            "match.global_compact_chunks)")
     pos = (jnp.arange(h, dtype=jnp.int32)[:, None] * w2
            + jnp.arange(w2, dtype=jnp.int32)[None, :])
     if w2 % chunk:

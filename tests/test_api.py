@@ -834,15 +834,28 @@ def test_cli_global_compact_contract(tmp_path):
         write_png(rp, r)
         base = [forest, lp, rp, "--disp-high", "32", "--global-mode",
                 "--out", str(tmp_path / "d.png")]
-        # baseline: explicit full-width segmented global (auto would
-        # density-select global-compact on the sparse frame)
+        # baseline: EXPLICIT full-width segmented global — auto would
+        # density-select global-compact on the sparse frame, which would
+        # compare the compact path against itself (r4 review finding)
         err = io.StringIO()
         with contextlib.redirect_stderr(err):
-            assert cli_main(base + ["--supports-out",
+            assert cli_main(base + ["--contract", "global-rows",
+                                    "--supports-out",
                                     str(tmp_path / f"{name}_a.txt")]) == 0
+        assert "compact" not in err.getvalue(), err.getvalue()
         if name == "sparse":
-            # auto's probe must have selected the compacted contract
+            # auto's density probe must select the compacted contract on
+            # the sparse frame (and its output must match the baseline)
+            err = io.StringIO()
+            with contextlib.redirect_stderr(err):
+                assert cli_main(
+                    base + ["--supports-out",
+                            str(tmp_path / f"{name}_c.txt")]) == 0
             assert "chunk-compacted global contract" in err.getvalue()
+            auto = read_supports(str(tmp_path / f"{name}_c.txt"))
+            ref = read_supports(str(tmp_path / f"{name}_a.txt"))
+            assert set(map(tuple, auto.tolist())) == set(
+                map(tuple, ref.tolist()))
         err = io.StringIO()
         with contextlib.redirect_stderr(err):
             assert cli_main(base + ["--contract", "global-compact",
@@ -862,6 +875,27 @@ def test_cli_global_compact_contract(tmp_path):
                      str(tmp_path / "sparse_r.png"), "--disp-high", "32",
                      "--contract", "global-compact",
                      "--out", str(tmp_path / "d.png")]) == 1
+
+
+def test_auto_compact_threshold_scales_with_chunk_capacity():
+    """The auto-contract density cutoff must track the chosen contract's
+    K/S chunk capacity ratio: wide-row global compact runs K/S=1/4, so a
+    flat 0.30 cutoff would select it on frames that overflow nearly every
+    dispatch (r4 review finding)."""
+    from opengpc_tpu.cli.sparsematch import (_AUTO_COMPACT_FRACTION,
+                                             _auto_compact_threshold)
+    from opengpc_tpu.match import (MASKED_COMPACT_CHUNKS,
+                                   global_compact_chunks)
+
+    mc, mk = MASKED_COMPACT_CHUNKS
+    assert _auto_compact_threshold(True, 1024) == \
+        _AUTO_COMPACT_FRACTION * mk / mc
+    for width in (256, 1024, 4096):
+        gc, gk = global_compact_chunks(2 * width)
+        thr = _auto_compact_threshold(False, width)
+        assert thr == _AUTO_COMPACT_FRACTION * gk / gc
+        # the cutoff must sit strictly below the overflow capacity
+        assert thr < gk / gc
 
 
 def test_cli_sequence_global_compact(tmp_path, capfd):
