@@ -84,7 +84,7 @@ def _impl_for(contract: str, mask, settings: InferenceSettings,
     if contract == "masked-compact":
         return functools.partial(_sparsematch_masked_compact_impl,
                                  mask=mask, settings=settings,
-                                 use_pallas=use_pallas, chunk=128, k=64)
+                                 use_pallas=use_pallas, chunk=None, k=None)
     impl = {"rows": _sparsematch_rows_impl,
             "masked": _sparsematch_masked_impl}[contract]
     return functools.partial(impl, mask=mask, settings=settings,

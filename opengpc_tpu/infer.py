@@ -492,7 +492,8 @@ def _sparsematch_masked_compact_impl(left, right, mask: FilterMask,
 
 def build_sparsematch_masked_compact(
     forest_or_mask, settings: InferenceSettings,
-    use_pallas: Optional[bool] = None, chunk: int = 128, k: int = 64,
+    use_pallas: Optional[bool] = None, chunk: Optional[int] = None,
+    k: Optional[int] = None,
 ) -> Callable:
     """Jitted ``(left, right) -> (buf, row_counts, overflow)`` LOW-DENSITY
     masked matcher: strided chunked pre-compaction shrinks the matcher

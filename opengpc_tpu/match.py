@@ -330,24 +330,32 @@ def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
     key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
                                 is_stable=False)
     keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
-    bd = max(1, int(2 * disp_high).bit_length())
-    bx = max(1, int(w - 1).bit_length())
-    if bx + bd > 30:
-        raise ValueError(
-            f"masked pack needs x+d bits <= 30, got {bx}+{bd}; "
-            "use match_epipolar"
-        )
-    out = jnp.where(keep, (src_x << bd) | (d + disp_high),
-                    jnp.int32(MASKED_SENTINEL))
-    out = jnp.pad(out, ((0, 0), (0, 1)), constant_values=MASKED_SENTINEL)
-    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
-    return out, counts
+    return _masked_emit(keep, src_x, d, w, disp_high)
 
 
 # default (chunk, k) for the chunk-compacted masked contract: S=128/K=64
 # measured best on the low-density sweep (experiments/exp_lowdens.py); the
 # K/S=1/2 ratio makes the guard an effective per-row capacity of W
 MASKED_COMPACT_CHUNKS = (128, 64)
+
+
+def resolve_masked_compact_chunks(chunk=None, k=None):
+    """The ONE derivation rule for masked-compact (chunk, k): both None ->
+    MASKED_COMPACT_CHUNKS; one None -> derived with the default K/S=1/2
+    ratio; k > chunk rejected.  Every public builder routes through this
+    so retuning MASKED_COMPACT_CHUNKS retunes the whole surface (CLI auto
+    threshold, AOT, batched/sharded builders, pyramid) consistently."""
+    if chunk is None and k is None:
+        chunk, k = MASKED_COMPACT_CHUNKS
+    elif chunk is None:
+        chunk = 2 * k  # keep the K/S=1/2 rule when only one is tuned
+    elif k is None:
+        k = max(1, chunk // 2)
+    if k > chunk:
+        raise ValueError(
+            f"masked-compact chunk capacity k={k} exceeds chunk size "
+            f"S={chunk}; pass k <= chunk")
+    return chunk, k
 
 
 def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
@@ -375,16 +383,7 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
     """
     h, w2 = key.shape
     w = w2 // 2
-    if chunk is None and k is None:
-        chunk, k = MASKED_COMPACT_CHUNKS
-    elif chunk is None:
-        chunk = 2 * k  # keep the K/S=1/2 rule when only one is tuned
-    elif k is None:
-        k = max(1, chunk // 2)
-    if k > chunk:
-        raise ValueError(
-            f"masked-compact chunk capacity k={k} exceeds chunk size "
-            f"S={chunk}; pass k <= chunk")
+    chunk, k = resolve_masked_compact_chunks(chunk, k)
     pos = jnp.broadcast_to(jnp.arange(w2, dtype=jnp.int32)[None, :], (h, w2))
     if w2 % chunk:
         # pad to a chunk multiple with unique non-pairing sentinels

@@ -162,7 +162,7 @@ def build_batched_sparsematch_masked(forest: Forest,
 def build_batched_sparsematch_masked_compact(forest: Forest,
                                              settings: InferenceSettings,
                                              mesh: Mesh, use_pallas=None,
-                                             chunk: int = 128, k: int = 64):
+                                             chunk=None, k=None):
     """Chunk-compacted masked contract over a device mesh (the r4
     low-density fast path): (B, H, W) x2 -> (buf (B, H, C), row_counts
     (B, H), overflow (n_shards,) bool).  Batch split with shard_map; each
@@ -279,7 +279,7 @@ def build_sharded_frame_sparsematch(forest_or_mask,
                                     settings: InferenceSettings,
                                     mesh: Mesh, use_pallas=None,
                                     contract: str = "masked",
-                                    chunk: int = 128, k: int = 64):
+                                    chunk=None, k=None):
     """SINGLE-FRAME multi-chip matcher: shard ONE (H, W) pair's ROWS over
     the mesh — the direct multi-chip recast of the reference's only
     intra-image parallelism, parFor row partitioning

@@ -327,8 +327,8 @@ def build_pyramid_sparsematch_compact(
     settings: InferenceSettings,
     num_levels: int = 3,
     use_pallas: Optional[bool] = None,
-    chunk: int = 128,
-    k: int = 64,
+    chunk: Optional[int] = None,
+    k: Optional[int] = None,
 ) -> Callable:
     """Jitted ``(left, right) -> (x, y, d, level, counts, overflow)``
     LOW-DENSITY pyramid matcher: every level rides the chunk-compacted
