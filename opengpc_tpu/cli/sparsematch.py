@@ -134,6 +134,14 @@ def main(argv=None) -> int:
                    "dispatch (folded into one (B*H, 2W) segmented sort); "
                    "amortizes per-dispatch overhead, identical per-frame "
                    "outputs.  Default 4 on the fast contracts (1 disables)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="sequence mode: shard each --batch dispatch "
+                   "group's frames over the first N devices "
+                   "(parallel.build_batched_sparsematch_* shard_map "
+                   "builders; any contract but flat).  --batch must "
+                   "divide by N (the default batch rounds itself up); "
+                   "partial groups and mid-sequence shape changes still "
+                   "dispatch singly")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace into LOGDIR")
     p.add_argument("--pyramid", type=int, default=1, metavar="LEVELS",
@@ -218,6 +226,10 @@ def main(argv=None) -> int:
         print("--batch applies to sequence (directory) mode only",
               file=sys.stderr)
         return 1
+    if args.data_parallel > 1:
+        print("--data-parallel applies to sequence (directory) mode only "
+              "(single-pair multi-chip is --shard-frame)", file=sys.stderr)
+        return 1
     left = read_gray(args.left)
     right = read_gray(args.right)
     if left.shape != right.shape:
@@ -272,7 +284,8 @@ def main(argv=None) -> int:
             ("--global-mode", args.global_mode),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
             (f"--contract {args.contract}",
-             args.contract in ("flat", "global-compact")),
+             args.contract not in ("auto", "rows", "masked",
+                                   "masked-compact")),
         ) if on]
         if bad:
             print(f"--shard-frame does not support: {', '.join(bad)}",
@@ -701,6 +714,46 @@ def _run_sequence(args, forest, settings) -> int:
             "packable keys for this image size); frames dispatch singly",
             file=sys.stderr,
         )
+    # --data-parallel N: full dispatch groups shard over the first N
+    # devices (the mesh builders emit the SAME stacked pytrees as the
+    # single-device batch fold, so assembly is unchanged); partial groups
+    # and shape-change singles keep riding the single-device `match`
+    match_batched = match
+    dp = args.data_parallel
+    if dp > 1:
+        if not fast:
+            print("--data-parallel needs a fast stacked contract "
+                  "(rows/masked/masked-compact/global) — this "
+                  "forest/shape only supports the flat pipeline",
+                  file=sys.stderr)
+            return 1
+        import jax
+
+        devs = jax.devices()
+        if len(devs) < dp:
+            print(f"--data-parallel {dp}: only {len(devs)} devices "
+                  "visible", file=sys.stderr)
+            return 1
+        if args.batch is not None and batch % dp:
+            print(f"--batch {batch} must divide by --data-parallel {dp} "
+                  "(shard_map splits the stacked batch axis evenly)",
+                  file=sys.stderr)
+            return 1
+        batch = -(-batch // dp) * dp  # round the default batch up
+        from opengpc_tpu import parallel as par
+
+        builder = {
+            "rows": par.build_batched_sparsematch_rows,
+            "masked": par.build_batched_sparsematch_masked,
+            "masked-compact": par.build_batched_sparsematch_masked_compact,
+            "global_rows": par.build_batched_sparsematch_global_rows,
+            "global-compact": par.build_batched_sparsematch_global_compact,
+        }[mode]
+        match_batched = builder(forest, settings,
+                                par.make_mesh(devs[:dp]))
+        # a compact-contract overflow under --data-parallel re-runs the
+        # whole dispatch through the single-device full-width builder
+        # (exact; mispredictions are rare by the auto density probe)
 
     def write_frame(i, supports):
         nonlocal total_matches
@@ -715,10 +768,11 @@ def _run_sequence(args, forest, settings) -> int:
         i0, dmode, out, k, frames = pending
         if dmode == "masked-compact":
             # overflow guard: a dense dispatch (any frame of the stack)
-            # trips the ORed flag and re-runs the whole dispatch through
+            # trips the ORed flag — a (n_shards,) vector under
+            # --data-parallel — and re-runs the whole dispatch through
             # the full-width masked matcher (exact either way); jax
             # dispatch from the assembly thread is safe
-            if bool(np.asarray(out[2])):
+            if bool(np.asarray(out[2]).any()):
                 print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
                       file=sys.stderr)
                 out = ovf_guard.fallback()(*frames)
@@ -775,7 +829,7 @@ def _run_sequence(args, forest, settings) -> int:
                     (l, r) if needs_frames else None)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
-        return (i0, mode, match(lb, rb), len(group),
+        return (i0, mode, match_batched(lb, rb), len(group),
                 (lb, rb) if needs_frames else None)
 
     def flush_group(group):

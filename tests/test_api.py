@@ -594,6 +594,11 @@ def test_cli_shard_frame_matches_single_device(tmp_path):
     assert sparsematch_main(base + ["--shard-frame", "8",
                                     "--global-mode"]) == 1
     assert sparsematch_main(base + ["--shard-frame", "3"]) == 1  # 128 % 3
+    # explicit contracts the sharded builder can't honor must error out,
+    # never silently remap to the masked contract (r4 review finding)
+    for bad in ("flat", "global-rows", "global-compact"):
+        assert sparsematch_main(
+            base + ["--shard-frame", "8", "--contract", bad]) == 1
 
 
 def test_cli_sequence_mode_masked_contract(tmp_path):
@@ -896,6 +901,106 @@ def test_auto_compact_threshold_scales_with_chunk_capacity():
         assert thr == _AUTO_COMPACT_FRACTION * gk / gc
         # the cutoff must sit strictly below the overflow capacity
         assert thr < gk / gc
+
+
+def test_cli_sequence_data_parallel(tmp_path, capfd):
+    """Sequence --data-parallel N (r4): full dispatch groups shard over
+    the first N mesh devices via the parallel batched builders; per-frame
+    supports must equal a single-device run.  Covers the default-batch
+    round-up (4 -> 8 at N=8), the dense masked-compact dispatch whose
+    PER-SHARD overflow flag vector re-runs full-width, and the rejected
+    flag combinations."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(10):  # one full group of 8 at N=8, 2 leftover singles
+        l, r = make_pair(64, 96, 3 + (i % 4), seed=300 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+
+    def run(outdir, extra):
+        rc = cli_main([forest, str(ldir), str(rdir), "--disp-high", "16",
+                       "--out", str(tmp_path / outdir / "d.png")] + extra)
+        assert rc == 0
+        return [read_supports(str(tmp_path / outdir
+                                  / f"supports_{i:04d}.txt"))
+                for i in range(len(frames))]
+
+    base = run("single", ["--contract", "masked"])
+    dp = run("dp", ["--contract", "masked", "--data-parallel", "8"])
+    assert sum(len(s) for s in base) > 200
+    for i, (a, b) in enumerate(zip(base, dp)):
+        assert set(map(tuple, a.tolist())) == set(
+            map(tuple, b.tolist())), f"frame {i}"
+    # dense frames + explicit masked-compact: the mesh builder's
+    # (n_shards,) overflow vector must trip the full-width re-run
+    capfd.readouterr()
+    dpc = run("dpc", ["--contract", "masked-compact",
+                      "--data-parallel", "2", "--batch", "4"])
+    assert "overflow" in capfd.readouterr().err
+    for i, (a, b) in enumerate(zip(base, dpc)):
+        assert set(map(tuple, a.tolist())) == set(
+            map(tuple, b.tolist())), f"frame {i}"
+    # global-mode contract rides its mesh builder too
+    gbase = run("gsingle", ["--global-mode", "--contract", "global-rows"])
+    gdp = run("gdp", ["--global-mode", "--contract", "global-rows",
+                      "--data-parallel", "2", "--batch", "4"])
+    for i, (a, b) in enumerate(zip(gbase, gdp)):
+        assert set(map(tuple, a.tolist())) == set(
+            map(tuple, b.tolist())), f"global frame {i}"
+    # rejections: single-pair mode, N > devices, indivisible --batch
+    lp, rp = str(ldir / "f0000.png"), str(rdir / "f0000.png")
+    assert cli_main([forest, lp, rp, "--data-parallel", "2"]) == 1
+    assert cli_main([forest, str(ldir), str(rdir), "--out",
+                     str(tmp_path / "x.png"),
+                     "--data-parallel", "9"]) == 1
+    assert cli_main([forest, str(ldir), str(rdir), "--out",
+                     str(tmp_path / "x.png"), "--data-parallel", "2",
+                     "--batch", "3"]) == 1
+
+
+def test_masked_compact_builders_follow_constant(monkeypatch):
+    """Every public masked-compact builder must resolve its default
+    (chunk, k) through match.MASKED_COMPACT_CHUNKS — retuning the constant
+    (e.g. after a K/S ratio sweep) has to retune the builders AND the CLI
+    auto threshold together, not just one of them (r4 review finding)."""
+    from opengpc_tpu import match
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import build_sparsematch_masked_compact
+    from opengpc_tpu.utils.scenes import make_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(disp_high=32, epipolar_mode=True)
+    left, right = make_pair(64, 128, 6)
+
+    chunk, k = match.MASKED_COMPACT_CHUNKS
+    nc = -(-2 * 128 // chunk)
+    buf, _, _ = build_sparsematch_masked_compact(forest, settings)(
+        left, right)
+    # nc*k - 1 adjacent detect windows + 1 sentinel pad column
+    assert buf.shape[1] == nc * k
+
+    monkeypatch.setattr(match, "MASKED_COMPACT_CHUNKS", (64, 16))
+    buf2, _, _ = build_sparsematch_masked_compact(forest, settings)(
+        left, right)
+    assert buf2.shape[1] == (2 * 128 // 64) * 16
+
+    # the shared derivation rules
+    assert match.resolve_masked_compact_chunks() == (64, 16)
+    assert match.resolve_masked_compact_chunks(k=8) == (16, 8)
+    assert match.resolve_masked_compact_chunks(chunk=32) == (32, 16)
+    with pytest.raises(ValueError):
+        match.resolve_masked_compact_chunks(chunk=8, k=16)
 
 
 def test_cli_sequence_global_compact(tmp_path, capfd):
