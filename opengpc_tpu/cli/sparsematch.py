@@ -534,7 +534,21 @@ def main(argv=None) -> int:
         from opengpc_tpu.densify import densify_supports
         from opengpc_tpu.viz import dense_disparity_visualization
 
-        dense, filled = densify_supports(supports, left.shape)
+        if masked_form and count <= args.capacity:
+            # masked contract: densify DEVICE-RESIDENT from the packed
+            # buffer (no decode/re-upload roundtrip — densify_from_masked,
+            # bit-identical to the host path, tests/test_densify.py;
+            # measured 1.96 ms vs 160-210 ms through the relay,
+            # experiments/exp_dense_masked.py).  A capacity-trimmed
+            # support list falls back to the host path so --capacity
+            # semantics stay identical across contracts
+            from opengpc_tpu.densify import densify_from_masked
+
+            dense_d, filled_d = densify_from_masked(
+                mbuf, mcounts, settings.disp_high, width=w)
+            dense, filled = np.asarray(dense_d), np.asarray(filled_d)
+        else:
+            dense, filled = densify_supports(supports, left.shape)
         write_png(args.densify,
                   dense_disparity_visualization(left, dense, filled,
                                                 max_disparity=args.disp_high))

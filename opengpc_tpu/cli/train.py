@@ -42,6 +42,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default=None,
                    help="write the partial forest here after each fern")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard the triplet axis over the first N devices "
+                   "during level scoring (each level's TP/FP/FN reduction "
+                   "becomes one psum over ICI; selected splits are "
+                   "IDENTICAL — integer counts are exact regardless of "
+                   "sharding, tests/test_parallel.py)")
     args = p.parse_args(argv)
 
     triplets = load_triplets(args.dataset)
@@ -59,8 +65,20 @@ def main(argv=None) -> int:
         max_depth=settings.max_depth,
         sample_fraction=args.sample_fraction,
     )
+    mesh = None
+    if args.data_parallel > 1:
+        import jax
+
+        from opengpc_tpu.parallel import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.data_parallel:
+            print(f"--data-parallel {args.data_parallel}: only "
+                  f"{len(devs)} devices visible", file=sys.stderr)
+            return 1
+        mesh = make_mesh(devs[:args.data_parallel])
     forest = train_forest(triplets, settings, optimizer, seed=args.seed,
-                          checkpoint_path=args.checkpoint)
+                          checkpoint_path=args.checkpoint, mesh=mesh)
     save_forest(forest, args.forest_out)
     print(f"Exported forest to {args.forest_out}")
     return 0

@@ -214,20 +214,34 @@ def train_fern(
         ]
 
     n = triplets.shape[0]
+    n_pad = 0
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # NamedSharding needs the triplet axis divisible by the mesh size:
+        # pad with EXCLUDED triplets — their split flags start True (below),
+        # so `include` masks them out of every level's counts and the
+        # selected splits are identical to the unpadded run by construction
+        n_dev = int(mesh.devices.size)
+        n_pad = (-n) % n_dev
+        if n_pad:
+            triplets = np.concatenate(
+                [np.asarray(triplets),
+                 np.zeros((n_pad,) + triplets.shape[1:], triplets.dtype)])
         shard_n = NamedSharding(mesh, P("data"))
         patches = jax.device_put(jnp.asarray(triplets), shard_n)
-        eq_pos = jax.device_put(jnp.ones((n,), bool), shard_n)
-        eq_neg = jax.device_put(jnp.ones((n,), bool), shard_n)
+        eq_pos = jax.device_put(jnp.ones((n + n_pad,), bool), shard_n)
+        eq_neg = jax.device_put(jnp.ones((n + n_pad,), bool), shard_n)
     else:
         patches = jnp.asarray(triplets)
         eq_pos = jnp.ones((n,), bool)
         eq_neg = jnp.ones((n,), bool)
-    # exclusion markers (markSplitSamples, Fern.hpp:271-291)
-    split_pos = np.zeros((n,), bool)
-    split_neg = np.zeros((n,), bool)
+    # exclusion markers (markSplitSamples, Fern.hpp:271-291); sharding
+    # pads start fully marked so they never enter a level's `include`
+    split_pos = np.zeros((n + n_pad,), bool)
+    split_neg = np.zeros((n + n_pad,), bool)
+    split_pos[n:] = True
+    split_neg[n:] = True
 
     tau_lo, tau_hi = optimizer.tau_lo, optimizer.tau_hi
     num_taus = tau_hi - tau_lo
@@ -286,8 +300,9 @@ def train_fern(
         prec, rec, hm = _hmean(tp, fp, fn, optimizer.w1)
         # unmasked diagnostic counts, free from the post-fold eq flags
         # (the ≤level code-equality prefix): TP = eqPos & !eqNeg,
-        # FP = !eqPos & eqNeg, FN = eqPos == eqNeg (Fern.hpp:236-252)
-        ep, en = np.asarray(eq_pos), np.asarray(eq_neg)
+        # FP = !eqPos & eqNeg, FN = eqPos == eqNeg (Fern.hpp:236-252);
+        # sharding pads are sliced off so diagnostics match unsharded runs
+        ep, en = np.asarray(eq_pos)[:n], np.asarray(eq_neg)[:n]
         tp_all = int((ep & ~en).sum())
         fp_all = int((~ep & en).sum())
         fn_all = int(n - tp_all - fp_all)

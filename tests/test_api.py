@@ -557,6 +557,31 @@ def test_cli_flag_combinations_smoke(tmp_path):
                      "--out", str(tmp_path / "x" / "d.png")]) == 1
 
 
+def test_cli_densify_device_path_byte_equal(tmp_path):
+    """--densify on the masked contracts rides the DEVICE-RESIDENT
+    densify_from_masked (no decode/re-upload); the written PNG must stay
+    byte-identical to the host decode-then-densify path (flat contract),
+    for both the full-width and the chunk-compacted masked buffers."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    left, right = make_sparse_pair(96, 128, 6, density=0.15, seed=11)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    write_png(str(lp), left)
+    write_png(str(rp), right)
+    base = [os.path.join(FORESTS, "defaultZeroForest.txt"), str(lp),
+            str(rp), "--disp-high", "16", "--out", str(tmp_path / "d.png")]
+    pngs = {}
+    for contract in ("flat", "masked", "masked-compact"):
+        dense = tmp_path / f"dense_{contract}.png"
+        assert cli_main(base + ["--contract", contract,
+                                "--densify", str(dense)]) == 0
+        pngs[contract] = dense.read_bytes()
+    assert pngs["masked"] == pngs["flat"]
+    assert pngs["masked-compact"] == pngs["flat"]
+
+
 def test_cli_shard_frame_matches_single_device(tmp_path):
     """--shard-frame 8 (single-frame row sharding over the 8-device CPU
     mesh) writes the same supports file as the default single-device run."""

@@ -501,3 +501,36 @@ def test_sharded_frame_masked_compact_matches_single_device():
     dl, dr = _frame_pair(21, h, w)
     _, _, dovf = sharded(dl, dr)
     assert bool(np.asarray(dovf)), "dense frame must trip the flag"
+
+
+def test_cli_train_data_parallel_byte_identical(tmp_path):
+    """opengpc-train --data-parallel N (r4): the triplet axis shards over
+    the mesh during level scoring and the exported forest file must be
+    BYTE-identical to the single-device run — including an odd triplet
+    count whose bootstrap subsample does not divide by the device count
+    (integer TP/FP/FN psums are exact regardless of sharding)."""
+    import numpy as np
+
+    from opengpc_tpu.cli.train import main as train_main
+    from opengpc_tpu.io.triplets import save_triplets
+
+    rng = np.random.default_rng(23)
+    n = 157  # odd on purpose: 157 * 0.7 = 109 -> uneven 8-way shards
+    ref = rng.integers(0, 256, (n, 729)).astype(np.int16)
+    pos = np.clip(ref + rng.integers(-8, 9, ref.shape), 0, 255)
+    neg = rng.integers(0, 256, ref.shape)
+    trips = np.stack([ref, pos, neg], axis=1).astype(np.uint8)
+    tp = tmp_path / "trips.bin"
+    save_triplets(trips, str(tp))
+
+    args = [str(tp), "", "--num-s", "1", "--num-m", "1", "--num-l", "1",
+            "--depth", "3", "--num-resamples", "4", "--seed", "7"]
+    single, sharded = tmp_path / "single.txt", tmp_path / "sharded.txt"
+    args[1] = str(single)
+    assert train_main(list(args)) == 0
+    args[1] = str(sharded)
+    assert train_main(list(args) + ["--data-parallel", "8"]) == 0
+    assert single.read_bytes() == sharded.read_bytes()
+    # more devices than visible is rejected
+    args[1] = str(tmp_path / "x.txt")
+    assert train_main(list(args) + ["--data-parallel", "99"]) == 1
