@@ -170,6 +170,32 @@ def _apply_level(
     )
 
 
+@jax.jit
+def _include_and_tot(split_pos, split_neg):
+    """include mask (= not excluded by markSplitSamples) + its count, on
+    device — a scalar fetch instead of an (N,) one, and safe on
+    multi-process meshes where the flag arrays are not fully addressable
+    host-side."""
+    inc = ~(split_pos & split_neg)
+    return inc, jnp.sum(inc, dtype=jnp.int32)
+
+
+@jax.jit
+def _mark_splits(split_pos, split_neg, eq_pos, eq_neg):
+    """markSplitSamples (Fern.hpp:271-291) fold, on device: marks use the
+    eq flags of the prefix EXCLUDING the just-chosen test."""
+    return split_pos | eq_pos, split_neg | ~eq_neg
+
+
+@jax.jit
+def _diag_counts(eq_pos, eq_neg, valid):
+    """Unmasked diagnostic TP/FP over the real (non-pad) triplets:
+    TP = eqPos & !eqNeg, FP = !eqPos & eqNeg (Fern.hpp:236-252)."""
+    tp = jnp.sum(eq_pos & ~eq_neg & valid, dtype=jnp.int32)
+    fp = jnp.sum(~eq_pos & eq_neg & valid, dtype=jnp.int32)
+    return tp, fp
+
+
 def _hmean(tp: int, fp: int, fn: int, w1: float) -> Tuple[float, float, float]:
     """precision, recall, weighted harmonic mean (Fern.hpp:256-261)."""
     w2 = 1.0 - w1
@@ -228,20 +254,28 @@ def train_fern(
             triplets = np.concatenate(
                 [np.asarray(triplets),
                  np.zeros((n_pad,) + triplets.shape[1:], triplets.dtype)])
+        # exclusion markers (markSplitSamples) and the real-vs-pad mask
+        # live ON DEVICE with the same sharding as the triplets: a
+        # multi-process mesh cannot fetch them whole host-side, and the
+        # per-level consumers only ever need scalar reductions anyway.
+        # Pads start fully marked so they never enter a level's `include`.
+        sp0 = np.zeros((n + n_pad,), bool)
+        sp0[n:] = True
+        valid0 = np.arange(n + n_pad) < n
         shard_n = NamedSharding(mesh, P("data"))
         patches = jax.device_put(jnp.asarray(triplets), shard_n)
-        eq_pos = jax.device_put(jnp.ones((n + n_pad,), bool), shard_n)
-        eq_neg = jax.device_put(jnp.ones((n + n_pad,), bool), shard_n)
+        eq_pos = jax.device_put(np.ones((n + n_pad,), bool), shard_n)
+        eq_neg = jax.device_put(np.ones((n + n_pad,), bool), shard_n)
+        split_pos = jax.device_put(sp0, shard_n)
+        split_neg = jax.device_put(sp0, shard_n)
+        valid = jax.device_put(valid0, shard_n)
     else:
         patches = jnp.asarray(triplets)
         eq_pos = jnp.ones((n,), bool)
         eq_neg = jnp.ones((n,), bool)
-    # exclusion markers (markSplitSamples, Fern.hpp:271-291); sharding
-    # pads start fully marked so they never enter a level's `include`
-    split_pos = np.zeros((n + n_pad,), bool)
-    split_neg = np.zeros((n + n_pad,), bool)
-    split_pos[n:] = True
-    split_neg[n:] = True
+        split_pos = jnp.zeros((n,), bool)
+        split_neg = jnp.zeros((n,), bool)
+        valid = jnp.ones((n,), bool)
 
     tau_lo, tau_hi = optimizer.tau_lo, optimizer.tau_hi
     num_taus = tau_hi - tau_lo
@@ -256,9 +290,7 @@ def train_fern(
 
     for level in range(max_depth):
         cand = np.asarray(candidates[level], np.int32)
-        include = jnp.asarray(~(split_pos & split_neg))
-        if mesh is not None:
-            include = jax.device_put(include, shard_n)
+        include, tot_dev = _include_and_tot(split_pos, split_neg)
         counts = np.asarray(
             _score_level(
                 patches, jnp.asarray(cand), jnp.int32(tau_lo), num_taus,
@@ -288,23 +320,21 @@ def train_fern(
             # just-chosen test — i.e. the eq flags before this level's
             # fold.  (The level-0 call marks pos.split on the empty
             # prefix, which is vacuously true for every sample.)
-            ep, en = np.asarray(eq_pos), np.asarray(eq_neg)
-            split_pos |= ep
-            split_neg |= ~en
+            split_pos, split_neg = _mark_splits(split_pos, split_neg,
+                                                eq_pos, eq_neg)
         eq_pos, eq_neg = _apply_level(
             patches, jnp.int32(bi), jnp.int32(bj), jnp.int32(btau), eq_pos, eq_neg
         )
 
         tp, fp, fn = best_counts
-        tot = int(np.asarray(include, bool).sum())
+        tot = int(tot_dev)
         prec, rec, hm = _hmean(tp, fp, fn, optimizer.w1)
         # unmasked diagnostic counts, free from the post-fold eq flags
-        # (the ≤level code-equality prefix): TP = eqPos & !eqNeg,
-        # FP = !eqPos & eqNeg, FN = eqPos == eqNeg (Fern.hpp:236-252);
-        # sharding pads are sliced off so diagnostics match unsharded runs
-        ep, en = np.asarray(eq_pos)[:n], np.asarray(eq_neg)[:n]
-        tp_all = int((ep & ~en).sum())
-        fp_all = int((~ep & en).sum())
+        # (the ≤level code-equality prefix), computed on device so a
+        # multi-process mesh never needs the (N,) flags host-side;
+        # sharding pads are masked out so diagnostics match unsharded runs
+        tp_all_d, fp_all_d = _diag_counts(eq_pos, eq_neg, valid)
+        tp_all, fp_all = int(tp_all_d), int(fp_all_d)
         fn_all = int(n - tp_all - fp_all)
         ix, iy = _lin_to_xy(bi)
         jx, jy = _lin_to_xy(bj)

@@ -90,3 +90,28 @@ for s in fcounts.addressable_shards:
     assert (c == wcounts[r0:r0 + c.shape[0]]).all(), (proc, r0)
 assert fchecked == 32, fchecked  # 2 of the 4 row shards live here
 print(f"proc {proc}: sharded-frame local rows identical", flush=True)
+
+# TRIPLET-AXIS-SHARDED TRAINING across the process boundary (r4): each
+# level's TP/FP/FN psum crosses the 2-process mesh; the selected splits
+# and every per-level stat must equal an unsharded local run (integer
+# counts are exact regardless of sharding).  n=157 is deliberately not
+# divisible by 4: exercises the pre-excluded padding path.
+from opengpc_tpu.config import tau_optimizer
+from opengpc_tpu.parallel import sharded_train_fern
+from opengpc_tpu.train import train_fern
+
+rng_t = np.random.default_rng(31)
+n_t = 157
+ref_p = rng_t.integers(0, 256, (n_t, 729)).astype(np.int16)
+pos_p = np.clip(ref_p + rng_t.integers(-8, 9, ref_p.shape), 0, 255)
+neg_p = rng_t.integers(0, 256, ref_p.shape)
+trips = np.stack([ref_p, pos_p, neg_p], axis=1).astype(np.uint8)
+
+fern_s, stats_s = sharded_train_fern(
+    trips, 1, tau_optimizer(num_resamples=4), 3, mesh, seed=9)
+fern_1, stats_1 = train_fern(
+    trips, 1, tau_optimizer(num_resamples=4), 3,
+    rng=np.random.default_rng(9), verbose=False)
+assert fern_s.tests == fern_1.tests, (proc, fern_s.tests, fern_1.tests)
+assert stats_s == stats_1, (proc, stats_s[0], stats_1[0])
+print(f"proc {proc}: cross-process sharded training identical", flush=True)

@@ -233,6 +233,10 @@ def test_multiprocess_mesh_e2e():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-2000:]}"
         assert "supports identical" in out, f"proc {i}:\n{out[-2000:]}"
+        assert "sharded-frame local rows identical" in out, \
+            f"proc {i}:\n{out[-2000:]}"
+        assert "cross-process sharded training identical" in out, \
+            f"proc {i}:\n{out[-2000:]}"
 
 
 def _frame_pair(seed, h, w):
