@@ -271,3 +271,54 @@ def test_sharded_artifact_container_round_trip(forest, tmp_path):
                                     settings.disp_high)
     assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
     assert len(got) > 20
+
+
+def test_examples_serve_loop(tmp_path):
+    """examples/serve.py end-to-end: export-once artifact, per-frame
+    zero-retrace serving, supports files equal the standard CLI pipeline,
+    device-resident densify written; artifact reuse path covered."""
+    import subprocess
+    import sys
+
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.utils.scenes import make_pair
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ld, rd, od = tmp_path / "l", tmp_path / "r", tmp_path / "out"
+    ld.mkdir(), rd.mkdir()
+    for i in range(2):
+        left, right = make_pair(80, 112, 4, seed=70 + i)
+        write_png(str(ld / f"f{i}.png"), left)
+        write_png(str(rd / f"f{i}.png"), right)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PALLAS_AXON_POOL_IPS": "",
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                            "")}
+    cmd = [sys.executable, os.path.join(repo, "examples", "serve.py"),
+           os.path.join(repo, "forests", "defaultZeroForest.txt"),
+           str(ld), str(rd), str(od), "--disp-high", "16", "--densify"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert (od / "matcher.ogpcx").exists()
+    assert (od / "dense_f0.png").exists() and (od / "dense_f1.png").exists()
+
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+
+    sup = tmp_path / "want.txt"
+    assert cli_main([os.path.join(repo, "forests", "defaultZeroForest.txt"),
+                     str(ld / "f0.png"), str(rd / "f0.png"),
+                     "--disp-high", "16", "--out", str(tmp_path / "d.png"),
+                     "--supports-out", str(sup)]) == 0
+    got = read_supports(str(od / "f0.txt"))
+    want = read_supports(str(sup))
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+
+    # reuse path: second run loads the existing artifact, no re-export
+    out2 = subprocess.run(cmd + ["--reuse-artifact",
+                                 str(od / "matcher.ogpcx")],
+                          capture_output=True, text=True, env=env,
+                          timeout=300)
+    assert out2.returncode == 0, out2.stdout + out2.stderr
+    assert "exported" not in out2.stdout
