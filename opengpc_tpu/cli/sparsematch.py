@@ -221,6 +221,22 @@ def main(argv=None) -> int:
                   "pipeline per frame only when no fast contract is "
                   "eligible", file=sys.stderr)
             return 1
+        # reject explicitly-requested single-pair-only features instead of
+        # silently ignoring them (same rule as the explicit-contract
+        # handling: an option the user typed either works or errors)
+        unsupported = [name for name, on in (
+            ("--pyramid", args.pyramid > 1),
+            (f"--matcher {args.matcher}", args.matcher != "sort"),
+            ("--repeats", args.repeats > 1),
+            ("--trace", bool(args.trace)),
+        ) if on]
+        if unsupported:
+            print("sequence (directory) mode does not support: "
+                  f"{', '.join(unsupported)}", file=sys.stderr)
+            return 1
+        if args.supports_out:
+            print("sequence mode writes per-frame supports_NNNN.txt next "
+                  "to --out; --supports-out is ignored", file=sys.stderr)
         return _run_sequence(args, forest, settings)
     if args.batch is not None and args.batch > 1:
         print("--batch applies to sequence (directory) mode only",
@@ -715,6 +731,12 @@ def _run_sequence(args, forest, settings) -> int:
             else "global-compact" if gcompact_form
             else "global_rows" if global_rows else "flat")
     needs_frames = compact_form or gcompact_form  # overflow re-run inputs
+    # sequence --densify: per-frame dense_{NNNN}.png into this DIRECTORY
+    # (single-pair mode's PNG path becomes a dir here, one file per frame)
+    dense_dir = args.densify or None
+    if dense_dir:
+        os.makedirs(dense_dir, exist_ok=True)
+    keep_frames = needs_frames or dense_dir is not None
     flat_match = match if mode == "flat" else None
     # default: stack 4 frames per dispatch on the fast contracts (folded
     # batches are exact; 4x fewer dispatch roundtrips — the README A/B);
@@ -769,17 +791,31 @@ def _run_sequence(args, forest, settings) -> int:
         # whole dispatch through the single-device full-width builder
         # (exact; mispredictions are rare by the auto density probe)
 
-    def write_frame(i, supports):
+    def write_frame(i, supports, gray=None):
         nonlocal total_matches
         total_matches += len(supports)
         write_supports(
             os.path.join(out_dir, f"supports_{i:04d}.txt"), supports
         )
+        if dense_dir is not None and gray is not None:
+            from opengpc_tpu.densify import densify_supports
+            from opengpc_tpu.viz import dense_disparity_visualization
+
+            dense, filled = densify_supports(supports, gray.shape)
+            write_png(os.path.join(dense_dir, f"dense_{i:04d}.png"),
+                      dense_disparity_visualization(
+                          gray, dense, filled,
+                          max_disparity=args.disp_high))
 
     def assemble(pending):
         """Fetch one dispatch's device outputs (one frame, or a --batch
         stack of frames) and write the per-frame supports files."""
         i0, dmode, out, k, frames = pending
+
+        def gray(j):
+            if frames is None:
+                return None
+            return frames[0][j] if k > 1 else frames[0]
         if dmode == "masked-compact":
             # overflow guard: a dense dispatch (any frame of the stack)
             # trips the ORed flag — a (n_shards,) vector under
@@ -794,7 +830,8 @@ def _run_sequence(args, forest, settings) -> int:
             for j in range(k):
                 write_frame(i0 + j, masked_supports_to_numpy(
                     mbuf[j] if k > 1 else mbuf,
-                    mcounts[j] if k > 1 else mcounts, settings.disp_high))
+                    mcounts[j] if k > 1 else mcounts, settings.disp_high),
+                    gray(j))
         elif dmode in ("global_rows", "global-compact"):
             if dmode == "global-compact" and bool(np.asarray(out[2]).any()):
                 # any frame of the dispatch (lax.map gives per-pair flags)
@@ -809,25 +846,28 @@ def _run_sequence(args, forest, settings) -> int:
                 write_frame(i0 + j, global_row_supports_to_numpy(
                     gxs[j] if k > 1 else gxs, gys[j] if k > 1 else gys,
                     gds[j] if k > 1 else gds,
-                    gcounts[j] if k > 1 else gcounts))
+                    gcounts[j] if k > 1 else gcounts), gray(j))
         elif dmode == "masked":
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
                 write_frame(i0 + j, masked_supports_to_numpy(
                     mbuf[j] if k > 1 else mbuf,
-                    mcounts[j] if k > 1 else mcounts, settings.disp_high))
+                    mcounts[j] if k > 1 else mcounts, settings.disp_high),
+                    gray(j))
         elif dmode == "rows" and k > 1:
             (rxs, rds), rcounts = out
             rxs, rds = np.asarray(rxs), np.asarray(rds)
             rcounts = np.asarray(rcounts)
             for j in range(k):
                 write_frame(i0 + j,
-                            row_supports_to_numpy(rxs[j], rds[j], rcounts[j]))
+                            row_supports_to_numpy(rxs[j], rds[j],
+                                                  rcounts[j]), gray(j))
         elif dmode == "rows":
             (rxs, rds), rcounts = out
-            write_frame(i0, row_supports_to_numpy(rxs, rds, rcounts))
+            write_frame(i0, row_supports_to_numpy(rxs, rds, rcounts),
+                        gray(0))
         else:
-            write_frame(i0, supports_to_numpy(*out))
+            write_frame(i0, supports_to_numpy(*out), gray(0))
 
     def dispatch_group(group):
         """One jit dispatch for a FULL same-shape group: a stacked
@@ -840,11 +880,11 @@ def _run_sequence(args, forest, settings) -> int:
         if len(group) == 1:  # --batch 1: plain 2-D single-frame dispatch
             l, r = group[0][1], group[0][2]
             return (i0, mode, match(l, r), 1,
-                    (l, r) if needs_frames else None)
+                    (l, r) if keep_frames else None)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
         return (i0, mode, match_batched(lb, rb), len(group),
-                (lb, rb) if needs_frames else None)
+                (lb, rb) if keep_frames else None)
 
     def flush_group(group):
         """Dispatch a partial (flushed or leftover) group as SINGLE frames:
@@ -854,7 +894,7 @@ def _run_sequence(args, forest, settings) -> int:
         every partial group."""
         for i, l, r in group:
             submit((i, mode, match(l, r), 1,
-                    (l, r) if needs_frames else None))
+                    (l, r) if keep_frames else None))
 
     # software pipeline: jax dispatch is async, assembly (device->host
     # fetch + supports write — numpy and the native writer both release
@@ -948,7 +988,7 @@ def _run_sequence(args, forest, settings) -> int:
                         keyname = "(x, d)"
                     if ok:
                         submit((i, mode, match(left, right), 1,
-                                (left, right) if needs_frames else None))
+                                (left, right) if keep_frames else None))
                         continue
                     print(
                         f"--contract {args.contract}: frame {i} shape "
@@ -965,7 +1005,8 @@ def _run_sequence(args, forest, settings) -> int:
                 # fresh trace/compile per mismatched frame
                 if flat_match is None:
                     flat_match = build_sparsematch(fmask, settings)
-                submit((i, "flat", flat_match(left, right), 1, None))
+                submit((i, "flat", flat_match(left, right), 1,
+                        (left, right) if keep_frames else None))
         if group:
             flush_group(group)
         while futures:

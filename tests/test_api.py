@@ -1193,3 +1193,41 @@ def test_cli_single_pair_auto_density_adaptive(tmp_path, capfd):
         b = read_supports(str(tmp_path / f"{name}_rows.txt"))
         assert len(a) > 100, name
         assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist())), name
+
+
+def test_cli_sequence_densify_and_rejections(tmp_path):
+    """Sequence mode --densify writes per-frame dense_{NNNN}.png into the
+    given directory, byte-identical to the single-pair --densify output
+    for the same frame; single-pair-only flags error out instead of being
+    silently ignored (r4 review finding)."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+
+    ld, rd = tmp_path / "ld", tmp_path / "rd"
+    ld.mkdir(), rd.mkdir()
+    frames = [make_pair(64, 96, 3, seed=80 + i) for i in range(3)]
+    for i, (left, right) in enumerate(frames):
+        write_png(str(ld / f"f{i}.png"), left)
+        write_png(str(rd / f"f{i}.png"), right)
+
+    base = [os.path.join(FORESTS, "defaultZeroForest.txt"), str(ld),
+            str(rd), "--disp-high", "16",
+            "--out", str(tmp_path / "seq" / "d.png")]
+    dense_dir = tmp_path / "dense"
+    assert cli_main(base + ["--densify", str(dense_dir)]) == 0
+    for i in range(3):
+        assert (dense_dir / f"dense_{i:04d}.png").exists(), i
+
+    # same frame through the single-pair path -> byte-identical dense PNG
+    single = tmp_path / "single_dense.png"
+    assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                     str(ld / "f1.png"), str(rd / "f1.png"),
+                     "--disp-high", "16", "--out", str(tmp_path / "s.png"),
+                     "--densify", str(single)]) == 0
+    assert single.read_bytes() == \
+        (dense_dir / "dense_0001.png").read_bytes()
+
+    # explicitly-requested single-pair-only features are rejected
+    for extra in (["--pyramid", "2"], ["--matcher", "quirk"],
+                  ["--repeats", "3"], ["--trace", str(tmp_path / "tr")]):
+        assert cli_main(base + extra) == 1, extra
