@@ -68,7 +68,13 @@ def main(argv=None) -> int:
 
     art = args.reuse_artifact or os.path.join(args.out_dir,
                                               "matcher.ogpcx")
-    if not (args.reuse_artifact and os.path.exists(art)):
+    if args.reuse_artifact and not os.path.exists(art):
+        # --reuse-artifact promises to serve an EXISTING artifact (the
+        # forest argument is ignored); silently exporting a fresh one here
+        # would serve a different matcher than the one asked for
+        print(f"--reuse-artifact {art}: no such file", file=sys.stderr)
+        return 1
+    if not args.reuse_artifact:
         t0 = time.perf_counter()
         blob = aot.export_sparsematch(load_forest(args.forest), settings,
                                       probe.shape, contract=args.contract)
@@ -90,7 +96,16 @@ def main(argv=None) -> int:
         right = read_gray(os.path.join(args.right_dir, rf))
         t0 = time.perf_counter()
         out = fn(left, right)
-        supports = aot.decode_outputs(meta, out)
+        try:
+            supports = aot.decode_outputs(meta, out)
+        except OverflowError as e:
+            # masked-compact artifact + a dense frame: the artifact is one
+            # frozen program, so re-dispatch is impossible here — skip the
+            # frame and keep serving (ship a full-width artifact alongside
+            # for dense frames, see aot.decode_outputs)
+            print(f"[{i + 1}/{len(lefts)}] {lf}: SKIPPED — {e}",
+                  file=sys.stderr)
+            continue
         stem = os.path.splitext(lf)[0]
         write_supports(os.path.join(args.out_dir, f"{stem}.txt"), supports)
         line = (f"[{i + 1}/{len(lefts)}] {lf}: {len(supports)} supports "

@@ -997,6 +997,11 @@ def _run_sequence(args, forest, settings) -> int:
                         "--contract auto to allow the flat fallback",
                         file=sys.stderr,
                     )
+                    # drain pending assembles so worker-thread failures on
+                    # already-dispatched frames surface instead of being
+                    # discarded by the early exit (review finding)
+                    while futures:
+                        futures.popleft().result()
                     return 1
                 # auto mode: fall back to the flat pipeline (eligibility
                 # was probed on the first frame).  ONE flat matcher is

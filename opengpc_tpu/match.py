@@ -345,12 +345,13 @@ def resolve_masked_compact_chunks(chunk=None, k=None):
     ratio; k > chunk rejected.  Every public builder routes through this
     so retuning MASKED_COMPACT_CHUNKS retunes the whole surface (CLI auto
     threshold, AOT, batched/sharded builders, pyramid) consistently."""
+    s0, k0 = MASKED_COMPACT_CHUNKS
     if chunk is None and k is None:
-        chunk, k = MASKED_COMPACT_CHUNKS
+        chunk, k = s0, k0
     elif chunk is None:
-        chunk = 2 * k  # keep the K/S=1/2 rule when only one is tuned
+        chunk = k * (s0 // k0)  # keep the tuned K/S ratio, not a fixed 1/2
     elif k is None:
-        k = max(1, chunk // 2)
+        k = max(1, chunk * k0 // s0)
     if k > chunk:
         raise ValueError(
             f"masked-compact chunk capacity k={k} exceeds chunk size "
