@@ -98,3 +98,21 @@ def test_row_pack_exact():
         assert c == len(want)
         assert list(zip(xs[y, :c].tolist(), ds[y, :c].tolist())) == want
         assert (xs[y, c:] == 0).all() and (ds[y, c:] == 0).all()
+
+
+def test_resolve_masked_compact_chunks_ratio_rule():
+    """Single-parameter derivation follows MASKED_COMPACT_CHUNKS' tuned
+    K/S ratio (review finding: a hardcoded 1/2 would silently diverge
+    from a retuned constant); k > chunk is rejected."""
+    import pytest
+
+    from opengpc_tpu.match import (MASKED_COMPACT_CHUNKS,
+                                   resolve_masked_compact_chunks)
+
+    s0, k0 = MASKED_COMPACT_CHUNKS
+    assert resolve_masked_compact_chunks() == (s0, k0)
+    assert resolve_masked_compact_chunks(chunk=2 * s0) == (2 * s0, 2 * k0)
+    assert resolve_masked_compact_chunks(k=2 * k0) == (2 * s0, 2 * k0)
+    assert resolve_masked_compact_chunks(chunk=64, k=64) == (64, 64)
+    with pytest.raises(ValueError):
+        resolve_masked_compact_chunks(chunk=64, k=65)
