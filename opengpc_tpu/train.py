@@ -170,6 +170,40 @@ def _apply_level(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_taus",))
+def _score_level_ferns(patches, cand, tau_lo, num_taus, eq_pos, eq_neg,
+                       include):
+    """One dispatch scoring the SAME level of F independent ferns:
+    vmap over the fern axis of (F, N, 3, 729) bootstrap stacks and
+    (F, R, 2) candidate sets.  Ferns are independent by construction
+    (own bootstrap subsample, own greedy prefix — trainAndExport's loop,
+    training.hpp:103-158), so batching them is exact; it just turns
+    F*max_depth scorer dispatches into max_depth."""
+    return jax.vmap(
+        lambda p, c, ep, en, inc: _score_level(p, c, tau_lo, num_taus,
+                                               ep, en, inc)
+    )(patches, cand, eq_pos, eq_neg, include)
+
+
+@jax.jit
+def _apply_level_ferns(patches, i, j, tau, eq_pos, eq_neg):
+    """Per-fern chosen-split fold over the stacked fern axis."""
+    return jax.vmap(_apply_level)(patches, i, j, tau, eq_pos, eq_neg)
+
+
+@jax.jit
+def _include_and_tot_ferns(split_pos, split_neg):
+    inc = ~(split_pos & split_neg)
+    return inc, jnp.sum(inc, axis=1, dtype=jnp.int32)
+
+
+@jax.jit
+def _diag_counts_ferns(eq_pos, eq_neg, valid):
+    tp = jnp.sum(eq_pos & ~eq_neg & valid, axis=1, dtype=jnp.int32)
+    fp = jnp.sum(~eq_pos & eq_neg & valid, axis=1, dtype=jnp.int32)
+    return tp, fp
+
+
 @jax.jit
 def _include_and_tot(split_pos, split_neg):
     """include mask (= not excluded by markSplitSamples) + its count, on
@@ -207,6 +241,25 @@ def _hmean(tp: int, fp: int, fn: int, w1: float) -> Tuple[float, float, float]:
 
 def _lin_to_xy(lin: int) -> Tuple[int, int]:
     return lin % PATCH - PATCH_HALF, lin // PATCH - PATCH_HALF
+
+
+def _select_best(counts, cand, tau_lo: int, num_taus: int, w1: float):
+    """Host-side greedy split selection over one level's (R, T, 3) counts:
+    float64, strictly-greater-first-wins; if nothing scores > 0 the
+    degenerate (0, 0, 0) split is kept (the reference would silently reuse
+    the previous level's params via an uninitialized local,
+    Fern.hpp:316-351 — not copied)."""
+    best_score, best = 0.0, (0, 0, 0)
+    best_counts = (0, 0, 0)
+    for r in range(counts.shape[0]):
+        for t in range(num_taus):
+            tp, fp, fn = (int(v) for v in counts[r, t])
+            _, _, hm = _hmean(tp, fp, fn, w1)
+            if hm > best_score:
+                best_score = hm
+                best = (int(cand[r, 0]), int(cand[r, 1]), tau_lo + t)
+                best_counts = (tp, fp, fn)
+    return best, best_counts
 
 
 def train_fern(
@@ -298,21 +351,8 @@ def train_fern(
             )
         )  # (R, T, 3)
 
-        # host-side selection, float64, strictly-greater-first-wins;
-        # if nothing scores > 0 the degenerate (0, 0, 0) split is kept
-        # (the reference would silently reuse the previous level's params
-        # via an uninitialized local, Fern.hpp:316-351 — not copied)
-        best_score, best = 0.0, (0, 0, 0)
-        best_counts = (0, 0, 0)
-        for r in range(counts.shape[0]):
-            for t in range(num_taus):
-                tp, fp, fn = (int(v) for v in counts[r, t])
-                _, _, hm = _hmean(tp, fp, fn, optimizer.w1)
-                if hm > best_score:
-                    best_score = hm
-                    best = (int(cand[r, 0]), int(cand[r, 1]), tau_lo + t)
-                    best_counts = (tp, fp, fn)
-
+        best, best_counts = _select_best(counts, cand, tau_lo, num_taus,
+                                         optimizer.w1)
         bi, bj, btau = best
         if optimizer.only_score_non_split_samples:
             # markSplitSamples is called with numParams=level
@@ -352,6 +392,151 @@ def train_fern(
     return Fern(scale, tuple(chosen)), stats_out
 
 
+def _train_forest_batched(
+    triplets: np.ndarray,
+    settings: ForestSettings,
+    optimizer: OptimizerSettings,
+    rng: np.random.Generator,
+    sub_n: int,
+    verbose: bool,
+    mesh,
+) -> Forest:
+    """Train ALL ferns level-synchronously: one scorer dispatch per level
+    covers every fern's candidate set (vmap over the stacked fern axis).
+
+    Ferns are independent by construction — each has its own bootstrap
+    subsample and its own greedy prefix (trainAndExport's sequential loop,
+    training.hpp:103-158, shares nothing between ferns but the RNG stream)
+    — so batching them is exact.  RNG draws happen host-side in the
+    sequential path's exact order (bootstrap_k, then candidates_k per
+    level), so the exported forest is BYTE-IDENTICAL to ``train_forest``'s
+    fern-at-a-time loop (pinned in tests/test_train.py); the win is
+    F*max_depth scorer dispatches collapsing to max_depth — material
+    through a high-latency device link.
+
+    ``mesh``: optional data-parallel mesh; the triplet axis (axis 1 of the
+    (F, N, 3, 729) stack) shards over it with the same pad-with-excluded
+    construction as the sequential path.
+    """
+    n = triplets.shape[0]
+    f = len(settings.ferns)
+    max_depth = settings.max_depth
+    tau_lo, tau_hi = optimizer.tau_lo, optimizer.tau_hi
+    num_taus = tau_hi - tau_lo
+
+    # pre-draw every RNG value in the sequential path's order
+    idxs = np.empty((f, sub_n), np.int64)
+    cands: List[List[np.ndarray]] = []
+    for k, scale in enumerate(settings.ferns):
+        idxs[k] = rng.integers(0, n, size=sub_n)
+        cands.append([
+            sample_candidates(rng, scale, optimizer.num_resamples)
+            for _ in range(max_depth)
+        ])
+
+    n_pad = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        n_pad = (-sub_n) % n_dev
+        host = np.asarray(triplets)[idxs]  # (F, sub_n, 3, 729)
+        if n_pad:
+            host = np.concatenate(
+                [host, np.zeros((f, n_pad) + host.shape[2:], host.dtype)],
+                axis=1)
+        np_tot = sub_n + n_pad
+        # pads start fully marked (excluded from every level's counts) and
+        # invalid (masked out of diagnostics) — identical to unpadded runs
+        # by construction, as in train_fern's mesh path
+        sp0 = np.zeros((f, np_tot), bool)
+        sp0[:, sub_n:] = True
+        valid0 = np.ascontiguousarray(
+            np.broadcast_to(np.arange(np_tot) < sub_n, (f, np_tot)))
+        shard = NamedSharding(mesh, P(None, "data"))
+        patches = jax.device_put(host, shard)
+        eq_pos = jax.device_put(np.ones((f, np_tot), bool), shard)
+        eq_neg = jax.device_put(np.ones((f, np_tot), bool), shard)
+        split_pos = jax.device_put(sp0, shard)
+        split_neg = jax.device_put(sp0.copy(), shard)
+        valid = jax.device_put(valid0, shard)
+    else:
+        patches = jnp.take(jnp.asarray(triplets), jnp.asarray(idxs), axis=0)
+        eq_pos = jnp.ones((f, sub_n), bool)
+        eq_neg = jnp.ones((f, sub_n), bool)
+        split_pos = jnp.zeros((f, sub_n), bool)
+        split_neg = jnp.zeros((f, sub_n), bool)
+        valid = jnp.ones((f, sub_n), bool)
+
+    chosen: List[List[Test]] = [[] for _ in range(f)]
+    stats_out: List[List[LevelStats]] = [[] for _ in range(f)]
+    t0 = time.perf_counter()
+    for level in range(max_depth):
+        cand_l = np.stack([cands[k][level] for k in range(f)]).astype(
+            np.int32)  # (F, R, 2)
+        include, tot_dev = _include_and_tot_ferns(split_pos, split_neg)
+        counts = np.asarray(
+            _score_level_ferns(
+                patches, jnp.asarray(cand_l), jnp.int32(tau_lo), num_taus,
+                eq_pos, eq_neg, include,
+            )
+        )  # (F, R, T, 3)
+        tots = np.asarray(tot_dev)
+        bi = np.empty((f,), np.int32)
+        bj = np.empty((f,), np.int32)
+        bt = np.empty((f,), np.int32)
+        best_counts_all = []
+        for k in range(f):
+            (bi[k], bj[k], bt[k]), bc = _select_best(
+                counts[k], cand_l[k], tau_lo, num_taus, optimizer.w1)
+            best_counts_all.append(bc)
+        if optimizer.only_score_non_split_samples:
+            # elementwise fold — shape-agnostic, same rule as train_fern
+            split_pos, split_neg = _mark_splits(split_pos, split_neg,
+                                                eq_pos, eq_neg)
+        eq_pos, eq_neg = _apply_level_ferns(
+            patches, jnp.asarray(bi), jnp.asarray(bj), jnp.asarray(bt),
+            eq_pos, eq_neg)
+        tp_all_d, fp_all_d = _diag_counts_ferns(eq_pos, eq_neg, valid)
+        tp_alls, fp_alls = np.asarray(tp_all_d), np.asarray(fp_all_d)
+        for k in range(f):
+            tp, fp, fn = best_counts_all[k]
+            prec, rec, hm = _hmean(tp, fp, fn, optimizer.w1)
+            ix, iy = _lin_to_xy(int(bi[k]))
+            jx, jy = _lin_to_xy(int(bj[k]))
+            chosen[k].append(Test(ix, iy, jx, jy, int(bt[k])))
+            tp_all, fp_all = int(tp_alls[k]), int(fp_alls[k])
+            stats_out[k].append(
+                LevelStats(level, int(bi[k]), int(bj[k]), int(bt[k]),
+                           tp, fp, fn, int(tots[k]), prec, rec, hm,
+                           tp_all, fp_all, sub_n - tp_all - fp_all)
+            )
+    elapsed = time.perf_counter() - t0
+
+    if verbose:
+        for k, scale in enumerate(settings.ferns):
+            print(f"Fern({k + 1}/{f}) num samples: {sub_n}")
+            print("*" * 90)
+            print(
+                f"{'Level':>7}{'Prec':>10}{'Rec':>10}{'Har':>10}{'Tot':>8}"
+                f"{'TP':>8}{'FP':>8}{'FN':>8}{'scale':>6}{'tau':>5}"
+                f"{'i':>5}{'j':>5}"
+            )
+            for s in stats_out[k]:
+                print(
+                    f"{s.level:>7}{s.prec:>10.4f}{s.rec:>10.4f}"
+                    f"{s.hmean:>10.4f}{s.tot:>8}{s.tp:>8}{s.fp:>8}{s.fn:>8}"
+                    f"{scale:>6}{s.tau:>5}{s.i:>5}{s.j:>5}"
+                )
+            print()
+        print(f"batched {f} ferns x {max_depth} levels in {elapsed:.2f} s\n")
+
+    return Forest(tuple(
+        Fern(scale, tuple(chosen[k]))
+        for k, scale in enumerate(settings.ferns)
+    ))
+
+
 def train_forest(
     triplets: np.ndarray,
     settings: ForestSettings,
@@ -360,6 +545,7 @@ def train_forest(
     verbose: bool = True,
     mesh=None,
     checkpoint_path: Optional[str] = None,
+    batch_ferns: Optional[bool] = None,
 ) -> Forest:
     """Train a forest: per fern, bootstrap-subsample (with replacement, from
     the whole set — see module docstring) and train
@@ -369,6 +555,12 @@ def train_forest(
     partial forest is written there (valid reference text format), so an
     interrupted run keeps its completed ferns (the per-fern analog of the
     reference's artifact-level checkpointing, SURVEY.md §5).
+
+    ``batch_ferns``: train all ferns level-synchronously in ONE scorer
+    dispatch per level (see ``_train_forest_batched`` — byte-identical
+    forest, F× fewer dispatches).  Default (None): batched whenever there
+    is more than one fern and no incremental checkpointing is requested
+    (per-fern checkpoints only make sense when ferns finish one at a time).
     """
     from opengpc_tpu.forest import save_forest
 
@@ -377,6 +569,15 @@ def train_forest(
     if n == 0:
         raise ValueError("training set is empty")
     sub_n = int(settings.sample_fraction * n)
+    if batch_ferns is None:
+        batch_ferns = checkpoint_path is None and len(settings.ferns) > 1
+    if batch_ferns:
+        if checkpoint_path is not None:
+            raise ValueError(
+                "batch_ferns trains all ferns concurrently; per-fern "
+                "incremental checkpointing needs batch_ferns=False")
+        return _train_forest_batched(triplets, settings, optimizer, rng,
+                                     sub_n, verbose, mesh)
     # upload the dataset once; per-fern bootstrap gathers happen on device
     # (the dataset is the big transfer — hundreds of MB for real runs)
     triplets_dev = jnp.asarray(triplets)

@@ -166,6 +166,55 @@ def test_train_forest_incremental_checkpoint(tmp_path):
     assert len(forest.ferns) == 2
 
 
+def test_train_forest_batched_matches_sequential():
+    """Level-synchronous batched-fern training (one scorer dispatch per
+    level covering all ferns) must export a BYTE-IDENTICAL forest to the
+    fern-at-a-time loop — RNG draws are pre-drawn in the sequential
+    order and integer counts are exact under vmap."""
+    rng = np.random.default_rng(11)
+    trips = make_triplets(rng, 350)
+    settings = fern_factory(1, 1, 1, 3)
+    for opt in (
+        zero_optimizer(num_resamples=4),
+        tau_optimizer(num_resamples=4, only_score_non_split_samples=True),
+    ):
+        seq = train_forest(trips, settings, opt, seed=3, verbose=False,
+                           batch_ferns=False)
+        bat = train_forest(trips, settings, opt, seed=3, verbose=False,
+                           batch_ferns=True)
+        assert serialize_forest(seq) == serialize_forest(bat)
+
+
+def test_train_forest_batched_mesh_matches_sequential():
+    """Batched-fern training with the triplet axis sharded over a mesh
+    (non-divisible bootstrap size exercises the pad-with-excluded path)
+    equals the unsharded sequential run byte-for-byte."""
+    import jax
+
+    from opengpc_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    rng = np.random.default_rng(12)
+    trips = make_triplets(rng, 215)  # sub_n = 150, 150 % 4 = 2 -> padded
+    settings = fern_factory(1, 1, 0, 2)
+    opt = tau_optimizer(num_resamples=3)
+    seq = train_forest(trips, settings, opt, seed=5, verbose=False,
+                       batch_ferns=False)
+    bat = train_forest(trips, settings, opt, seed=5, verbose=False,
+                       batch_ferns=True, mesh=mesh)
+    assert serialize_forest(seq) == serialize_forest(bat)
+
+
+def test_train_forest_batched_rejects_checkpoint(tmp_path):
+    rng = np.random.default_rng(13)
+    trips = make_triplets(rng, 120)
+    with pytest.raises(ValueError, match="checkpoint"):
+        train_forest(trips, fern_factory(1, 0, 0, 2),
+                     zero_optimizer(num_resamples=3), seed=1, verbose=False,
+                     checkpoint_path=str(tmp_path / "c.txt"),
+                     batch_ferns=True)
+
+
 def test_trained_forest_quality_vs_pretrained():
     """Selection QUALITY gate (not just selection parity): a forest
     trained end-to-end on mined synthetic triplets must match a HELD-OUT
