@@ -42,6 +42,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default=None,
                    help="write the partial forest here after each fern")
+    p.add_argument("--no-batch-ferns", action="store_true",
+                   help="force the fern-at-a-time training loop instead of "
+                   "the level-synchronous batched trainer (same forest "
+                   "byte-for-byte; batched is the multi-fern default and "
+                   "dispatches F x fewer device programs)")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard the triplet axis over the first N devices "
                    "during level scoring (each level's TP/FP/FN reduction "
@@ -78,7 +83,8 @@ def main(argv=None) -> int:
             return 1
         mesh = make_mesh(devs[:args.data_parallel])
     forest = train_forest(triplets, settings, optimizer, seed=args.seed,
-                          checkpoint_path=args.checkpoint, mesh=mesh)
+                          checkpoint_path=args.checkpoint, mesh=mesh,
+                          batch_ferns=False if args.no_batch_ferns else None)
     save_forest(forest, args.forest_out)
     print(f"Exported forest to {args.forest_out}")
     return 0

@@ -205,6 +205,31 @@ def test_train_forest_batched_mesh_matches_sequential():
     assert serialize_forest(seq) == serialize_forest(bat)
 
 
+def test_train_forest_batched_fuzz_identity():
+    """Randomized settings sweep: batched == sequential byte-for-byte
+    across fern mixes, depths, optimizer modes and dataset sizes."""
+    meta = np.random.default_rng(2024)
+    for trial in range(4):
+        n = int(meta.integers(60, 400))
+        trips = make_triplets(np.random.default_rng(100 + trial), n)
+        settings = fern_factory(int(meta.integers(0, 3)),
+                                int(meta.integers(0, 3)),
+                                int(meta.integers(1, 3)),
+                                int(meta.integers(1, 4)))
+        make_opt = (zero_optimizer, tau_optimizer)[trial % 2]
+        opt = make_opt(num_resamples=int(meta.integers(2, 6)),
+                       only_score_non_split_samples=bool(trial % 2),
+                       w1=float(meta.uniform(0.3, 0.7)))
+        seed = int(meta.integers(0, 1000))
+        seq = train_forest(trips, settings, opt, seed=seed, verbose=False,
+                           batch_ferns=False)
+        bat = train_forest(trips, settings, opt, seed=seed, verbose=False,
+                           batch_ferns=True)
+        assert serialize_forest(seq) == serialize_forest(bat), (
+            f"trial {trial}: n={n} ferns={settings.ferns} "
+            f"depth={settings.max_depth}")
+
+
 def test_train_forest_batched_rejects_checkpoint(tmp_path):
     rng = np.random.default_rng(13)
     trips = make_triplets(rng, 120)
