@@ -341,8 +341,8 @@ MASKED_COMPACT_CHUNKS = (128, 64)
 
 def resolve_masked_compact_chunks(chunk=None, k=None):
     """The ONE derivation rule for masked-compact (chunk, k): both None ->
-    MASKED_COMPACT_CHUNKS; one None -> derived with the default K/S=1/2
-    ratio; k > chunk rejected.  Every public builder routes through this
+    MASKED_COMPACT_CHUNKS; one None -> derived keeping the tuned
+    MASKED_COMPACT_CHUNKS K/S ratio; k > chunk rejected.  Every public builder routes through this
     so retuning MASKED_COMPACT_CHUNKS retunes the whole surface (CLI auto
     threshold, AOT, batched/sharded builders, pyramid) consistently."""
     s0, k0 = MASKED_COMPACT_CHUNKS

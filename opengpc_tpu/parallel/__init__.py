@@ -23,6 +23,7 @@ from opengpc_tpu.forest import Forest, make_filter_mask
 from opengpc_tpu.infer import _sparsematch_impl
 
 DATA_AXIS = "data"
+ROWS_AXIS = "rows"
 
 
 def init_distributed(**kwargs) -> int:
@@ -49,6 +50,22 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the given (default: all) devices."""
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_rows: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ("data", "rows") mesh: ``n_data`` independent frame groups, each
+    row-sharding its frames over ``n_rows`` chips.  Devices fill row-major,
+    so consecutive devices form one frame group — on real hardware pass a
+    device order where those are ICI neighbors (the halo ppermutes ride the
+    "rows" axis)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_data * n_rows:
+        raise ValueError(
+            f"need {n_data * n_rows} devices for a {n_data}x{n_rows} mesh, "
+            f"have {len(devices)}")
+    arr = np.array(devices[: n_data * n_rows]).reshape(n_data, n_rows)
+    return Mesh(arr, (DATA_AXIS, ROWS_AXIS))
 
 
 def build_batched_sparsematch(forest: Forest, settings: InferenceSettings, mesh: Mesh,
@@ -426,6 +443,156 @@ def build_sharded_frame_sparsematch(forest_or_mask,
     return run
 
 
+def build_batched_sharded_frame_sparsematch(forest_or_mask,
+                                            settings: InferenceSettings,
+                                            mesh: Mesh, use_pallas=None,
+                                            contract: str = "masked",
+                                            chunk=None, k=None):
+    """(B, H, W) pairs sharded BOTH ways over a 2-D ("data", "rows") mesh
+    (``make_mesh_2d``): the batch axis splits over "data" (independent
+    frames, zero collectives — build_batched_sparsematch_*'s axis) and
+    every frame's ROWS split over "rows" with the same 14-row ppermute
+    halo exchange as build_sharded_frame_sparsematch.  This composes the
+    framework's two inference parallelism axes — the throughput axis
+    (frames) and the latency axis (one frame's rows, the reference's
+    parFor partitioning, /root/reference/lib/gpc/filter.hpp:128-145) — so
+    a pod can stream a sequence of frames too large for single-chip
+    latency budgets.
+
+    Each chip holds (B/n_data) frame slabs of (H/n_rows) rows; after the
+    halo exchange its local slabs fold into ONE (B_local*sh, 2W) segmented
+    sort (epipolar rows are independent across frames AND row blocks, so
+    the fold is exact — same argument as the batched masked fold).
+
+    Contracts (epipolar only — global mode's uniqueness domain spans whole
+    frames, see build_sharded_frame_sparsematch):
+
+    * ``"masked"`` (default): (buf (B, H, 2W), row_counts (B, H)) —
+      bit-identical to build_sparsematch_masked per frame.
+    * ``"rows"``: ((xs, ds) (B, H, W) each, row_counts (B, H)).
+    * ``"masked-compact"``: (buf (B, H, C), row_counts (B, H), overflow
+      (n_data,) bool) — one pmax-reduced flag per frame GROUP (the "rows"
+      axis collapses); re-run that group's frames full-width on overflow.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _key_image_jnp_slab, _rows_ok
+    from opengpc_tpu.match import (SENTINEL_BASE, match_epipolar_masked,
+                                   match_epipolar_masked_compact,
+                                   match_epipolar_rows)
+    from opengpc_tpu.ops.fused import PAD, fused_keys_slab
+
+    if contract not in ("masked", "rows", "masked-compact"):
+        raise ValueError(
+            f"contract must be 'masked', 'rows' or 'masked-compact', "
+            f"got {contract!r}")
+    if set(mesh.axis_names) != {DATA_AXIS, ROWS_AXIS}:
+        raise ValueError(
+            f"need a 2-D ('{DATA_AXIS}', '{ROWS_AXIS}') mesh "
+            f"(make_mesh_2d), got axes {mesh.axis_names}")
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_rows = mesh.shape[ROWS_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    fwd = [(i, i + 1) for i in range(n_rows - 1)]
+    bwd = [(i + 1, i) for i in range(n_rows - 1)]
+
+    def local(l_slabs, r_slabs):
+        bl, sh, w = l_slabs.shape
+        h_total = n_rows * sh
+        if sh < PAD:
+            raise ValueError(
+                f"row shards of {sh} rows are below the {PAD}-row halo; "
+                f"use fewer '{ROWS_AXIS}' shards for images under "
+                f"{PAD * n_rows} rows")
+        if not settings.epipolar_mode:
+            raise ValueError("sharded-frame matching is epipolar-only")
+        if not _rows_ok(mask, (h_total, w), settings):
+            raise ValueError(
+                "sharded-frame matching needs <=30-test forests and a "
+                "packable (x, d) key; see infer._rows_ok")
+        y0 = jax.lax.axis_index(ROWS_AXIS).astype(jnp.int32) * sh
+
+        def with_halo(x):
+            if n_rows == 1:
+                zeros = jnp.zeros((bl, PAD, w), x.dtype)
+                return jnp.concatenate([zeros, x, zeros], axis=1)
+            top = jax.lax.ppermute(x[:, -PAD:], ROWS_AXIS, fwd)
+            bot = jax.lax.ppermute(x[:, :PAD], ROWS_AXIS, bwd)
+            return jnp.concatenate([top, x, bot], axis=1)
+
+        hl = with_halo(l_slabs)
+        hr = with_halo(r_slabs)
+        if use_pallas:
+            def keyf(ab):
+                a, b = ab
+                return jnp.concatenate([
+                    fused_keys_slab(a, mask, settings.gradient_threshold,
+                                    0, SENTINEL_BASE, y0, h_total),
+                    fused_keys_slab(b, mask, settings.gradient_threshold,
+                                    w, SENTINEL_BASE, y0, h_total),
+                ], axis=1)
+
+            keys = jax.lax.map(keyf, (hl, hr))
+        else:
+            keys = jax.vmap(
+                lambda a, b: _key_image_jnp_slab(a, b, mask, settings,
+                                                 y0, h_total)
+            )(hl, hr)
+        flat = keys.reshape(bl * sh, 2 * w)
+        if contract == "masked-compact":
+            buf, counts, ovf = match_epipolar_masked_compact(
+                flat, settings.disp_high, chunk, k)
+            ovf = jax.lax.pmax(ovf.astype(jnp.int32), ROWS_AXIS) > 0
+            return (buf.reshape(bl, sh, -1), counts.reshape(bl, sh),
+                    ovf.reshape(1))
+        if contract == "masked":
+            buf, counts = match_epipolar_masked(
+                None, None, None, None, settings.disp_high, key=flat)
+            return buf.reshape(bl, sh, 2 * w), counts.reshape(bl, sh)
+        (xs, ds), counts = match_epipolar_rows(
+            None, None, None, None, settings.disp_high, key=flat)
+        return ((xs.reshape(bl, sh, w), ds.reshape(bl, sh, w)),
+                counts.reshape(bl, sh))
+
+    spec = P(DATA_AXIS, ROWS_AXIS, None)
+    cspec = P(DATA_AXIS, ROWS_AXIS)
+    out_specs = (
+        (spec, cspec) if contract == "masked"
+        else (spec, cspec, P(DATA_AXIS)) if contract == "masked-compact"
+        else ((spec, spec), cspec))
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(lefts, rights):
+        if lefts.ndim != 3:
+            raise ValueError(
+                "batched sharded-frame matching takes (B, H, W) pairs; use "
+                "build_sharded_frame_sparsematch for a single pair")
+        b, h, _ = lefts.shape
+        if b % n_data:
+            raise ValueError(
+                f"batch {b} must divide by the '{DATA_AXIS}' axis {n_data}")
+        if h % n_rows:
+            raise ValueError(
+                f"image height {h} must divide by the '{ROWS_AXIS}' axis "
+                f"{n_rows} (pad the pairs or pick a divisor mesh)")
+        return fn(lefts, rights)
+
+    return run
+
+
 def sharded_train_fern(
     triplets, scale, optimizer, max_depth, mesh: Mesh, seed: int = 0,
     verbose: bool = False,
@@ -568,6 +735,27 @@ def sharded_sparsematch_step(n_devices: int) -> None:
         assert int(np.asarray(cfcounts).sum()) == int(
             np.asarray(wcounts).sum()), (
             "sharded-frame compact counts != whole-frame masked counts")
+
+    # 2-D (data, rows) mesh (r4): the batch axis AND each frame's rows
+    # sharded together — per-frame results must equal the whole-frame run
+    if n_devices >= 4 and n_devices % 2 == 0:
+        n_rows2 = n_devices // 2
+        mesh2 = make_mesh_2d(2, n_rows2, devices[:n_devices])
+        bh2 = 16 * n_rows2
+        bl2 = rng.integers(0, 256, (2, bh2, fw)).astype(np.uint8)
+        br2 = np.roll(bl2, -2, axis=2)
+        run_2d = build_batched_sharded_frame_sparsematch(forest, settings,
+                                                         mesh2)
+        b2buf, b2counts = run_2d(bl2, br2)
+        b2counts.block_until_ready()
+        assert b2buf.shape == (2, bh2, 2 * fw)
+        whole = build_sparsematch_masked(forest, settings, use_pallas=False)
+        for bi in range(2):
+            w2buf, w2counts = whole(bl2[bi], br2[bi])
+            assert (np.asarray(b2counts[bi]) == np.asarray(w2counts)).all(), (
+                "2-D-mesh sharded counts != whole-frame masked counts")
+            assert (np.asarray(b2buf[bi]) == np.asarray(w2buf)).all(), (
+                "2-D-mesh sharded buffer != whole-frame masked buffer")
 
     # full training step, triplet axis sharded over the same mesh
     from opengpc_tpu.config import zero_optimizer

@@ -1022,8 +1022,9 @@ def test_masked_compact_builders_follow_constant(monkeypatch):
 
     # the shared derivation rules
     assert match.resolve_masked_compact_chunks() == (64, 16)
-    assert match.resolve_masked_compact_chunks(k=8) == (16, 8)
-    assert match.resolve_masked_compact_chunks(chunk=32) == (32, 16)
+    # single-parameter defaults keep the tuned K/S ratio (here 16/64 = 1/4)
+    assert match.resolve_masked_compact_chunks(k=8) == (32, 8)
+    assert match.resolve_masked_compact_chunks(chunk=32) == (32, 8)
     with pytest.raises(ValueError):
         match.resolve_masked_compact_chunks(chunk=8, k=16)
 

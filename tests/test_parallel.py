@@ -538,3 +538,159 @@ def test_cli_train_data_parallel_byte_identical(tmp_path):
     # more devices than visible is rejected
     args[1] = str(tmp_path / "x.txt")
     assert train_main(list(args) + ["--data-parallel", "99"]) == 1
+
+
+def _frame_batch(seed, b, h, w):
+    pairs = [_frame_pair(seed + i, h, w) for i in range(b)]
+    return (np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs]))
+
+
+def test_batched_sharded_frame_masked_matches_single_device():
+    """(B, H, W) pairs sharded over a 2-D (data, rows) mesh — every frame
+    split over 'data', every frame's rows over 'rows' — == the
+    single-device masked matcher per frame, bit for bit, on both mesh
+    aspect ratios."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import build_sparsematch_masked
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_sparsematch,
+                                      make_mesh_2d)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    b, h, w = 4, 64, 96
+    lefts, rights = _frame_batch(31, b, h, w)
+    single = build_sparsematch_masked(forest, settings, use_pallas=False)
+    sing = [single(lefts[i], rights[i]) for i in range(b)]
+
+    for n_data, n_rows in ((2, 4), (4, 2)):
+        mesh = make_mesh_2d(n_data, n_rows)
+        run = build_batched_sharded_frame_sparsematch(
+            forest, settings, mesh, use_pallas=False)
+        buf, counts = run(lefts, rights)
+        assert buf.shape == (b, h, 2 * w) and counts.shape == (b, h)
+        total = int(np.asarray(counts).sum())
+        assert total > 100
+        for i in range(b):
+            np.testing.assert_array_equal(np.asarray(counts[i]),
+                                          np.asarray(sing[i][1]))
+            np.testing.assert_array_equal(np.asarray(buf[i]),
+                                          np.asarray(sing[i][0]))
+
+
+def test_batched_sharded_frame_rows_and_compact_match():
+    """Row-form and chunk-compacted contracts on the 2-D mesh == the
+    single-device builders per frame (compact gated on no overflow)."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import (build_sparsematch_masked_compact,
+                                   build_sparsematch_rows)
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_sparsematch,
+                                      make_mesh_2d)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultTauForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    b, h, w = 2, 64, 128
+    lefts, rights = _frame_batch(41, b, h, w)
+    mesh = make_mesh_2d(2, 4)
+
+    run_rows = build_batched_sharded_frame_sparsematch(
+        forest, settings, mesh, use_pallas=False, contract="rows")
+    (xs, ds), counts = run_rows(lefts, rights)
+    single_rows = build_sparsematch_rows(forest, settings, use_pallas=False)
+    for i in range(b):
+        (sxs, sds), scounts = single_rows(lefts[i], rights[i])
+        np.testing.assert_array_equal(np.asarray(counts[i]),
+                                      np.asarray(scounts))
+        np.testing.assert_array_equal(np.asarray(xs[i]), np.asarray(sxs))
+        np.testing.assert_array_equal(np.asarray(ds[i]), np.asarray(sds))
+    assert int(np.asarray(counts).sum()) > 20
+
+    run_c = build_batched_sharded_frame_sparsematch(
+        forest, settings, mesh, use_pallas=False, contract="masked-compact")
+    cbuf, ccounts, covf = run_c(lefts, rights)
+    assert np.asarray(covf).shape == (2,)
+    single_c = build_sparsematch_masked_compact(forest, settings,
+                                                use_pallas=False)
+    for i in range(b):
+        sbuf, scounts, sovf = single_c(lefts[i], rights[i])
+        if not (bool(np.asarray(covf)[i]) or bool(np.asarray(sovf))):
+            np.testing.assert_array_equal(np.asarray(ccounts[i]),
+                                          np.asarray(scounts))
+            np.testing.assert_array_equal(np.asarray(cbuf[i]),
+                                          np.asarray(sbuf))
+
+
+def test_batched_sharded_frame_pallas_interpret_matches_jnp():
+    """Pallas slab-kernel path (interpret on CPU) inside the 2-D shard_map
+    == single-device jnp masked."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.infer import build_sparsematch_masked
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_sparsematch,
+                                      make_mesh_2d)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    b, h, w = 2, 64, 80
+    lefts, rights = _frame_batch(51, b, h, w)
+    mesh = make_mesh_2d(2, 4)
+    run = build_batched_sharded_frame_sparsematch(
+        forest, settings, mesh, use_pallas=True)
+    buf, counts = run(lefts, rights)
+    single = build_sparsematch_masked(forest, settings, use_pallas=False)
+    for i in range(b):
+        sbuf, scounts = single(lefts[i], rights[i])
+        np.testing.assert_array_equal(np.asarray(counts[i]),
+                                      np.asarray(scounts))
+        np.testing.assert_array_equal(np.asarray(buf[i]), np.asarray(sbuf))
+
+
+def test_batched_sharded_frame_rejects_bad_inputs():
+    import os
+
+    import pytest
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_sparsematch,
+                                      make_mesh_2d)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    with pytest.raises(ValueError, match="2-D"):
+        build_batched_sharded_frame_sparsematch(forest, settings, make_mesh())
+    mesh = make_mesh_2d(2, 4)
+    run = build_batched_sharded_frame_sparsematch(forest, settings, mesh,
+                                                  use_pallas=False)
+    lefts, rights = _frame_batch(61, 3, 64, 64)  # 3 % 2 != 0
+    with pytest.raises(ValueError, match="divide"):
+        run(lefts, rights)
+    lefts, rights = _frame_batch(62, 2, 66, 64)  # 66 % 4 != 0
+    with pytest.raises(ValueError, match="divide"):
+        run(lefts, rights)
+    lefts, rights = _frame_batch(63, 2, 48, 64)  # 12 rows/shard < 14 halo
+    with pytest.raises(ValueError, match="halo"):
+        run(lefts, rights)
