@@ -178,10 +178,13 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--shard-frame", type=int, default=0, metavar="N",
-        help="shard ONE pair's rows over the first N devices "
-        "(parallel.build_sharded_frame_sparsematch; epipolar only, image "
-        "height must divide by N and give each shard >= 14 rows).  The "
-        "multi-chip path for a single large frame; 0 (default) = off",
+        help="shard each pair's ROWS over N devices (epipolar only, image "
+        "height must divide by N and give each shard >= 14 rows).  "
+        "Single-pair mode: parallel.build_sharded_frame_sparsematch.  "
+        "Sequence mode: composes with --data-parallel over a 2-D "
+        "(data x rows) mesh (build_batched_sharded_frame_sparsematch, "
+        "--data-parallel D x --shard-frame N <= devices; "
+        "masked/rows/masked-compact contracts).  0 (default) = off",
     )
     p.add_argument(
         "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
@@ -210,11 +213,6 @@ def main(argv=None) -> int:
                         exist_ok=True)
 
     if os.path.isdir(args.left):
-        if args.shard_frame > 1:
-            print("--shard-frame applies to single-pair mode only "
-                  "(sequence mode scales over the batch axis instead: "
-                  "parallel.build_batched_sparsematch_*)", file=sys.stderr)
-            return 1
         if args.contract == "flat":
             print("--contract flat is not supported in sequence "
                   "(directory) mode — auto falls back to the flat "
@@ -756,40 +754,72 @@ def _run_sequence(args, forest, settings) -> int:
     # and shape-change singles keep riding the single-device `match`
     match_batched = match
     dp = args.data_parallel
-    if dp > 1:
+    sf = args.shard_frame
+    sf_single = False  # sf>1 without dp: B=1 groups still row-shard
+    if dp > 1 or sf > 1:
         if not fast:
-            print("--data-parallel needs a fast stacked contract "
-                  "(rows/masked/masked-compact/global) — this "
+            print("--data-parallel/--shard-frame need a fast stacked "
+                  "contract (rows/masked/masked-compact/global) — this "
                   "forest/shape only supports the flat pipeline",
                   file=sys.stderr)
             return 1
         import jax
 
+        from opengpc_tpu import parallel as par
+
         devs = jax.devices()
-        if len(devs) < dp:
+        nd = max(dp, 1)
+        if sf > 1:
+            # COMPOSED parallelism (r4): frames over a "data" axis AND
+            # each frame's rows over a "rows" axis — the 2-D mesh builder
+            if mode not in ("masked", "rows", "masked-compact"):
+                print(f"--shard-frame with the {mode} contract is not "
+                      "supported in sequence mode (row sharding is "
+                      "epipolar-only; global modes scale over the batch "
+                      "axis with --data-parallel)", file=sys.stderr)
+                return 1
+            if len(devs) < nd * sf:
+                print(f"--shard-frame {sf} x --data-parallel {nd}: only "
+                      f"{len(devs)} devices visible", file=sys.stderr)
+                return 1
+            if probe.shape[0] % sf or probe.shape[0] // sf < 14:
+                print(f"--shard-frame {sf}: frame height {probe.shape[0]} "
+                      f"must divide by {sf} with >= 14 rows per shard",
+                      file=sys.stderr)
+                return 1
+        elif len(devs) < dp:
             print(f"--data-parallel {dp}: only {len(devs)} devices "
                   "visible", file=sys.stderr)
             return 1
-        if args.batch is not None and batch % dp:
-            print(f"--batch {batch} must divide by --data-parallel {dp} "
-                  "(shard_map splits the stacked batch axis evenly)",
-                  file=sys.stderr)
-            return 1
-        batch = -(-batch // dp) * dp  # round the default batch up
-        from opengpc_tpu import parallel as par
-
-        builder = {
-            "rows": par.build_batched_sparsematch_rows,
-            "masked": par.build_batched_sparsematch_masked,
-            "masked-compact": par.build_batched_sparsematch_masked_compact,
-            "global_rows": par.build_batched_sparsematch_global_rows,
-            "global-compact": par.build_batched_sparsematch_global_compact,
-        }[mode]
-        match_batched = builder(forest, settings,
-                                par.make_mesh(devs[:dp]))
-        # a compact-contract overflow under --data-parallel re-runs the
-        # whole dispatch through the single-device full-width builder
-        # (exact; mispredictions are rare by the auto density probe)
+        if dp > 1:
+            if args.batch is not None and batch % dp:
+                print(f"--batch {batch} must divide by --data-parallel "
+                      f"{dp} (shard_map splits the stacked batch axis "
+                      "evenly)", file=sys.stderr)
+                return 1
+            batch = -(-batch // dp) * dp  # round the default batch up
+        if sf > 1:
+            mesh2 = par.make_mesh_2d(nd, sf, devs[:nd * sf])
+            match_batched = par.build_batched_sharded_frame_sparsematch(
+                forest, settings, mesh2, contract=mode)
+            sf_single = nd == 1
+        else:
+            builder = {
+                "rows": par.build_batched_sparsematch_rows,
+                "masked": par.build_batched_sparsematch_masked,
+                "masked-compact":
+                    par.build_batched_sparsematch_masked_compact,
+                "global_rows": par.build_batched_sparsematch_global_rows,
+                "global-compact":
+                    par.build_batched_sparsematch_global_compact,
+            }[mode]
+            match_batched = builder(forest, settings,
+                                    par.make_mesh(devs[:dp]))
+        # a compact-contract overflow under --data-parallel/--shard-frame
+        # re-runs the whole dispatch through the single-device full-width
+        # builder (exact; mispredictions are rare by the auto density
+        # probe); partial/leftover groups always dispatch singly on one
+        # device (one reusable compile)
 
     def write_frame(i, supports, gray=None):
         nonlocal total_matches
@@ -810,12 +840,14 @@ def _run_sequence(args, forest, settings) -> int:
     def assemble(pending):
         """Fetch one dispatch's device outputs (one frame, or a --batch
         stack of frames) and write the per-frame supports files."""
-        i0, dmode, out, k, frames = pending
+        # ``stacked``: outputs carry a leading batch axis (k can be 1 —
+        # a --shard-frame (1, H, W) stack still rides the 2-D mesh)
+        i0, dmode, out, k, frames, stacked = pending
 
         def gray(j):
             if frames is None:
                 return None
-            return frames[0][j] if k > 1 else frames[0]
+            return frames[0][j] if stacked else frames[0]
         if dmode == "masked-compact":
             # overflow guard: a dense dispatch (any frame of the stack)
             # trips the ORed flag — a (n_shards,) vector under
@@ -829,8 +861,8 @@ def _run_sequence(args, forest, settings) -> int:
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
                 write_frame(i0 + j, masked_supports_to_numpy(
-                    mbuf[j] if k > 1 else mbuf,
-                    mcounts[j] if k > 1 else mcounts, settings.disp_high),
+                    mbuf[j] if stacked else mbuf,
+                    mcounts[j] if stacked else mcounts, settings.disp_high),
                     gray(j))
         elif dmode in ("global_rows", "global-compact"):
             if dmode == "global-compact" and bool(np.asarray(out[2]).any()):
@@ -844,17 +876,17 @@ def _run_sequence(args, forest, settings) -> int:
             gcounts = np.asarray(gcounts)
             for j in range(k):
                 write_frame(i0 + j, global_row_supports_to_numpy(
-                    gxs[j] if k > 1 else gxs, gys[j] if k > 1 else gys,
-                    gds[j] if k > 1 else gds,
-                    gcounts[j] if k > 1 else gcounts), gray(j))
+                    gxs[j] if stacked else gxs, gys[j] if stacked else gys,
+                    gds[j] if stacked else gds,
+                    gcounts[j] if stacked else gcounts), gray(j))
         elif dmode == "masked":
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
                 write_frame(i0 + j, masked_supports_to_numpy(
-                    mbuf[j] if k > 1 else mbuf,
-                    mcounts[j] if k > 1 else mcounts, settings.disp_high),
+                    mbuf[j] if stacked else mbuf,
+                    mcounts[j] if stacked else mcounts, settings.disp_high),
                     gray(j))
-        elif dmode == "rows" and k > 1:
+        elif dmode == "rows" and stacked:
             (rxs, rds), rcounts = out
             rxs, rds = np.asarray(rxs), np.asarray(rds)
             rcounts = np.asarray(rcounts)
@@ -877,14 +909,17 @@ def _run_sequence(args, forest, settings) -> int:
         with per-frame outputs identical to single-frame dispatches
         (pinned by test_cli_sequence_mode_batched)."""
         i0 = group[0][0]
-        if len(group) == 1:  # --batch 1: plain 2-D single-frame dispatch
+        if len(group) == 1 and not sf_single:
+            # --batch 1: plain 2-D single-frame dispatch (with
+            # --shard-frame and no data axis, a (1, H, W) stack still
+            # row-shards through the 2-D mesh builder instead)
             l, r = group[0][1], group[0][2]
             return (i0, mode, match(l, r), 1,
-                    (l, r) if keep_frames else None)
+                    (l, r) if keep_frames else None, False)
         lb = np.stack([g[1] for g in group])
         rb = np.stack([g[2] for g in group])
         return (i0, mode, match_batched(lb, rb), len(group),
-                (lb, rb) if keep_frames else None)
+                (lb, rb) if keep_frames else None, True)
 
     def flush_group(group):
         """Dispatch a partial (flushed or leftover) group as SINGLE frames:
@@ -894,7 +929,7 @@ def _run_sequence(args, forest, settings) -> int:
         every partial group."""
         for i, l, r in group:
             submit((i, mode, match(l, r), 1,
-                    (l, r) if keep_frames else None))
+                    (l, r) if keep_frames else None, False))
 
     # software pipeline: jax dispatch is async, assembly (device->host
     # fetch + supports write — numpy and the native writer both release
@@ -988,7 +1023,8 @@ def _run_sequence(args, forest, settings) -> int:
                         keyname = "(x, d)"
                     if ok:
                         submit((i, mode, match(left, right), 1,
-                                (left, right) if keep_frames else None))
+                                (left, right) if keep_frames else None,
+                                False))
                         continue
                     print(
                         f"--contract {args.contract}: frame {i} shape "
@@ -1011,7 +1047,7 @@ def _run_sequence(args, forest, settings) -> int:
                 if flat_match is None:
                     flat_match = build_sparsematch(fmask, settings)
                 submit((i, "flat", flat_match(left, right), 1,
-                        (left, right) if keep_frames else None))
+                        (left, right) if keep_frames else None, False))
         if group:
             flush_group(group)
         while futures:

@@ -542,7 +542,8 @@ def test_cli_flag_combinations_smoke(tmp_path):
     assert arr.ndim == 3 and arr.shape[:2] == (64, 96)
 
     # --contract flat is rejected in sequence (directory) mode (masked
-    # became a supported sequence contract in r4); --shard-frame too
+    # became a supported sequence contract in r4); --shard-frame now
+    # COMPOSES with sequence mode (2-D mesh, r4) and must succeed
     ldir = tmp_path / "ld"
     rdir = tmp_path / "rd"
     ldir.mkdir()
@@ -554,7 +555,7 @@ def test_cli_flag_combinations_smoke(tmp_path):
                      "--out", str(tmp_path / "x" / "d.png")]) == 1
     assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
                      str(ldir), str(rdir), "--shard-frame", "2",
-                     "--out", str(tmp_path / "x" / "d.png")]) == 1
+                     "--out", str(tmp_path / "x" / "d.png")]) == 0
 
 
 def test_cli_densify_device_path_byte_equal(tmp_path):
@@ -990,6 +991,73 @@ def test_cli_sequence_data_parallel(tmp_path, capfd):
     assert cli_main([forest, str(ldir), str(rdir), "--out",
                      str(tmp_path / "x.png"), "--data-parallel", "2",
                      "--batch", "3"]) == 1
+
+
+def test_cli_sequence_shard_frame(tmp_path, capfd):
+    """Sequence --shard-frame M (r4): every dispatch group rides the 2-D
+    (data x rows) mesh builder — frames over the data axis (when
+    --data-parallel is also given), each frame's rows over M chips.
+    Per-frame supports must equal a single-device run, including the
+    --batch 1 path (a (1, H, W) stack still row-shards) and the
+    masked-compact overflow re-run."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    n_frames = 6
+    for i in range(n_frames):  # 64 rows -> 16 rows/shard at M=4
+        l, r = make_pair(64, 96, 3 + (i % 4), seed=400 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+
+    def run(outdir, extra):
+        rc = cli_main([forest, str(ldir), str(rdir), "--disp-high", "16",
+                       "--out", str(tmp_path / outdir / "d.png")] + extra)
+        assert rc == 0
+        return [read_supports(str(tmp_path / outdir
+                                  / f"supports_{i:04d}.txt"))
+                for i in range(n_frames)]
+
+    def check(a_frames, b_frames, label):
+        for i, (a, b) in enumerate(zip(a_frames, b_frames)):
+            assert set(map(tuple, a.tolist())) == set(
+                map(tuple, b.tolist())), f"{label} frame {i}"
+
+    base = run("single", ["--contract", "masked"])
+    assert sum(len(s) for s in base) > 100
+    # rows over 4 chips, default batch (4 full + 2 leftover singles)
+    sf = run("sf", ["--contract", "masked", "--shard-frame", "4"])
+    check(base, sf, "shard-frame")
+    # composed: 2 frames x 4 row shards = all 8 devices per dispatch
+    sfdp = run("sfdp", ["--contract", "masked", "--shard-frame", "4",
+                        "--data-parallel", "2", "--batch", "2"])
+    check(base, sfdp, "shard-frame+dp")
+    # --batch 1: (1, H, W) stacks must still row-shard (stacked-flag path)
+    sf1 = run("sf1", ["--contract", "masked", "--shard-frame", "4",
+                      "--batch", "1"])
+    check(base, sf1, "shard-frame batch1")
+    # dense frames + masked-compact: the per-group overflow flag vector
+    # re-runs the dispatch full-width
+    capfd.readouterr()
+    sfc = run("sfc", ["--contract", "masked-compact", "--shard-frame", "4",
+                      "--data-parallel", "2", "--batch", "2"])
+    assert "overflow" in capfd.readouterr().err
+    check(base, sfc, "shard-frame compact")
+    # rejections: global contract, indivisible height, too many devices
+    assert cli_main([forest, str(ldir), str(rdir), "--out",
+                     str(tmp_path / "x.png"), "--global-mode",
+                     "--contract", "global-rows", "--shard-frame", "4"]) == 1
+    assert cli_main([forest, str(ldir), str(rdir), "--out",
+                     str(tmp_path / "x.png"), "--contract", "masked",
+                     "--shard-frame", "5"]) == 1
+    assert cli_main([forest, str(ldir), str(rdir), "--out",
+                     str(tmp_path / "x.png"), "--contract", "masked",
+                     "--shard-frame", "4", "--data-parallel", "3"]) == 1
 
 
 def test_masked_compact_builders_follow_constant(monkeypatch):
