@@ -50,9 +50,11 @@ from opengpc_tpu.infer import (
     supports_to_numpy,
 )
 from opengpc_tpu.aot import (
+    export_batched_sharded_frame,
     export_sharded_frame,
     export_sparsematch,
     load_artifact,
+    load_batched_sharded_frame,
     load_sharded_frame,
     load_sparsematch,
     save_artifact,

@@ -193,6 +193,63 @@ def load_sharded_frame(data: bytes, mesh=None) -> Callable:
     return jax.jit(exp.call, in_shardings=(sh, sh))
 
 
+def export_batched_sharded_frame(forest_or_mask,
+                                 settings: InferenceSettings,
+                                 batch: int, shape: Tuple[int, int], mesh,
+                                 contract: str = "masked",
+                                 use_pallas: Optional[bool] = None) -> bytes:
+    """Serialize the COMPOSED 2-D matcher
+    (parallel.build_batched_sharded_frame_sparsematch: a (batch, H, W)
+    stack over a ("data", "rows") mesh — frames over "data", each frame's
+    rows over "rows" with the halo exchange).  The module pins the mesh
+    SHAPE; serve it over a same-shape mesh (``load_batched_sharded_frame``
+    or ``load_artifact`` with ``extra={"mesh_shape": [D, R], "batch": B}``
+    metadata).  Outputs keep the stacked (batch, ...) layout — decode per
+    frame with the contract's ``*_supports_to_numpy``."""
+    import jax
+    from jax import export as jexport
+
+    from opengpc_tpu.parallel import build_batched_sharded_frame_sparsematch
+
+    fn = build_batched_sharded_frame_sparsematch(
+        forest_or_mask, settings, mesh, use_pallas=use_pallas,
+        contract=contract)
+    spec = jax.ShapeDtypeStruct((batch,) + tuple(shape), np.uint8)
+    disabled = [jexport.DisabledSafetyCheck.custom_call(_MOSAIC_TARGET)]
+    exp = jexport.export(fn, disabled_checks=disabled)(spec, spec)
+    return bytes(exp.serialize())
+
+
+def load_batched_sharded_frame(data: bytes, mesh_shape: Tuple[int, int],
+                               mesh=None) -> Callable:
+    """Deserialize an ``export_batched_sharded_frame`` blob over a serving
+    mesh of the exported ("data", "rows") shape (default: ``make_mesh_2d``
+    over the first D*R visible devices)."""
+    import jax
+    from jax import export as jexport
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from opengpc_tpu.parallel import DATA_AXIS, ROWS_AXIS, make_mesh_2d
+
+    exp = jexport.deserialize(bytearray(data))
+    d, r = mesh_shape
+    if mesh is None:
+        mesh = make_mesh_2d(d, r)
+    n = mesh.devices.size
+    if getattr(exp, "nr_devices", n) != n:
+        raise ValueError(
+            f"artifact was exported for {exp.nr_devices} devices; the "
+            f"serving mesh has {n}")
+    if (mesh.shape.get(DATA_AXIS), mesh.shape.get(ROWS_AXIS)) != (d, r):
+        raise ValueError(
+            f"artifact was exported for a {d}x{r} ({DATA_AXIS}, "
+            f"{ROWS_AXIS}) mesh; the serving mesh is "
+            f"{dict(mesh.shape)}")
+    sh = NamedSharding(mesh, P(DATA_AXIS, ROWS_AXIS, None))
+    return jax.jit(exp.call, in_shardings=(sh, sh))
+
+
 def save_artifact(path: str, blob: bytes, *, contract: str,
                   settings: InferenceSettings, shape: Tuple[int, int],
                   platforms: Optional[Sequence[str]] = None,
@@ -239,6 +296,9 @@ def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
         (hlen,) = struct.unpack("<I", f.read(4))
         meta = json.loads(f.read(hlen).decode())
         blob = f.read()
+    if meta.get("mesh_shape"):
+        return load_batched_sharded_frame(blob, tuple(meta["mesh_shape"]),
+                                          mesh), meta
     if meta.get("n_devices", 1) > 1:
         return load_sharded_frame(blob, mesh), meta
     return load_sparsematch(blob), meta

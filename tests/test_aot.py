@@ -322,3 +322,46 @@ def test_examples_serve_loop(tmp_path):
                           timeout=300)
     assert out2.returncode == 0, out2.stdout + out2.stderr
     assert "exported" not in out2.stdout
+
+
+def test_export_batched_sharded_frame_round_trip(forest, tmp_path):
+    """2-D (data x rows) mesh artifact: the composed batched+row-sharded
+    matcher serializes, routes through the generic container API
+    (mesh_shape metadata), and round-trips bit-exact vs the live builder;
+    wrong-shape serving meshes are rejected."""
+    from opengpc_tpu.aot import (export_batched_sharded_frame,
+                                 load_artifact,
+                                 load_batched_sharded_frame, save_artifact)
+    from opengpc_tpu.parallel import (
+        build_batched_sharded_frame_sparsematch, make_mesh_2d)
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    settings = _settings()
+    b, h, w = 2, 64, 96
+    lefts, rights = [], []
+    for i in range(b):
+        l, r = make_sparse_pair(h, w, 3, density=0.15)
+        lefts.append(l)
+        rights.append(r)
+    lefts, rights = np.stack(lefts), np.stack(rights)
+    mesh = make_mesh_2d(2, 4)
+    blob = export_batched_sharded_frame(forest, settings, b, (h, w), mesh,
+                                        contract="masked", use_pallas=False)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    path = str(tmp_path / "pod2d.ogpcx")
+    save_artifact(path, blob, contract="masked", settings=settings,
+                  shape=(h, w),
+                  extra={"mesh_shape": [2, 4], "batch": b,
+                         "n_devices": mesh.devices.size})
+    call, meta = load_artifact(path)
+    assert meta["mesh_shape"] == [2, 4]
+    buf, counts = call(lefts, rights)
+    want = build_batched_sharded_frame_sparsematch(
+        forest, settings, mesh, use_pallas=False)(lefts, rights)
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(want[1]))
+    assert int(np.asarray(counts).sum()) > 20
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mesh"):
+        load_batched_sharded_frame(blob, (2, 4), make_mesh_2d(4, 2))
