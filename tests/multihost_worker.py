@@ -115,3 +115,48 @@ fern_1, stats_1 = train_fern(
 assert fern_s.tests == fern_1.tests, (proc, fern_s.tests, fern_1.tests)
 assert stats_s == stats_1, (proc, stats_s[0], stats_1[0])
 print(f"proc {proc}: cross-process sharded training identical", flush=True)
+
+# 2-D (data x rows) MESH with a CROSS-PROCESS halo (r4): column-major
+# device order puts each frame's row-neighbors in DIFFERENT processes, so
+# the 14-row halo ppermute rides the (simulated) DCN.  Each process
+# validates its local (frame, row-block) shards against single-device runs.
+from opengpc_tpu.parallel import (build_batched_sharded_frame_sparsematch,
+                                  make_mesh_2d)
+
+devs = jax.devices()
+mesh2 = make_mesh_2d(2, 2, [devs[0], devs[2], devs[1], devs[3]])
+pairs2 = [make_pair(64, 96, 3, seed=90 + i) for i in range(2)]
+bl2 = np.stack([p[0] for p in pairs2])
+br2 = np.stack([p[1] for p in pairs2])
+run2 = build_batched_sharded_frame_sparsematch(forest, settings, mesh2,
+                                               use_pallas=False)
+b2buf, b2counts = run2(bl2, br2)
+single_m = build_sparsematch_masked(forest, settings, use_pallas=False)
+want2 = [np.asarray(single_m(bl2[i], br2[i])[0]) for i in range(2)]
+checked2 = 0
+for s in b2buf.addressable_shards:
+    bi = s.index[0].start or 0
+    r0 = s.index[1].start or 0
+    rows = np.asarray(s.data)[0]
+    assert (rows == want2[bi][r0:r0 + rows.shape[0]]).all(), (proc, bi, r0)
+    checked2 += 1
+assert checked2 == 2, checked2  # one shard of each frame lives here
+print(f"proc {proc}: 2-D mesh cross-process halo shards identical",
+      flush=True)
+
+# BATCHED-FERN TRAINING over the cross-process mesh (r4): all ferns'
+# level scoring in one dispatch, triplet axis sharded over both
+# processes; the exported forest must be byte-identical to a local
+# unsharded sequential run.
+from opengpc_tpu.config import fern_factory
+from opengpc_tpu.forest import serialize_forest
+from opengpc_tpu.train import train_forest
+
+settings_f = fern_factory(1, 1, 0, 2)
+f_batched = train_forest(trips, settings_f, tau_optimizer(num_resamples=3),
+                         seed=5, verbose=False, batch_ferns=True, mesh=mesh)
+f_seq = train_forest(trips, settings_f, tau_optimizer(num_resamples=3),
+                     seed=5, verbose=False, batch_ferns=False)
+assert serialize_forest(f_batched) == serialize_forest(f_seq), proc
+print(f"proc {proc}: cross-process batched-fern forest identical",
+      flush=True)
