@@ -51,6 +51,19 @@ def main(argv=None) -> int:
                     default="auto",
                     help="Pallas kernel path (TPU-only lowering); auto = "
                     "on exactly when every target platform is tpu")
+    pe.add_argument("--shard-frame", type=int, default=0, metavar="N",
+                    help="freeze the ROW-SHARDED matcher over N devices "
+                    "(one pair's rows across the mesh, 14-row halo; "
+                    "masked/rows/masked-compact only).  With "
+                    "--data-parallel/--batch, freezes the 2-D (data x "
+                    "rows) batched variant instead")
+    pe.add_argument("--data-parallel", type=int, default=0, metavar="D",
+                    help="with --shard-frame: 'data' axis of the 2-D mesh "
+                    "(needs D*N devices and --batch)")
+    pe.add_argument("--batch", type=int, default=0, metavar="B",
+                    help="with --shard-frame: freeze a (B, H, W) stacked "
+                    "input (required when --data-parallel > 1; B must "
+                    "divide by D)")
 
     pr = sub.add_parser("run", help="serve one pair from an artifact")
     pr.add_argument("artifact")
@@ -79,10 +92,53 @@ def _export(args) -> int:
     plats = tuple(args.platforms.split(",")) if args.platforms else None
     use_pallas = {"auto": None, "on": True, "off": False}[args.pallas]
     shape = (args.height, args.width)
+    sf, dp, batch = args.shard_frame, args.data_parallel, args.batch
+    extra = None
     try:
-        blob = export_sparsematch(forest, settings, shape,
-                                  contract=args.contract,
-                                  use_pallas=use_pallas, platforms=plats)
+        if sf > 1:
+            import jax
+
+            from opengpc_tpu.aot import (export_batched_sharded_frame,
+                                         export_sharded_frame)
+            from opengpc_tpu.parallel import make_mesh, make_mesh_2d
+
+            if plats:
+                print("--shard-frame artifacts lower for the current "
+                      "backend only; drop --platforms", file=sys.stderr)
+                return 1
+            devs = jax.devices()
+            nd = max(dp, 1)
+            if len(devs) < nd * sf:
+                print(f"--shard-frame {sf} x --data-parallel {nd}: only "
+                      f"{len(devs)} devices visible", file=sys.stderr)
+                return 1
+            if dp > 1 or batch > 1:
+                if batch < 1 or batch % nd:
+                    print(f"--batch {batch} must be a positive multiple "
+                          f"of --data-parallel {nd}", file=sys.stderr)
+                    return 1
+                mesh = make_mesh_2d(nd, sf, devs[:nd * sf])
+                blob = export_batched_sharded_frame(
+                    forest, settings, batch, shape, mesh,
+                    contract=args.contract, use_pallas=use_pallas)
+                extra = {"mesh_shape": [nd, sf], "batch": batch,
+                         "n_devices": nd * sf}
+            else:
+                blob = export_sharded_frame(
+                    forest, settings, shape, make_mesh(devs[:sf]),
+                    contract=args.contract, use_pallas=use_pallas)
+                extra = {"n_devices": sf}
+        elif dp > 1 or batch > 1:
+            print("--data-parallel/--batch exports need --shard-frame "
+                  "(batch-axis scale-out has no frozen artifact; the "
+                  "live parallel.build_batched_sparsematch_* builders "
+                  "cover it)", file=sys.stderr)
+            return 1
+        else:
+            blob = export_sparsematch(forest, settings, shape,
+                                      contract=args.contract,
+                                      use_pallas=use_pallas,
+                                      platforms=plats)
     except ValueError as e:
         print(f"export failed: {e}", file=sys.stderr)
         return 1
@@ -94,7 +150,7 @@ def _export(args) -> int:
         use_pallas = resolve_use_pallas(plats)
     save_artifact(args.artifact, blob, contract=args.contract,
                   settings=settings, shape=shape, platforms=plats,
-                  use_pallas=use_pallas)
+                  use_pallas=use_pallas, extra=extra)
     print(f"wrote {args.artifact} ({len(blob)} byte module, contract "
           f"{args.contract}, shape {shape}, platforms "
           f"{','.join(plats) if plats else 'default'})")
@@ -106,6 +162,13 @@ def _run(args) -> int:
     from opengpc_tpu.io.supports import write_supports
 
     call, meta = load_artifact(args.artifact)
+    if meta.get("mesh_shape"):
+        print("this artifact freezes a (B, H, W) STACKED input over a "
+              f"{meta['mesh_shape']} (data, rows) mesh — serve it with "
+              "opengpc_tpu.aot.load_artifact in Python (see "
+              "examples/serve.py) rather than the single-pair run command",
+              file=sys.stderr)
+        return 1
     left = read_gray(args.left)
     right = read_gray(args.right)
     want = tuple(meta["shape"])

@@ -365,3 +365,63 @@ def test_export_batched_sharded_frame_round_trip(forest, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mesh"):
         load_batched_sharded_frame(blob, (2, 4), make_mesh_2d(4, 2))
+
+
+def test_cli_aot_export_sharded(forest, tmp_path, capfd):
+    """AOT CLI sharded exports (r4): --shard-frame N freezes the
+    row-sharded matcher (run-servable over an N-device mesh, supports
+    equal the plain artifact); --shard-frame + --data-parallel/--batch
+    freezes the 2-D variant (run rejects it with a pointer to the Python
+    API); bad flag combinations error out."""
+    from opengpc_tpu.cli.aot import main as aot_main
+    from opengpc_tpu.io.png import write_png
+
+    h, w = 128, 96
+    left, right = make_pair(h, w, 3, seed=17)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, left)
+    write_png(rp, right)
+    fpath = os.path.join(FORESTS, "defaultZeroForest.txt")
+
+    # plain artifact for the supports reference
+    plain = str(tmp_path / "plain.ogpcx")
+    assert aot_main(["export", fpath, plain, "--height", str(h), "--width",
+                     str(w), "--contract", "masked", "--disp-high", "32",
+                     "--pallas", "off"]) == 0
+    s_plain = tmp_path / "sp.txt"
+    assert aot_main(["run", plain, lp, rp,
+                     "--supports-out", str(s_plain)]) == 0
+
+    # row-sharded over all 8 virtual devices
+    pod = str(tmp_path / "pod.ogpcx")
+    assert aot_main(["export", fpath, pod, "--height", str(h), "--width",
+                     str(w), "--contract", "masked", "--disp-high", "32",
+                     "--pallas", "off", "--shard-frame", "8"]) == 0
+    s_pod = tmp_path / "spod.txt"
+    assert aot_main(["run", pod, lp, rp, "--supports-out", str(s_pod)]) == 0
+    got = np.loadtxt(str(s_pod), dtype=np.int64).reshape(-1, 3)
+    want = np.loadtxt(str(s_plain), dtype=np.int64).reshape(-1, 3)
+    assert len(want) > 20
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+
+    # 2-D export; run rejects the stacked artifact with a clear pointer
+    pod2 = str(tmp_path / "pod2.ogpcx")
+    assert aot_main(["export", fpath, pod2, "--height", "64", "--width",
+                     str(w), "--contract", "masked", "--disp-high", "32",
+                     "--pallas", "off", "--shard-frame", "4",
+                     "--data-parallel", "2", "--batch", "2"]) == 0
+    capfd.readouterr()
+    assert aot_main(["run", pod2, lp, rp]) == 1
+    assert "serve it with" in capfd.readouterr().err
+
+    # rejections: batch without shard-frame, indivisible batch, too many
+    # devices
+    x = str(tmp_path / "x.ogpcx")
+    assert aot_main(["export", fpath, x, "--height", "64", "--width",
+                     str(w), "--batch", "2"]) == 1
+    assert aot_main(["export", fpath, x, "--height", "64", "--width",
+                     str(w), "--shard-frame", "4", "--data-parallel", "2",
+                     "--batch", "3"]) == 1
+    assert aot_main(["export", fpath, x, "--height", "64", "--width",
+                     str(w), "--shard-frame", "4", "--data-parallel", "3",
+                     "--batch", "3"]) == 1
