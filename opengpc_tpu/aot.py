@@ -280,26 +280,53 @@ def save_artifact(path: str, blob: bytes, *, contract: str,
         f.write(blob)
 
 
-def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
-    """Load a ``save_artifact`` file: (jitted callable, metadata dict).
-
-    A sharded-frame artifact (``extra={"n_devices": N}`` at save time)
-    routes through ``load_sharded_frame`` over ``mesh`` (default: one
-    mesh over all visible devices — the mesh size must equal the
-    exported device count); everything else loads single-device via
-    ``load_sparsematch``.  ``mesh`` is ignored for unsharded blobs."""
+def peek_artifact_meta(path: str) -> dict:
+    """Read ONLY the JSON metadata header of a ``save_artifact`` file —
+    no deserialize, no mesh construction.  Lets callers route or reject
+    an artifact (e.g. a stacked ``mesh_shape`` one on a single-device
+    serving box) before paying for the load."""
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
             raise ValueError(f"{path}: not an opengpc AOT artifact "
                              f"(bad magic {magic!r})")
         (hlen,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(hlen).decode())
+        return json.loads(f.read(hlen).decode())
+
+
+def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
+    """Load a ``save_artifact`` file: (jitted callable, metadata dict).
+
+    A sharded-frame artifact (``extra={"n_devices": N}`` at save time)
+    routes through ``load_sharded_frame``; with ``mesh=None`` the serving
+    mesh is built over the FIRST N visible devices (not all of them), so
+    an artifact exported for 4 chips serves on an 8-chip host.  Stacked
+    artifacts (``mesh_shape`` metadata) route through
+    ``load_batched_sharded_frame`` the same way.  Everything else loads
+    single-device via ``load_sparsematch``; ``mesh`` is ignored for
+    unsharded blobs."""
+    meta = peek_artifact_meta(path)
+    with open(path, "rb") as f:
+        f.seek(len(_MAGIC))
+        (hlen,) = struct.unpack("<I", f.read(4))
+        f.seek(len(_MAGIC) + 4 + hlen)
         blob = f.read()
     if meta.get("mesh_shape"):
         return load_batched_sharded_frame(blob, tuple(meta["mesh_shape"]),
                                           mesh), meta
     if meta.get("n_devices", 1) > 1:
+        if mesh is None:
+            import jax
+
+            from opengpc_tpu.parallel import make_mesh
+
+            n = int(meta["n_devices"])
+            devs = jax.devices()
+            if len(devs) < n:
+                raise ValueError(
+                    f"{path}: artifact was exported for {n} devices; "
+                    f"this host has {len(devs)}")
+            mesh = make_mesh(devs[:n])
         return load_sharded_frame(blob, mesh), meta
     return load_sparsematch(blob), meta
 

@@ -112,7 +112,10 @@ def _export(args) -> int:
                 print(f"--shard-frame {sf} x --data-parallel {nd}: only "
                       f"{len(devs)} devices visible", file=sys.stderr)
                 return 1
-            if dp > 1 or batch > 1:
+            if dp > 1 or batch >= 1:
+                # any explicit --batch (including 1) freezes the STACKED
+                # (B, H, W) variant — matching the sequence CLI, where
+                # --batch 1 with --shard-frame still dispatches stacks
                 if batch < 1 or batch % nd:
                     print(f"--batch {batch} must be a positive multiple "
                           f"of --data-parallel {nd}", file=sys.stderr)
@@ -158,10 +161,14 @@ def _export(args) -> int:
 
 
 def _run(args) -> int:
+    from opengpc_tpu.aot import peek_artifact_meta
     from opengpc_tpu.io.png import read_gray
     from opengpc_tpu.io.supports import write_supports
 
-    call, meta = load_artifact(args.artifact)
+    # route on the header BEFORE deserializing: a stacked artifact (or a
+    # sharded one needing more chips than this host has) must produce the
+    # friendly message, not a mesh-construction traceback
+    meta = peek_artifact_meta(args.artifact)
     if meta.get("mesh_shape"):
         print("this artifact freezes a (B, H, W) STACKED input over a "
               f"{meta['mesh_shape']} (data, rows) mesh — serve it with "
@@ -169,6 +176,15 @@ def _run(args) -> int:
               "examples/serve.py) rather than the single-pair run command",
               file=sys.stderr)
         return 1
+    if meta.get("n_devices", 1) > 1:
+        import jax
+
+        if len(jax.devices()) < meta["n_devices"]:
+            print(f"this artifact row-shards one frame over "
+                  f"{meta['n_devices']} devices; this host has "
+                  f"{len(jax.devices())}", file=sys.stderr)
+            return 1
+    call, meta = load_artifact(args.artifact)
     left = read_gray(args.left)
     right = read_gray(args.right)
     want = tuple(meta["shape"])

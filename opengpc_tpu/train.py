@@ -56,6 +56,12 @@ from opengpc_tpu.forest import (
     PATCH_HALF,
 )
 
+# batched-fern training materializes the whole (F, sub_n, 3, 729) bootstrap
+# stack on device at once; above this many bytes train_forest's default
+# falls back to the fern-at-a-time loop rather than risk an OOM (explicit
+# batch_ferns=True overrides)
+BATCH_FERNS_BYTES_CAP = 1 << 30
+
 
 @dataclasses.dataclass
 class LevelStats:
@@ -511,6 +517,12 @@ def _train_forest_batched(
                            tp, fp, fn, int(tots[k]), prec, rec, hm,
                            tp_all, fp_all, sub_n - tp_all - fp_all)
             )
+        if verbose:
+            # liveness line per level: the fern-major tables only print at
+            # the end, and through the relay a level can take tens of
+            # seconds — silence would look like the documented relay hangs
+            print(f"level {level + 1}/{max_depth}: all {f} ferns scored "
+                  f"(t=+{time.perf_counter() - t0:.2f} s)", flush=True)
     elapsed = time.perf_counter() - t0
 
     if verbose:
@@ -559,8 +571,14 @@ def train_forest(
     ``batch_ferns``: train all ferns level-synchronously in ONE scorer
     dispatch per level (see ``_train_forest_batched`` — byte-identical
     forest, F× fewer dispatches).  Default (None): batched whenever there
-    is more than one fern and no incremental checkpointing is requested
-    (per-fern checkpoints only make sense when ferns finish one at a time).
+    is more than one fern, no incremental checkpointing is requested
+    (per-fern checkpoints only make sense when ferns finish one at a
+    time), AND the stacked (F, sub_n, 3, 729) bootstrap fits the
+    ``BATCH_FERNS_BYTES_CAP`` budget — the batched path holds every
+    fern's subsample on device at once (~F*sample_fraction× the
+    sequential peak), so large datasets keep the fern-at-a-time default
+    instead of discovering an OOM.  Explicit ``batch_ferns=True``
+    bypasses the cap.
     """
     from opengpc_tpu.forest import save_forest
 
@@ -570,7 +588,10 @@ def train_forest(
         raise ValueError("training set is empty")
     sub_n = int(settings.sample_fraction * n)
     if batch_ferns is None:
-        batch_ferns = checkpoint_path is None and len(settings.ferns) > 1
+        stack_bytes = (len(settings.ferns) * sub_n * 3 * 729
+                       * triplets.dtype.itemsize)
+        batch_ferns = (checkpoint_path is None and len(settings.ferns) > 1
+                       and stack_bytes <= BATCH_FERNS_BYTES_CAP)
     if batch_ferns:
         if checkpoint_path is not None:
             raise ValueError(

@@ -425,3 +425,90 @@ def test_cli_aot_export_sharded(forest, tmp_path, capfd):
     assert aot_main(["export", fpath, x, "--height", "64", "--width",
                      str(w), "--shard-frame", "4", "--data-parallel", "3",
                      "--batch", "3"]) == 1
+
+
+def test_sharded_artifact_serves_on_larger_host(forest, tmp_path):
+    """A sharded-frame artifact exported for N devices must serve with
+    mesh=None on a host with MORE than N devices: load_artifact builds the
+    serving mesh over the first N visible devices from the metadata
+    (r4 review finding — it used to mesh over ALL devices and raise)."""
+    import jax
+
+    from opengpc_tpu.aot import (decode_outputs, export_sharded_frame,
+                                 load_artifact, save_artifact)
+    from opengpc_tpu.infer import build_sparsematch_masked
+    from opengpc_tpu.infer import masked_supports_to_numpy
+    from opengpc_tpu.parallel import make_mesh
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    settings = _settings()
+    h, w = 128, 96
+    left, right = make_sparse_pair(h, w, 3, density=0.15)
+    mesh4 = make_mesh(jax.devices()[:4])
+    path = str(tmp_path / "pod4.ogpcx")
+    blob = export_sharded_frame(forest, settings, (h, w), mesh4,
+                                contract="masked", use_pallas=False)
+    save_artifact(path, blob, contract="masked", settings=settings,
+                  shape=(h, w), extra={"n_devices": 4})
+    call, meta = load_artifact(path)  # 8-device host, 4-device artifact
+    got = decode_outputs(meta, call(left, right))
+    want_buf, want_counts = build_sparsematch_masked(
+        forest, settings, use_pallas=False)(left, right)
+    want = masked_supports_to_numpy(want_buf, want_counts,
+                                    settings.disp_high)
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+    assert len(got) > 20
+
+
+def test_cli_run_rejects_unservable_before_load(tmp_path, capfd):
+    """The run command must route on the artifact HEADER: a stacked
+    (mesh_shape) artifact — or a sharded one needing more chips than the
+    host has — prints the friendly message without ever deserializing the
+    module (r4 review finding: load_artifact used to build the mesh first,
+    so hosts below D*R devices got a ValueError traceback instead)."""
+    from opengpc_tpu.aot import save_artifact
+    from opengpc_tpu.cli.aot import main as aot_main
+    from opengpc_tpu.io.png import write_png
+
+    h, w = 32, 48
+    left, right = make_pair(h, w, 3, seed=3)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, left)
+    write_png(rp, right)
+    settings = _settings()
+
+    # the blob is garbage on purpose: rejection must happen header-only
+    stacked = str(tmp_path / "stacked.ogpcx")
+    save_artifact(stacked, b"not-a-module", contract="masked",
+                  settings=settings, shape=(h, w),
+                  extra={"mesh_shape": [4, 4], "batch": 4,
+                         "n_devices": 16})
+    capfd.readouterr()
+    assert aot_main(["run", stacked, lp, rp]) == 1
+    assert "serve it with" in capfd.readouterr().err
+
+    big = str(tmp_path / "big.ogpcx")
+    save_artifact(big, b"not-a-module", contract="masked",
+                  settings=settings, shape=(h, w),
+                  extra={"n_devices": 64})
+    assert aot_main(["run", big, lp, rp]) == 1
+    assert "64 devices" in capfd.readouterr().err
+
+
+def test_cli_aot_export_batch1_is_stacked(tmp_path):
+    """--shard-frame N --batch 1 freezes the STACKED (1, H, W) variant
+    (mesh_shape [1, N]) — matching the sequence CLI, where --batch 1 with
+    --shard-frame still dispatches stacks (r4 review finding: it used to
+    silently drop --batch and export the unstacked single-pair module)."""
+    from opengpc_tpu.aot import peek_artifact_meta
+    from opengpc_tpu.cli.aot import main as aot_main
+
+    fpath = os.path.join(FORESTS, "defaultZeroForest.txt")
+    art = str(tmp_path / "b1.ogpcx")
+    assert aot_main(["export", fpath, art, "--height", "64", "--width",
+                     "96", "--contract", "masked", "--disp-high", "32",
+                     "--pallas", "off", "--shard-frame", "4",
+                     "--batch", "1"]) == 0
+    meta = peek_artifact_meta(art)
+    assert meta["mesh_shape"] == [1, 4]
+    assert meta["batch"] == 1

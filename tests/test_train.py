@@ -333,3 +333,57 @@ def test_tau_trained_forest_quality_vs_pretrained():
     assert n_pre > 10000
     assert n_fresh >= 0.9 * n_pre, (n_fresh, n_pre)
     assert p_fresh >= p_pre - 0.01, (p_fresh, p_pre)
+
+
+def test_batch_ferns_default_respects_bytes_cap(monkeypatch):
+    """The batched-fern DEFAULT must fall back to the fern-at-a-time loop
+    when the stacked (F, sub_n, 3, 729) bootstrap would exceed
+    BATCH_FERNS_BYTES_CAP (r4 review finding: the batched stack multiplies
+    peak device memory ~F*sample_fraction x, so big datasets used to OOM
+    silently under the new default).  Explicit batch_ferns=True bypasses
+    the cap."""
+    import opengpc_tpu.train as T
+
+    rng = np.random.default_rng(77)
+    trips = make_triplets(rng, 80)
+    settings = fern_factory(1, 1, 0, 2)
+    opt = zero_optimizer(num_resamples=2)
+
+    calls = []
+    real = T._train_forest_batched
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(T, "_train_forest_batched", spy)
+
+    # tiny cap: default (None) must take the sequential path
+    monkeypatch.setattr(T, "BATCH_FERNS_BYTES_CAP", 1)
+    f_seq = train_forest(trips, settings, opt, seed=9, verbose=False)
+    assert calls == []
+    # explicit True overrides the cap
+    f_bat = train_forest(trips, settings, opt, seed=9, verbose=False,
+                         batch_ferns=True)
+    assert calls == [1]
+    assert serialize_forest(f_seq) == serialize_forest(f_bat)
+    # generous cap: default goes batched again
+    monkeypatch.setattr(T, "BATCH_FERNS_BYTES_CAP", 1 << 40)
+    train_forest(trips, settings, opt, seed=9, verbose=False)
+    assert calls == [1, 1]
+
+
+def test_batched_training_verbose_streams_levels(capsys):
+    """Batched verbose training must emit a liveness line as each level
+    completes (r4 review finding: buffering everything until the end made
+    an hours-long relayed run indistinguishable from a relay hang)."""
+    rng = np.random.default_rng(31)
+    trips = make_triplets(rng, 90)
+    train_forest(trips, fern_factory(1, 1, 0, 3),
+                 zero_optimizer(num_resamples=2), seed=2, verbose=True,
+                 batch_ferns=True)
+    out = capsys.readouterr().out
+    assert "level 1/3: all 2 ferns scored" in out
+    assert "level 3/3: all 2 ferns scored" in out
+    # the per-fern tables still print in full
+    assert "Fern(1/2)" in out and "Fern(2/2)" in out
