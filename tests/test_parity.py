@@ -410,3 +410,71 @@ def test_sparsematch_adversarial_corners(oracle_path, tmp_path):
     assert int(count) == len(want) > 1
     got = supports_to_numpy(xs, ys, ds, count)
     assert len(got) == 1 and tuple(got[0].tolist()) in want
+
+
+def test_sparsematch_parity_random_forest_fuzz(oracle_path, tmp_path):
+    """Random-FOREST fuzz (r4): the committed fuzz above draws scenes and
+    settings but always uses the two pretrained forests — this draws the
+    forest itself: 1-4 ferns, random scales, offsets spanning each scale's
+    half-width, zero and tau types, and total test counts crossing BOTH
+    routing boundaries (>30 tests falls off the sentinel-packed fast
+    contracts onto the flat matcher; >32 exercises the file-order cap of
+    the reference filter mask, inference.hpp:420-424).  Support sets must
+    equal the oracle on every draw; eligible draws also pin the masked
+    contract."""
+    from opengpc_tpu.forest import (Fern, Forest, SCALE_HALF, Test,
+                                    make_filter_mask, save_forest)
+    from opengpc_tpu.infer import (_rows_ok, build_sparsematch_masked,
+                                   masked_supports_to_numpy)
+    from opengpc_tpu.utils.scenes import make_scene
+
+    seed = int(os.environ.get("OGPC_FUZZ_SEED", 4096))
+    trials = int(os.environ.get("OGPC_FUZZ_TRIALS", 8))
+    rng = np.random.default_rng(seed)
+    scales = list(SCALE_HALF)
+    for trial in range(trials):
+        zero = bool(rng.integers(0, 2))
+        n_ferns = int(rng.integers(1, 5))
+        ferns = []
+        for _ in range(n_ferns):
+            scale = int(rng.choice(scales))
+            half = SCALE_HALF[scale]
+            n_tests = int(rng.integers(1, 13))
+            tests = tuple(
+                Test(ix=int(rng.integers(-half, half + 1)),
+                     iy=int(rng.integers(-half, half + 1)),
+                     jx=int(rng.integers(-half, half + 1)),
+                     jy=int(rng.integers(-half, half + 1)),
+                     tau=0 if zero else int(rng.integers(-10, 10)))
+                for _ in range(n_tests))
+            ferns.append(Fern(scale, tests))
+        forest = Forest(tuple(ferns))
+        n_total = sum(len(f.tests) for f in forest.ferns)
+        forest_path = str(tmp_path / f"rf{trial}.txt")
+        save_forest(forest, forest_path)
+
+        h = int(rng.integers(48, 120))
+        w = int(rng.integers(56, 160))
+        epipolar = bool(rng.integers(0, 2))
+        settings = InferenceSettings(
+            gradient_threshold=int(rng.integers(1, 30)),
+            disp_high=int(rng.choice([16, 64, 128])),
+            vertical_tolerance=int(rng.integers(0, 3)),
+            epipolar_mode=epipolar, capacity=65536,
+        )
+        left, right, _, _ = make_scene(rng, h, w)
+        want = _oracle_supports(oracle_path, tmp_path, forest_path,
+                                left, right, settings, epipolar)
+        match = build_sparsematch(forest, settings, use_pallas=False)
+        got = set(map(tuple, supports_to_numpy(*match(left, right)).tolist()))
+        ctx = (f"trial {trial}: {n_ferns} ferns/{n_total} tests "
+               f"zero={zero} {h}x{w} epi={epipolar}")
+        assert got == want, ctx
+
+        fmask = make_filter_mask(forest)
+        if _rows_ok(fmask, left.shape, settings):
+            buf, counts = build_sparsematch_masked(
+                forest, settings, use_pallas=False)(left, right)
+            got_m = set(map(tuple, masked_supports_to_numpy(
+                buf, counts, settings.disp_high).tolist()))
+            assert got_m == want, f"masked {ctx}"
