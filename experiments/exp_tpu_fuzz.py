@@ -33,7 +33,19 @@ for trial in range(N):
     w = int(rng.integers(64, 1400))
     grad = int(rng.integers(1, 30))
     dh = int(rng.choice([16, 64, 128]))
-    fname = str(rng.choice(list(forests)))
+    # 1-in-3 draws use a RANDOM forest (random test counts change the
+    # fused kernels' unrolled test loop and the packed key layout —
+    # exactly the kind of variation Mosaic miscompiles have hidden in);
+    # the rest use the pretrained forests
+    if rng.integers(0, 3) == 0:
+        from opengpc_tpu.utils.fuzz import random_forest
+
+        fname = "random"
+        forests["random"] = random_forest(rng, max_ferns=3,
+                                          max_tests_per_fern=10)
+    else:
+        fname = str(rng.choice(
+            ["defaultZeroForest.txt", "defaultTauForest.txt"]))
     left, right, _, _ = make_scene(rng, h, w)
     s = InferenceSettings(gradient_threshold=grad, vertical_tolerance=0,
                           disp_high=dh, epipolar_mode=True, capacity=1 << 19)

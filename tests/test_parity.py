@@ -422,33 +422,19 @@ def test_sparsematch_parity_random_forest_fuzz(oracle_path, tmp_path):
     the reference filter mask, inference.hpp:420-424).  Support sets must
     equal the oracle on every draw; eligible draws also pin the masked
     contract."""
-    from opengpc_tpu.forest import (Fern, Forest, SCALE_HALF, Test,
-                                    make_filter_mask, save_forest)
+    from opengpc_tpu.forest import make_filter_mask, save_forest
     from opengpc_tpu.infer import (_rows_ok, build_sparsematch_masked,
                                    masked_supports_to_numpy)
+    from opengpc_tpu.utils.fuzz import random_forest
     from opengpc_tpu.utils.scenes import make_scene
 
     seed = int(os.environ.get("OGPC_FUZZ_SEED", 4096))
     trials = int(os.environ.get("OGPC_FUZZ_TRIALS", 8))
     rng = np.random.default_rng(seed)
-    scales = list(SCALE_HALF)
     for trial in range(trials):
-        zero = bool(rng.integers(0, 2))
-        n_ferns = int(rng.integers(1, 5))
-        ferns = []
-        for _ in range(n_ferns):
-            scale = int(rng.choice(scales))
-            half = SCALE_HALF[scale]
-            n_tests = int(rng.integers(1, 13))
-            tests = tuple(
-                Test(ix=int(rng.integers(-half, half + 1)),
-                     iy=int(rng.integers(-half, half + 1)),
-                     jx=int(rng.integers(-half, half + 1)),
-                     jy=int(rng.integers(-half, half + 1)),
-                     tau=0 if zero else int(rng.integers(-10, 10)))
-                for _ in range(n_tests))
-            ferns.append(Fern(scale, tests))
-        forest = Forest(tuple(ferns))
+        forest = random_forest(rng)
+        zero = forest.is_zero
+        n_ferns = len(forest.ferns)
         n_total = sum(len(f.tests) for f in forest.ferns)
         forest_path = str(tmp_path / f"rf{trial}.txt")
         save_forest(forest, forest_path)
