@@ -11,6 +11,10 @@ until enough — instead of the reference's one-pixel-at-a-time while loop.
 Semantics preserved:
 * safe patch centers: x, y > 20 and x < w-21, y < h-21
   (SintelOpticalFlow.hpp:269-274);
+* flow targets: tar = src + int(round(flow at src)) with C ``round()``
+  halves-away-from-zero semantics (``_round_ref``;
+  SintelOpticalFlow.hpp:514-517 — pinned against the real code by
+  cpp/refmine.cc on exact-.5 fixture flows);
 * small-motion rejection: accept iff U(0,1) > (15 - min(|d|, 15)) / 15 * 0.5
   with d the rounded flow norm / the ground-truth disparity
   (SintelOpticalFlow.hpp:515-519);
@@ -61,6 +65,14 @@ REJECTION_KNEE = 15.0
 
 def safe_center(x: np.ndarray, y: np.ndarray, w: int, h: int) -> np.ndarray:
     return (x > SAFE_MARGIN) & (y > SAFE_MARGIN) & (x < w - 21) & (y < h - 21)
+
+
+def _round_ref(a: np.ndarray) -> np.ndarray:
+    """C ``round()``: halves round AWAY from zero — the reference's
+    ``int(round(u))`` (SintelOpticalFlow.hpp:514-517).  np.rint would round
+    halves to even (2.5 -> 2 instead of 3)."""
+    a = np.asarray(a, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(a) + 0.5), a).astype(np.int64)
 
 
 def _rejection_keep(dist: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -119,8 +131,8 @@ def mine_flow_pair(
         m = max(4 * (num - got), 256)
         x = rng.integers(0, w, size=m)
         y = rng.integers(0, h, size=m)
-        du = np.rint(u[y, x]).astype(np.int64)
-        dv = np.rint(v[y, x]).astype(np.int64)
+        du = _round_ref(u[y, x])
+        dv = _round_ref(v[y, x])
         x2 = x + du
         y2 = y + dv
         dist = np.sqrt(du.astype(np.float64) ** 2 + dv.astype(np.float64) ** 2)

@@ -238,3 +238,108 @@ def test_refmatch_width_padding(refmatch_path, oracle_path, tmp_path):
                       left_p, right_p, epipolar=True, quirk=True)
     assert len(ref) > 100
     assert ref == ora
+
+
+@pytest.fixture(scope="module")
+def refmine_path():
+    subprocess.run(
+        ["make", "-C", os.path.join(REPO, "cpp"), "refmine",
+         f"REFERENCE={REFERENCE}"],
+        check=True, capture_output=True,
+    )
+    return os.path.join(REPO, "cpp", "build", "refmine")
+
+
+def test_mining_matches_reference_code(refmine_path, tmp_path):
+    """MINING differential vs the real reference code (r4): refmine drives
+    the unmodified SintelOpticalFlow mining + Feature triplet extraction on
+    a synthetic Sintel-layout fixture.  The reference RNG is unseeded, so
+    the pinned surface is every semantic rule each accepted triplet must
+    satisfy — evaluated through OUR readers and predicates:
+
+      * .flo byte layout + the (x, y)-transposed Eigen flow lookup: each
+        target must equal src + round(flow at src) under io.flo.read_flo
+        (a transposition bug in either reader fails here),
+      * round() halving (fixture bands hold exact .5 flows; np.rint-style
+        half-to-even would mismatch),
+      * isSafePatchCenter margins (mine.safe_center) for src/tar/neg,
+      * the negative annulus (per-axis offset in [lo, hi], sign != 0),
+      * the stored 3x729-byte records: byte-identical to
+        mine.extract_triplets at the same keypoints (pins box blur +
+        X-major patch layout + record format against the REAL code).
+    """
+    from opengpc_tpu.io.flo import read_flo, write_flo
+    from opengpc_tpu.io.triplets import load_triplets
+    from opengpc_tpu.mine import _round_ref, extract_triplets, safe_center
+
+    h, w = 436, 1024  # getGroundTruthMatches hardcodes these
+    base = tmp_path / "sintel"
+    scene = "alley_1"  # the reference's default scene
+    for sub in ("clean", "flow", "occlusions", "invalid"):
+        (base / "training" / sub / scene).mkdir(parents=True)
+
+    rng = np.random.default_rng(99)
+    img1 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    img2 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    img3 = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    clean = base / "training" / "clean" / scene
+    write_png(str(clean / "frame_0001.png"), img1)
+    write_png(str(clean / "frame_0002.png"), img2)
+    write_png(str(clean / "frame_0003.png"), img3)  # countImages >= 3
+
+    # four column bands: big motion (no rejection), two half-valued bands
+    # (pin round-half-away), zero motion (max rejection ramp)
+    u = np.zeros((h, w), np.float32)
+    v = np.zeros((h, w), np.float32)
+    u[:, :256] = 20.25
+    u[:, 256:512] = 2.5
+    v[:, 256:512] = -3.5
+    u[:, 512:768] = -2.5
+    v[:, 512:768] = 0.5
+    write_flo(str(base / "training" / "flow" / scene / "frame_0001.flo"),
+              u, v)
+
+    zero = np.zeros((h, w), np.uint8)
+    for sub in ("occlusions", "invalid"):
+        for fr in ("frame_0001.png", "frame_0002.png"):
+            write_png(str(base / "training" / sub / scene / fr), zero)
+
+    kpts_out = str(tmp_path / "kpts.txt")
+    trips_out = str(tmp_path / "trips.bin")
+    n_req, r_lo, r_hi = 300, 3, 10
+    subprocess.run(
+        [refmine_path, str(base), str(n_req), str(r_lo), str(r_hi),
+         kpts_out, trips_out],
+        check=True, capture_output=True,
+    )
+    kpts = np.loadtxt(kpts_out, dtype=np.int64).reshape(-1, 6)
+    assert len(kpts) == n_req
+    xl, yl, xr, yr, xn, yn = kpts.T
+
+    # our .flo reader + our rounding must reproduce every reference target
+    ru, rv = read_flo(
+        str(base / "training" / "flow" / scene / "frame_0001.flo"))
+    np.testing.assert_array_equal(xr, xl + _round_ref(ru[yl, xl]))
+    np.testing.assert_array_equal(yr, yl + _round_ref(rv[yl, xl]))
+
+    # margins per our predicate, for all three keypoints
+    for x, y in ((xl, yl), (xr, yr), (xn, yn)):
+        assert safe_center(x, y, w, h).all()
+
+    # negative annulus: per-axis offset magnitude in [lo, hi], sign != 0
+    for dn in (np.abs(xn - xr), np.abs(yn - yr)):
+        assert (dn >= r_lo).all() and (dn <= r_hi).all()
+
+    # every flow band contributed accepted keypoints (the zero-motion band
+    # exercises the rejection ramp's accept side)
+    for lo, hi in ((0, 256), (256, 512), (512, 768), (768, 1024)):
+        assert ((xl >= lo) & (xl < hi)).sum() >= 5, (lo, hi)
+
+    # stored triplet records == our extractor at the same keypoints
+    ref_trips = load_triplets(trips_out)
+    ours = extract_triplets(img1, img2,
+                            np.stack([xl, yl], 1),
+                            np.stack([xr, yr], 1),
+                            np.stack([xn, yn], 1))
+    assert ref_trips.shape == ours.shape == (n_req, 3, 729)
+    np.testing.assert_array_equal(ref_trips, ours)
