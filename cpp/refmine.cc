@@ -23,13 +23,23 @@
 //     keypoints.
 //
 // Usage:
-//   refmine <sintel_base> <numKpts> <radiusLo> <radiusHi>
-//           <kpts_out.txt> <trips_out.bin>
+//   refmine flow   <sintel_base> <numKpts> <radiusLo> <radiusHi>
+//                  <kpts_out.txt> <trips_out.bin>
+//   refmine stereo <sintel_base> <numKpts> <radiusLo> <radiusHi>
+//                  <kpts_out.txt> <trips_out.bin>
 //
-// <sintel_base> must contain training/{clean,final,flow,occlusions,invalid}/
+// flow: <sintel_base> must contain training/{clean,flow,occlusions,invalid}/
 // alley_1/ with frame_0001/0002 files (the constructor counts clean PNGs and
 // the default scene is alley_1).  Mines pair (1, 2) like the first iteration
 // of extractTrainingData (SintelOpticalFlow.hpp:127-151).
+//
+// stereo: <sintel_base> must contain training/{clean_left,clean_right,
+// disparities,occlusions,outofframe}/alley_1/ with frame_0001 files.  Mines
+// frame 1 like SintelStereo::extractTrainingData (SintelStereo.hpp:120-146).
+// Stereo-specific reference quirks the Python side accounts for: the
+// rejection ramp uses INTEGER division (zero for every d != 0,
+// SintelStereo.hpp:427) and the negative's signum can emit 0 on either axis
+// (the sig() redraw lambda is defined but NOT used, SintelStereo.hpp:449-450).
 
 #include <cstdio>
 #include <cstdlib>
@@ -49,42 +59,16 @@ using namespace std;  // NOLINT — required by the unmodified reference headers
 // reference file itself is untouched
 #define private public
 #include "gpc/SintelOpticalFlow.hpp"
+#include "gpc/SintelStereo.hpp"
 #undef private
 
-int main(int argc, char** argv) {
-  if (argc != 7) {
-    std::fprintf(stderr,
-                 "usage: refmine <sintel_base> <numKpts> <radiusLo> "
-                 "<radiusHi> <kpts_out.txt> <trips_out.bin>\n");
-    return 1;
-  }
-  std::string base = argv[1];
-  int numKpts = std::atoi(argv[2]);
-  int radiusLo = std::atoi(argv[3]);
-  int radiusHi = std::atoi(argv[4]);
-  std::string kptsOut = argv[5];
-  std::string tripsOut = argv[6];
-
-  gpc::datasource::SintelOpticalFlow ds(base);
-  Eigen::MatrixXd u, v;
-  ndb::Buffer<uint8_t> oSrc, oTar, invSrc, invTar, imgL, imgR;
-  int err = 0;
-  err |= ds.getFlow(1, u, v);
-  err |= ds.getBW(1, imgL, imgR);
-  err |= ds.getOcclusion(1, oSrc);
-  err |= ds.getOcclusion(2, oTar);
-  err |= ds.getInvalid(1, invSrc);
-  err |= ds.getInvalid(2, invTar);
-  if (err) {
-    std::fprintf(stderr, "refmine: fixture files missing under %s\n",
-                 base.c_str());
-    return 2;
-  }
-
-  std::vector<ndb::Point> kptsL, kptsR, kptsN;
-  ds.getGroundTruthMatches(u, v, oSrc, oTar, invSrc, invTar, numKpts,
-                           radiusLo, radiusHi, kptsL, kptsR, kptsN);
-
+static void writeOutputs(const std::string& kptsOut,
+                         const std::string& tripsOut,
+                         std::vector<ndb::Point>& kptsL,
+                         std::vector<ndb::Point>& kptsR,
+                         std::vector<ndb::Point>& kptsN,
+                         ndb::Buffer<uint8_t>& imgL,
+                         ndb::Buffer<uint8_t>& imgR) {
   std::ofstream kf(kptsOut);
   for (size_t i = 0; i < kptsL.size(); i++) {
     kf << kptsL[i].x << " " << kptsL[i].y << " " << kptsR[i].x << " "
@@ -98,5 +82,61 @@ int main(int argc, char** argv) {
   feat.storeAllTriplets(trips, tripsOut);
   std::printf("refmine: %zu keypoints, %zu triplets\n", kptsL.size(),
               trips.size());
+}
+
+int main(int argc, char** argv) {
+  if (argc != 8 || (std::string(argv[1]) != "flow" &&
+                    std::string(argv[1]) != "stereo")) {
+    std::fprintf(stderr,
+                 "usage: refmine <flow|stereo> <sintel_base> <numKpts> "
+                 "<radiusLo> <radiusHi> <kpts_out.txt> <trips_out.bin>\n");
+    return 1;
+  }
+  std::string mode = argv[1];
+  std::string base = argv[2];
+  int numKpts = std::atoi(argv[3]);
+  int radiusLo = std::atoi(argv[4]);
+  int radiusHi = std::atoi(argv[5]);
+  std::string kptsOut = argv[6];
+  std::string tripsOut = argv[7];
+
+  std::vector<ndb::Point> kptsL, kptsR, kptsN;
+  if (mode == "flow") {
+    gpc::datasource::SintelOpticalFlow ds(base);
+    Eigen::MatrixXd u, v;
+    ndb::Buffer<uint8_t> oSrc, oTar, invSrc, invTar, imgL, imgR;
+    int err = 0;
+    err |= ds.getFlow(1, u, v);
+    err |= ds.getBW(1, imgL, imgR);
+    err |= ds.getOcclusion(1, oSrc);
+    err |= ds.getOcclusion(2, oTar);
+    err |= ds.getInvalid(1, invSrc);
+    err |= ds.getInvalid(2, invTar);
+    if (err) {
+      std::fprintf(stderr, "refmine: fixture files missing under %s\n",
+                   base.c_str());
+      return 2;
+    }
+    ds.getGroundTruthMatches(u, v, oSrc, oTar, invSrc, invTar, numKpts,
+                             radiusLo, radiusHi, kptsL, kptsR, kptsN);
+    writeOutputs(kptsOut, tripsOut, kptsL, kptsR, kptsN, imgL, imgR);
+  } else {
+    gpc::datasource::SintelStereo ds(base);
+    ndb::Buffer<uint8_t> occ, oof, imgL, imgR;
+    ndb::RGBBuffer disp;
+    int err = 0;
+    err |= ds.getBW(1, imgL, imgR);
+    err |= ds.getDisparity(1, disp);
+    err |= ds.getOcclusion(1, occ);
+    err |= ds.getInvalid(1, oof);
+    if (err) {
+      std::fprintf(stderr, "refmine: fixture files missing under %s\n",
+                   base.c_str());
+      return 2;
+    }
+    ds.getGroundTruthMatches(disp, oof, occ, numKpts, radiusLo, radiusHi,
+                             kptsL, kptsR, kptsN);
+    writeOutputs(kptsOut, tripsOut, kptsL, kptsR, kptsN, imgL, imgR);
+  }
   return 0;
 }

@@ -308,7 +308,7 @@ def test_mining_matches_reference_code(refmine_path, tmp_path):
     trips_out = str(tmp_path / "trips.bin")
     n_req, r_lo, r_hi = 300, 3, 10
     subprocess.run(
-        [refmine_path, str(base), str(n_req), str(r_lo), str(r_hi),
+        [refmine_path, "flow", str(base), str(n_req), str(r_lo), str(r_hi),
          kpts_out, trips_out],
         check=True, capture_output=True,
     )
@@ -338,6 +338,101 @@ def test_mining_matches_reference_code(refmine_path, tmp_path):
     # stored triplet records == our extractor at the same keypoints
     ref_trips = load_triplets(trips_out)
     ours = extract_triplets(img1, img2,
+                            np.stack([xl, yl], 1),
+                            np.stack([xr, yr], 1),
+                            np.stack([xn, yn], 1))
+    assert ref_trips.shape == ours.shape == (n_req, 3, 729)
+    np.testing.assert_array_equal(ref_trips, ours)
+
+
+def test_stereo_mining_matches_reference_code(refmine_path, tmp_path):
+    """STEREO mining differential vs the real reference code (r4, the
+    SintelStereo counterpart of test_mining_matches_reference_code):
+
+      * the RGB disparity decode d = 4R + G/64 (integer) + the row-preserving
+        target xR = xL - d, checked through io.sintel.decode_stereo_disparity
+        on OUR RGB reader,
+      * isSafePatchCenter margins for src/tar/neg,
+      * the negative annulus INCLUDING the reference's signum-0 quirk (the
+        sig() redraw lambda is defined but unused, SintelStereo.hpp:449-450,
+        so a per-axis offset of exactly 0 is legal here — unlike the flow
+        path),
+      * stored triplet records byte-identical to mine.extract_triplets.
+    """
+    from opengpc_tpu.io.sintel import decode_stereo_disparity
+    from opengpc_tpu.io.triplets import load_triplets
+    from opengpc_tpu.mine import extract_triplets, safe_center
+
+    h, w = 436, 1024
+    base = tmp_path / "sintel_stereo"
+    scene = "alley_1"
+    for sub in ("clean_left", "clean_right", "disparities", "occlusions",
+                "outofframe"):
+        (base / "training" / sub / scene).mkdir(parents=True)
+
+    rng = np.random.default_rng(44)
+    img_l = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    img_r = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    write_png(str(base / "training" / "clean_left" / scene
+                  / "frame_0001.png"), img_l)
+    write_png(str(base / "training" / "clean_right" / scene
+                  / "frame_0001.png"), img_r)
+    # countImages counts clean_left; >= 3 so the extract loop shape holds
+    write_png(str(base / "training" / "clean_left" / scene
+                  / "frame_0002.png"), img_l)
+    write_png(str(base / "training" / "clean_left" / scene
+                  / "frame_0003.png"), img_l)
+
+    # disparity bands exercising both RGB encode components and d = 0
+    # (the only value the integer rejection ramp can reject)
+    d = np.zeros((h, w), np.int32)
+    d[:, :256] = 21          # R = 5, G = 64
+    d[:, 256:512] = 3        # R = 0, G = 192 (G-only component)
+    d[:, 512:768] = 30       # R = 7, G = 128
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[..., 0] = (d // 4).astype(np.uint8)
+    rgb[..., 1] = ((d % 4) * 64).astype(np.uint8)
+    write_png(str(base / "training" / "disparities" / scene
+                  / "frame_0001.png"), rgb)
+
+    zero = np.zeros((h, w), np.uint8)
+    for sub in ("occlusions", "outofframe"):
+        write_png(str(base / "training" / sub / scene / "frame_0001.png"),
+                  zero)
+
+    kpts_out = str(tmp_path / "kpts_s.txt")
+    trips_out = str(tmp_path / "trips_s.bin")
+    n_req, r_lo, r_hi = 300, 3, 10
+    subprocess.run(
+        [refmine_path, "stereo", str(base), str(n_req), str(r_lo),
+         str(r_hi), kpts_out, trips_out],
+        check=True, capture_output=True,
+    )
+    kpts = np.loadtxt(kpts_out, dtype=np.int64).reshape(-1, 6)
+    assert len(kpts) == n_req
+    xl, yl, xr, yr, xn, yn = kpts.T
+
+    # our RGB reader + disparity decode must reproduce every target
+    from opengpc_tpu.io.png import read_rgb
+
+    dec = decode_stereo_disparity(read_rgb(
+        str(base / "training" / "disparities" / scene / "frame_0001.png")))
+    np.testing.assert_array_equal(xr, xl - dec[yl, xl])
+    np.testing.assert_array_equal(yr, yl)
+
+    for x, y in ((xl, yl), (xr, yr), (xn, yn)):
+        assert safe_center(x, y, w, h).all()
+
+    # annulus with the signum-0 quirk: each axis offset is 0 or in [lo, hi]
+    for dn in (np.abs(xn - xr), np.abs(yn - yr)):
+        assert ((dn == 0) | ((dn >= r_lo) & (dn <= r_hi))).all()
+
+    # every band contributed (incl. d=0, the partially rejected one)
+    for lo, hi in ((0, 256), (256, 512), (512, 768), (768, 1024)):
+        assert ((xl >= lo) & (xl < hi)).sum() >= 5, (lo, hi)
+
+    ref_trips = load_triplets(trips_out)
+    ours = extract_triplets(img_l, img_r,
                             np.stack([xl, yl], 1),
                             np.stack([xr, yr], 1),
                             np.stack([xn, yn], 1))
