@@ -438,3 +438,71 @@ def test_stereo_mining_matches_reference_code(refmine_path, tmp_path):
                             np.stack([xn, yn], 1))
     assert ref_trips.shape == ours.shape == (n_req, 3, 729)
     np.testing.assert_array_equal(ref_trips, ours)
+
+
+def _mk_png(width, height, bit_depth, color_type, raw_scanlines):
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        c = struct.pack(">I", len(body)) + typ + body
+        return c + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw_scanlines))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("kind", ["rgb", "gray16"])
+def test_readpng_conversions_match_reference_binary(refmatch_path,
+                                                    oracle_path, tmp_path,
+                                                    kind):
+    """PNG input-conversion differential (r4): the reference's readPNG
+    reduces RGB via integer mean (r+g+b)/3 and truncates 16-bit samples
+    into the uint8 buffer (buffer.hpp:280-301).  Feed refmatch the raw PNG
+    and the oracle OUR read_gray decode of the same file — identical
+    support sets pin both conversion rules against the real binary, not
+    just the docstring."""
+    from opengpc_tpu.io.png import read_gray
+
+    rng = np.random.default_rng(20 if kind == "rgb" else 21)
+    h, w = 96, 128  # ALIGN16 no-op width
+    base_l, base_r = make_pair(h, w, 5, seed=13)
+    if kind == "rgb":
+        # per-channel jitter so the integer mean differs from any channel
+        def enc(gray):
+            rgb = np.stack([np.clip(gray.astype(int) + dc, 0, 255)
+                            for dc in (-7, 0, 9)], axis=2).astype(np.uint8)
+            rows = b"".join(b"\x00" + r.tobytes() for r in rgb)
+            return _mk_png(w, h, 8, 2, rows)
+    else:
+        def enc(gray):
+            # high byte = random garbage, low byte = the gray value — the
+            # truncation rule must keep the low byte
+            hi = rng.integers(0, 256, gray.shape).astype(np.uint16)
+            v16 = (hi << 8) | gray.astype(np.uint16)
+            rows = b"".join(b"\x00" + r.astype(">u2").tobytes() for r in v16)
+            return _mk_png(w, h, 16, 0, rows)
+
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    with open(lp, "wb") as f:
+        f.write(enc(base_l))
+    with open(rp, "wb") as f:
+        f.write(enc(base_r))
+
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+    op = str(tmp_path / "ref.txt")
+    subprocess.run(
+        [refmatch_path, forest, lp, rp, op, "5", "0", "128", "1", "0"],
+        check=True, capture_output=True,
+    )
+    with open(op) as f:
+        ref = [tuple(map(int, line.split())) for line in f if line.strip()]
+
+    ora = _run_oracle(oracle_path, str(tmp_path), forest,
+                      read_gray(lp), read_gray(rp), epipolar=True,
+                      quirk=True)
+    assert len(ref) > 50, f"degenerate {kind} scene ({len(ref)} matches)"
+    assert ref == ora, f"{kind}: decode-conversion disagreement"
