@@ -506,3 +506,38 @@ def test_readpng_conversions_match_reference_binary(refmatch_path,
                       quirk=True)
     assert len(ref) > 50, f"degenerate {kind} scene ({len(ref)} matches)"
     assert ref == ora, f"{kind}: decode-conversion disagreement"
+
+
+def test_random_forests_match_reference_binary(refmatch_path, oracle_path,
+                                               tmp_path):
+    """Random-forest differential vs the REAL binary (r4): forests from
+    utils.fuzz.random_forest — random scales/offsets/taus, totals crossing
+    the 32-test file-order cap (inference.hpp:420-424) — are serialized by
+    OUR writer, parsed by the reference's readForest, and must produce the
+    oracle's exact support sets.  Pins the text format + cap semantics for
+    arbitrary content, not just the two pretrained files."""
+    from opengpc_tpu.forest import save_forest
+    from opengpc_tpu.utils.fuzz import random_forest
+
+    rng = np.random.default_rng(777)
+    h, w = 96, 128
+    left, right = make_pair(h, w, 4, seed=5)
+    done_over32 = False
+    for trial in range(4):
+        forest = random_forest(rng)
+        if trial == 3 and not done_over32:
+            # force one >32-test draw so the cap rule is always exercised
+            while sum(len(f.tests) for f in forest.ferns) <= 32:
+                forest = random_forest(rng)
+        done_over32 |= sum(len(f.tests) for f in forest.ferns) > 32
+        fp = str(tmp_path / f"rf{trial}.txt")
+        save_forest(forest, fp)
+        epipolar = bool(trial % 2)
+        ref = _run_reference(refmatch_path, str(tmp_path), fp,
+                             left, right, epipolar)
+        ora = _run_oracle(oracle_path, str(tmp_path), fp,
+                          left, right, epipolar, quirk=True)
+        assert ref == ora, (
+            f"trial {trial}: {sum(len(f.tests) for f in forest.ferns)} "
+            f"tests epi={epipolar}: {len(ref)} vs {len(ora)}")
+    assert done_over32
