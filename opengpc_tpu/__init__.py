@@ -57,6 +57,7 @@ from opengpc_tpu.aot import (
     load_batched_sharded_frame,
     load_sharded_frame,
     load_sparsematch,
+    peek_artifact_meta,
     save_artifact,
 )
 from opengpc_tpu.densify import densify_from_masked, densify_supports

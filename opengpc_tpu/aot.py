@@ -170,10 +170,12 @@ def export_sharded_frame(forest_or_mask, settings: InferenceSettings,
 
 
 def load_sharded_frame(data: bytes, mesh=None) -> Callable:
-    """Deserialize an ``export_sharded_frame`` blob over a serving mesh
-    (default: one mesh over all visible devices).  The mesh size must
-    equal the exported device count; inputs are row-sharded over it by
-    the returned jitted callable."""
+    """Deserialize an ``export_sharded_frame`` blob over a serving mesh.
+    With ``mesh=None`` the mesh is built over the FIRST ``nr_devices``
+    visible devices (the module records its exported device count), so a
+    4-chip artifact serves on an 8-chip host; an explicit mesh must match
+    the exported device count exactly.  Inputs are row-sharded over the
+    mesh by the returned jitted callable."""
     import jax
     from jax import export as jexport
     from jax.sharding import NamedSharding
@@ -182,10 +184,14 @@ def load_sharded_frame(data: bytes, mesh=None) -> Callable:
     from opengpc_tpu.parallel import DATA_AXIS, make_mesh
 
     exp = jexport.deserialize(bytearray(data))
+    want = getattr(exp, "nr_devices", None)
     if mesh is None:
-        mesh = make_mesh()
+        devs = jax.devices()
+        if want is not None and want <= len(devs):
+            devs = devs[:want]
+        mesh = make_mesh(devs)
     n = mesh.devices.size
-    if getattr(exp, "nr_devices", n) != n:
+    if want is not None and want != n:
         raise ValueError(
             f"artifact was exported for {exp.nr_devices} devices; the "
             f"serving mesh has {n}")
@@ -280,18 +286,25 @@ def save_artifact(path: str, blob: bytes, *, contract: str,
         f.write(blob)
 
 
-def peek_artifact_meta(path: str) -> dict:
-    """Read ONLY the JSON metadata header of a ``save_artifact`` file —
-    no deserialize, no mesh construction.  Lets callers route or reject
-    an artifact (e.g. a stacked ``mesh_shape`` one on a single-device
-    serving box) before paying for the load."""
+def _read_artifact(path: str, want_blob: bool) -> Tuple[dict, bytes]:
+    """One open/parse of a ``save_artifact`` file: (metadata, blob).
+    ``want_blob=False`` stops after the JSON header (the peek path)."""
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
             raise ValueError(f"{path}: not an opengpc AOT artifact "
                              f"(bad magic {magic!r})")
         (hlen,) = struct.unpack("<I", f.read(4))
-        return json.loads(f.read(hlen).decode())
+        meta = json.loads(f.read(hlen).decode())
+        return meta, (f.read() if want_blob else b"")
+
+
+def peek_artifact_meta(path: str) -> dict:
+    """Read ONLY the JSON metadata header of a ``save_artifact`` file —
+    no deserialize, no mesh construction.  Lets callers route or reject
+    an artifact (e.g. a stacked ``mesh_shape`` one on a single-device
+    serving box) before paying for the load."""
+    return _read_artifact(path, want_blob=False)[0]
 
 
 def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
@@ -305,28 +318,13 @@ def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
     ``load_batched_sharded_frame`` the same way.  Everything else loads
     single-device via ``load_sparsematch``; ``mesh`` is ignored for
     unsharded blobs."""
-    meta = peek_artifact_meta(path)
-    with open(path, "rb") as f:
-        f.seek(len(_MAGIC))
-        (hlen,) = struct.unpack("<I", f.read(4))
-        f.seek(len(_MAGIC) + 4 + hlen)
-        blob = f.read()
+    meta, blob = _read_artifact(path, want_blob=True)
     if meta.get("mesh_shape"):
         return load_batched_sharded_frame(blob, tuple(meta["mesh_shape"]),
                                           mesh), meta
     if meta.get("n_devices", 1) > 1:
-        if mesh is None:
-            import jax
-
-            from opengpc_tpu.parallel import make_mesh
-
-            n = int(meta["n_devices"])
-            devs = jax.devices()
-            if len(devs) < n:
-                raise ValueError(
-                    f"{path}: artifact was exported for {n} devices; "
-                    f"this host has {len(devs)}")
-            mesh = make_mesh(devs[:n])
+        # load_sharded_frame's mesh=None default serves over the first
+        # nr_devices visible devices (recorded in the module itself)
         return load_sharded_frame(blob, mesh), meta
     return load_sparsematch(blob), meta
 

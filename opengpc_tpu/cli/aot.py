@@ -131,7 +131,10 @@ def _export(args) -> int:
                     forest, settings, shape, make_mesh(devs[:sf]),
                     contract=args.contract, use_pallas=use_pallas)
                 extra = {"n_devices": sf}
-        elif dp > 1 or batch > 1:
+        elif dp > 1 or batch >= 1:
+            # any explicit --batch (even 1) without --shard-frame must
+            # error, mirroring the stacked semantics the sharded branch
+            # gives it — not silently export the unstacked module
             print("--data-parallel/--batch exports need --shard-frame "
                   "(batch-axis scale-out has no frozen artifact; the "
                   "live parallel.build_batched_sparsematch_* builders "

@@ -590,8 +590,11 @@ def train_forest(
     if batch_ferns is None:
         stack_bytes = (len(settings.ferns) * sub_n * 3 * 729
                        * triplets.dtype.itemsize)
+        # with a data-parallel mesh the stack shards its triplet axis over
+        # the devices (P(None, "data")), so the budget is per device
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
         batch_ferns = (checkpoint_path is None and len(settings.ferns) > 1
-                       and stack_bytes <= BATCH_FERNS_BYTES_CAP)
+                       and stack_bytes // n_dev <= BATCH_FERNS_BYTES_CAP)
     if batch_ferns:
         if checkpoint_path is not None:
             raise ValueError(

@@ -459,6 +459,15 @@ def test_sharded_artifact_serves_on_larger_host(forest, tmp_path):
     assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
     assert len(got) > 20
 
+    # the raw-blob API must apply the same first-N default (the fix lives
+    # in load_sharded_frame itself, not just the container router)
+    from opengpc_tpu.aot import load_sharded_frame
+
+    raw_call = load_sharded_frame(blob)
+    got_raw = decode_outputs(meta, raw_call(left, right))
+    assert set(map(tuple, got_raw.tolist())) == set(map(tuple,
+                                                        want.tolist()))
+
 
 def test_cli_run_rejects_unservable_before_load(tmp_path, capfd):
     """The run command must route on the artifact HEADER: a stacked
@@ -512,3 +521,8 @@ def test_cli_aot_export_batch1_is_stacked(tmp_path):
     meta = peek_artifact_meta(art)
     assert meta["mesh_shape"] == [1, 4]
     assert meta["batch"] == 1
+
+    # ... and the SAME explicit --batch 1 without --shard-frame must error
+    # (not silently export the unstacked module)
+    assert aot_main(["export", fpath, str(tmp_path / "x.ogpcx"),
+                     "--height", "64", "--width", "96", "--batch", "1"]) == 1

@@ -371,6 +371,22 @@ def test_batch_ferns_default_respects_bytes_cap(monkeypatch):
     monkeypatch.setattr(T, "BATCH_FERNS_BYTES_CAP", 1 << 40)
     train_forest(trips, settings, opt, seed=9, verbose=False)
     assert calls == [1, 1]
+    # the budget is PER DEVICE: with a data-parallel mesh the stack shards
+    # its triplet axis, so a cap that rejects the total must still accept
+    # total/n_dev (r4 review finding — the mesh-blind cap lost the batched
+    # win on exactly the multi-chip runs it was built for)
+    import jax
+
+    from opengpc_tpu.parallel import make_mesh
+
+    sub_n = int(settings.sample_fraction * len(trips))
+    stack_bytes = 2 * sub_n * 3 * 729 * trips.dtype.itemsize
+    monkeypatch.setattr(T, "BATCH_FERNS_BYTES_CAP", stack_bytes // 4)
+    mesh = make_mesh(jax.devices()[:4])
+    train_forest(trips, settings, opt, seed=9, verbose=False, mesh=mesh)
+    assert calls == [1, 1, 1]  # batched: per-device share fits
+    train_forest(trips, settings, opt, seed=9, verbose=False)
+    assert calls == [1, 1, 1]  # unsharded: total exceeds, sequential
 
 
 def test_batched_training_verbose_streams_levels(capsys):
