@@ -11,8 +11,10 @@ Run: python experiments/exp_train_batch.py  (TPU if reachable; CPU works)
 """
 
 import json
+import sys
 import time
 
+sys.path.insert(0, ".")
 import numpy as np
 
 from opengpc_tpu.config import fern_factory, tau_optimizer, zero_optimizer
