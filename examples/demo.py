@@ -35,17 +35,16 @@ from opengpc_tpu.viz import disparity_visualization
 from opengpc_tpu.utils.scenes import make_scene  # noqa: E402
 
 
-def main(out_dir="demo_out"):
+def main(out_dir="demo_out", h=320, w=640, num_triplets=3000):
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(0)
-    h, w = 320, 640
     left, right, gt, occ = make_scene(rng, h, w)
     write_png(os.path.join(out_dir, "left.png"), left)
     write_png(os.path.join(out_dir, "right.png"), right)
 
     # --- mine triplets straight from the ground truth -------------------
     zeros = np.zeros((h, w), np.uint8)
-    kl, kr, kn = mine_stereo_pair(gt, occ, zeros, 3000, 10, 25, rng)
+    kl, kr, kn = mine_stereo_pair(gt, occ, zeros, num_triplets, 10, 25, rng)
     triplets = extract_triplets(left, right, kl, kr, kn)
     print(f"mined {len(triplets)} triplets")
 

@@ -1300,3 +1300,30 @@ def test_cli_sequence_densify_and_rejections(tmp_path):
     for extra in (["--pyramid", "2"], ["--matcher", "quirk"],
                   ["--repeats", "3"], ["--trace", str(tmp_path / "tr")]):
         assert cli_main(base + extra) == 1, extra
+
+
+def test_examples_demo_smoke(tmp_path, capsys):
+    """examples/demo.py end-to-end at a reduced size: mine -> train ->
+    match -> visualize runs through the real example main, the fresh
+    forest reaches exact-disparity precision comparable to the pretrained
+    one, and every advertised output file is written."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "demo", os.path.join(repo, "examples", "demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    out = str(tmp_path / "demo")
+    demo.main(out, h=128, w=192, num_triplets=600)
+    text = capsys.readouterr().out
+    assert "mined 600 triplets" in text
+    for f in ("left.png", "right.png", "fresh_forest.txt",
+              "disparity_fresh.png", "disparity_pretrained.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+    import re
+
+    precs = [float(m) for m in re.findall(
+        r"exact-disparity precision (\d\.\d+)", text)]
+    assert len(precs) == 2 and all(p > 0.95 for p in precs), precs
