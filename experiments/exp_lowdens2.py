@@ -40,7 +40,14 @@ DISP = 16
 
 SWEEP = ((128, 64), (128, 32), (128, 16),
          (256, 64), (256, 32),
-         (512, 128), (512, 64))
+         (512, 128), (512, 64),
+         # wide-chunk additions (r4 session 3): larger chunks at the same
+         # ratio are MORE overflow-robust (k grows with the chunk, so
+         # clump variance crosses it less often — the CPU exactness map
+         # showed S512/K128 surviving d15 where S128/K32 overflowed).
+         # (512, 256) = ratio-1/2 with 4x the clump tolerance of the
+         # shipped (128, 64); (1024, 256) = ratio-1/4 at nc=2
+         (512, 256), (1024, 256))
 
 
 def main():
@@ -69,6 +76,9 @@ def main():
     scenes = {
         "d15": make_sparse_pair(H, W, DISP, density=0.15),
         "d08": make_sparse_pair(H, W, DISP, density=0.08),
+        # the dense-tolerance frontier: where do the wide ratio-1/2
+        # chunks stop overflowing?  Feeds the auto-threshold rule
+        "d30": make_sparse_pair(H, W, DISP, density=0.30),
     }
 
     for sname, (l, r) in scenes.items():
