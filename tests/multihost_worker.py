@@ -160,3 +160,40 @@ f_seq = train_forest(trips, settings_f, tau_optimizer(num_resamples=3),
 assert serialize_forest(f_batched) == serialize_forest(f_seq), proc
 print(f"proc {proc}: cross-process batched-fern forest identical",
       flush=True)
+
+# AOT ARTIFACT SERVED ACROSS PROCESSES (r4): the artifact was exported by
+# the PARENT pytest process (a different "host" with its own
+# single-process 4-virtual-device mesh) and handed over as a file — the
+# export-on-one-host / serve-on-a-pod story.  Both worker processes
+# deserialize it over the global 2-process mesh and serve the SAME frame
+# pair; local row shards must match the live single-device masked run.
+if len(sys.argv) > 3:
+    from opengpc_tpu.aot import load_artifact, peek_artifact_meta
+
+    meta = peek_artifact_meta(sys.argv[3])
+    assert meta["n_devices"] == 4, meta
+    amesh = make_mesh()
+    acall, _ = load_artifact(sys.argv[3], amesh)
+    # multi-process jit rejects raw numpy for non-trivial shardings; build
+    # global row-sharded arrays from the (identical) per-process host data
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opengpc_tpu.parallel import DATA_AXIS
+
+    ash = NamedSharding(amesh, P(DATA_AXIS))
+    gl = jax.make_array_from_callback(fl.shape, ash, lambda idx: fl[idx])
+    gr = jax.make_array_from_callback(fr.shape, ash, lambda idx: fr[idx])
+    abuf, acounts = acall(gl, gr)
+    achecked = 0
+    for s in abuf.addressable_shards:
+        r0 = s.index[0].start or 0
+        rows = np.asarray(s.data)
+        assert (rows == wbuf[r0:r0 + rows.shape[0]]).all(), (proc, r0)
+        achecked += rows.shape[0]
+    for s in acounts.addressable_shards:
+        r0 = s.index[0].start or 0
+        c = np.asarray(s.data)
+        assert (c == wcounts[r0:r0 + c.shape[0]]).all(), (proc, r0)
+    assert achecked == 32, achecked
+    print(f"proc {proc}: AOT artifact served across processes identical",
+          flush=True)

@@ -201,17 +201,39 @@ def test_sharded_masked_matches_single_device():
         assert got == want and len(want) > 0
 
 
-def test_multiprocess_mesh_e2e():
+def test_multiprocess_mesh_e2e(tmp_path):
     """Simulated multi-HOST run: two separate processes (2 virtual CPU
     devices each) form one 4-device mesh via parallel.init_distributed
     (coordinator + cross-process collectives — the single-machine analog
     of the DCN multi-host story).  The sharded batched matcher must
     produce per-shard supports identical to single-device runs in BOTH
-    processes (each validates its local shards)."""
+    processes (each validates its local shards).  Also ships an AOT
+    sharded-frame artifact exported HERE (a third, single-process "host")
+    for the workers to serve over their multi-process mesh."""
     import os
     import socket
     import subprocess
     import sys
+
+    import jax
+
+    from opengpc_tpu.aot import export_sharded_frame, save_artifact
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.parallel import make_mesh
+
+    settings = InferenceSettings(gradient_threshold=5, vertical_tolerance=0,
+                                 disp_high=16, epipolar_mode=True,
+                                 capacity=8192)
+    forest = load_forest(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "forests", "defaultZeroForest.txt"))
+    art = str(tmp_path / "pod.ogpcx")
+    blob = export_sharded_frame(forest, settings, (64, 96),
+                                make_mesh(jax.devices()[:4]),
+                                contract="masked", use_pallas=False)
+    save_artifact(art, blob, contract="masked", settings=settings,
+                  shape=(64, 96), extra={"n_devices": 4})
 
     with socket.socket() as s:  # free port for the coordinator
         s.bind(("127.0.0.1", 0))
@@ -221,7 +243,7 @@ def test_multiprocess_mesh_e2e():
     env = {**os.environ}
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
-        subprocess.Popen([sys.executable, worker, str(i), str(port)],
+        subprocess.Popen([sys.executable, worker, str(i), str(port), art],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for i in range(2)
@@ -236,6 +258,8 @@ def test_multiprocess_mesh_e2e():
         assert "sharded-frame local rows identical" in out, \
             f"proc {i}:\n{out[-2000:]}"
         assert "cross-process sharded training identical" in out, \
+            f"proc {i}:\n{out[-2000:]}"
+        assert "AOT artifact served across processes identical" in out, \
             f"proc {i}:\n{out[-2000:]}"
 
 
