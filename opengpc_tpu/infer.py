@@ -161,7 +161,7 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
         key = _fused_key_image(left, right, mask, settings)
         (xs, ys, ds), count = _match_epipolar_packed(
             None, None, None, None, settings.disp_high,
-            settings.capacity, key=key,
+            settings.capacity, key=key, num_tests=mask.num_tests,
         )
         return xs, ys, ds, count
     codes_l, cand_l = _codes_and_candidates(left, mask, settings, use_pallas)
@@ -170,6 +170,7 @@ def _sparsematch_impl(left, right, mask: FilterMask, settings: InferenceSettings
         (xs, ys, ds), count = match_epipolar(
             codes_l, codes_r, cand_l, cand_r, settings.disp_high,
             settings.capacity, packed=_packed_ok(mask, left.shape),
+            num_tests=mask.num_tests,
         )
     else:
         (xs, ys, ds), count = match_global(
@@ -241,7 +242,8 @@ def _sparsematch_rows_impl(left, right, mask: FilterMask,
     key, m = _interior_rows(_key_image(left, right, mask, settings,
                                        use_pallas))
     (xs, ds), counts = match_epipolar_rows(None, None, None, None,
-                                           settings.disp_high, key=key)
+                                           settings.disp_high, key=key,
+                                           num_tests=mask.num_tests)
     return ((_pad_rows(xs, m, -2), _pad_rows(ds, m, -2)),
             _pad_rows(counts, m, -1))
 
@@ -336,7 +338,7 @@ def _sparsematch_rows_batched_impl(lefts, rights, mask: FilterMask,
     hs = h - 2 * m
     (xs, ds), counts = match_epipolar_rows(
         None, None, None, None, settings.disp_high,
-        key=keys.reshape(b * hs, 2 * w)
+        key=keys.reshape(b * hs, 2 * w), num_tests=mask.num_tests
     )
     return ((_pad_rows(xs.reshape(b, hs, w), m, -2),
              _pad_rows(ds.reshape(b, hs, w), m, -2)),
@@ -414,7 +416,7 @@ def _sparsematch_masked_impl(left, right, mask: FilterMask,
         hs = h - 2 * m
         buf, counts = match_epipolar_masked(
             None, None, None, None, settings.disp_high,
-            key=keys.reshape(b * hs, 2 * w),
+            key=keys.reshape(b * hs, 2 * w), num_tests=mask.num_tests,
         )
         return (_pad_rows(buf.reshape(b, hs, 2 * w), m, -2,
                           value=MASKED_SENTINEL),
@@ -422,7 +424,8 @@ def _sparsematch_masked_impl(left, right, mask: FilterMask,
     key, m = _interior_rows(_key_image(left, right, mask, settings,
                                        use_pallas))
     buf, counts = match_epipolar_masked(None, None, None, None,
-                                        settings.disp_high, key=key)
+                                        settings.disp_high, key=key,
+                                        num_tests=mask.num_tests)
     return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
             _pad_rows(counts, m, -1))
 
@@ -478,14 +481,15 @@ def _sparsematch_masked_compact_impl(left, right, mask: FilterMask,
         keys, m = _interior_rows(keys)
         hs = h - 2 * m
         buf, counts, ovf = match_epipolar_masked_compact(
-            keys.reshape(b * hs, 2 * w), settings.disp_high, chunk, k)
+            keys.reshape(b * hs, 2 * w), settings.disp_high, chunk, k,
+            num_tests=mask.num_tests)
         return (_pad_rows(buf.reshape(b, hs, buf.shape[1]), m, -2,
                           value=MASKED_SENTINEL),
                 _pad_rows(counts.reshape(b, hs), m, -1), ovf)
     key, m = _interior_rows(_key_image(left, right, mask, settings,
                                        use_pallas))
     buf, counts, ovf = match_epipolar_masked_compact(
-        key, settings.disp_high, chunk, k)
+        key, settings.disp_high, chunk, k, num_tests=mask.num_tests)
     return (_pad_rows(buf, m, -2, value=MASKED_SENTINEL),
             _pad_rows(counts, m, -1), ovf)
 

@@ -139,6 +139,46 @@ def _compact_supports(keep, src_x, ycoord, d, capacity, w, h, disp_high):
 SENTINEL_BASE = 0x40000000  # above any <=30-bit leaf code
 
 
+def _pos_bits(w2: int) -> int:
+    return int(w2 - 1).bit_length()
+
+
+def _pack_ok(num_tests, w2) -> bool:
+    """True when code and position can share ONE int32 sort key: valid
+    packed keys (code << pos_bits | pos) stay below SENTINEL_BASE, and the
+    per-position sentinels pass through UNCHANGED (they already encode
+    their position), so the matcher sort drops its payload operand
+    entirely — measured 3.4x on the CPU sort, 1-op vs 2-op on TPU was
+    0.47 vs 0.82 ms for the flat global sort (README ledger).  Small
+    forests only: 17 tests at Sintel width (pos_bits 11), 19 at W<=256."""
+    return num_tests is not None and num_tests + _pos_bits(w2) <= 30
+
+
+def _sort_key_pos(key, pos, w2, num_tests):
+    """The matcher's row sort: single-operand pos-packed when the code
+    width allows (``_pack_ok``), the (key, pos) 2-operand UNSTABLE sort
+    otherwise.  Returns (key_s, pos_s) either way — sentinels come back
+    exactly as they went in."""
+    if _pack_ok(num_tests, w2):
+        pb = _pos_bits(w2)
+        packed = jnp.where(key < SENTINEL_BASE, (key << pb) | pos, key)
+        packed_s = jax.lax.sort((packed,), dimension=1, num_keys=1,
+                                is_stable=False)[0]
+        sent = packed_s >= SENTINEL_BASE
+        key_s = jnp.where(sent, packed_s, packed_s >> pb)
+        pos_s = jnp.where(sent, packed_s - SENTINEL_BASE,
+                          packed_s & ((1 << pb) - 1))
+        return key_s, pos_s
+    # UNSTABLE sort: pair detection is order-insensitive (key equality +
+    # lo/hi position normalization), and the emitted support set is
+    # identical either way — two matched pairs always have different
+    # codes, hence distinct sorted positions.  XLA implements a stable
+    # sort by adding an iota tiebreaker to the comparator; dropping it
+    # removes real comparator work (measured A/B in experiments/exp_sort.py)
+    return jax.lax.sort((key, pos), dimension=1, num_keys=1,
+                        is_stable=False)
+
+
 def match_epipolar(
     code_src: jnp.ndarray,
     code_tar: jnp.ndarray,
@@ -148,6 +188,7 @@ def match_epipolar(
     capacity: int,
     packed: bool = False,
     sort_impl: str = "auto",
+    num_tests=None,
 ):
     """Per-row unique-collision matching of two (H, W) code images.
 
@@ -164,7 +205,7 @@ def match_epipolar(
     if packed:
         return _match_epipolar_packed(
             code_src, code_tar, valid_src, valid_tar, disp_high, capacity,
-            sort_impl,
+            sort_impl, num_tests=num_tests,
         )
     h, w = code_src.shape
     code = jnp.concatenate([code_src, code_tar], axis=1)
@@ -194,7 +235,8 @@ def match_epipolar(
 
 
 def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
-                           disp_high, capacity, sort_impl="auto", key=None):
+                           disp_high, capacity, sort_impl="auto", key=None,
+                           num_tests=None):
     if key is not None:
         # prebuilt (H, 2W) sentinel-packed key image (ops/fused.fused_keys)
         h, w2 = key.shape
@@ -236,15 +278,9 @@ def _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
             pos = jnp.concatenate([pos, pad_pos], axis=1)
         key_s, pos_s = bitonic_sort_rows(key, pos)
     else:
-        # UNSTABLE sort: pair detection below is order-insensitive (key
-        # equality + lo/hi position normalization), and the emitted support
-        # set is identical either way — two matched pairs always have
-        # different codes, hence distinct sorted positions.  XLA implements
-        # a stable sort by adding an iota tiebreaker to the comparator;
-        # dropping it removes real comparator work (measured A/B in
-        # experiments/exp_sort.py)
-        key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
-                                    is_stable=False)
+        # single-operand when the code width allows, (key, pos) UNSTABLE
+        # sort otherwise — see _sort_key_pos
+        key_s, pos_s = _sort_key_pos(key, pos, 2 * w, num_tests)
     keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
     if capacity is None:  # row-form output (match_epipolar_rows)
         return _row_pack(keep, src_x, d, w, disp_high)
@@ -296,7 +332,7 @@ def _masked_emit(keep, src_x, d, w, disp_high):
 
 
 def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
-                          disp_high, key=None):
+                          disp_high, key=None, num_tests=None):
     """MASKED sorted-order epipolar matcher — the minimum-device-work
     output contract: one row sort, pair detection, and a masked emit; NO
     packing sort at all (~1.3x the row-form contract's device throughput,
@@ -327,6 +363,10 @@ def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
         pos = jnp.broadcast_to(
             jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
         )
+    if _pack_ok(num_tests, 2 * w):
+        key_s, pos_s = _sort_key_pos(key, pos, 2 * w, num_tests)
+        keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
+        return _masked_emit(keep, src_x, d, w, disp_high)
     key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
                                 is_stable=False)
     keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
@@ -360,7 +400,7 @@ def resolve_masked_compact_chunks(chunk=None, k=None):
 
 
 def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
-                                  k: int = None):
+                                  k: int = None, num_tests=None):
     """Low-density fast path of the masked contract: STRIDED chunked
     pre-compaction shrinks the matcher sort (VERDICT r3 item 2, adopted
     from experiments/exp_lowdens.py: 0.338 vs 0.430 ms at 15% candidate
@@ -396,15 +436,37 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
         pos = jnp.concatenate([pos, pad_pos], axis=1)
     w2p = key.shape[1]
     nc = w2p // chunk
-    kc = key.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
-    pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
-    vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
-    overflow = jnp.any(vc > k)
-    ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1, is_stable=False)
-    ks = ks[:, :k].reshape(h, nc * k)
-    ps = ps[:, :k].reshape(h, nc * k)
-    key_s, pos_s = jax.lax.sort((ks, ps), dimension=1, num_keys=1,
-                                is_stable=False)
+    if _pack_ok(num_tests, w2p):
+        # single-operand variant: pos rides inside the key through BOTH
+        # sorts (chunk stage and final), halving the sort traffic of each
+        pb = _pos_bits(w2p)
+        packed = jnp.where(key < SENTINEL_BASE, (key << pb) | pos, key)
+        kc = packed.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
+            h * nc, chunk)
+        vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
+        overflow = jnp.any(vc > k)
+        ks = jax.lax.sort((kc,), dimension=1, num_keys=1,
+                          is_stable=False)[0]
+        ks = ks[:, :k].reshape(h, nc * k)
+        packed_s = jax.lax.sort((ks,), dimension=1, num_keys=1,
+                                is_stable=False)[0]
+        sent = packed_s >= SENTINEL_BASE
+        key_s = jnp.where(sent, packed_s, packed_s >> pb)
+        pos_s = jnp.where(sent, packed_s - SENTINEL_BASE,
+                          packed_s & ((1 << pb) - 1))
+    else:
+        kc = key.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
+            h * nc, chunk)
+        pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
+            h * nc, chunk)
+        vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
+        overflow = jnp.any(vc > k)
+        ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1,
+                              is_stable=False)
+        ks = ks[:, :k].reshape(h, nc * k)
+        ps = ps[:, :k].reshape(h, nc * k)
+        key_s, pos_s = jax.lax.sort((ks, ps), dimension=1, num_keys=1,
+                                    is_stable=False)
     keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
     out, counts = _masked_emit(keep, src_x, d, w, disp_high)
     return out, counts, overflow
@@ -439,7 +501,7 @@ def _row_pack(keep, src_x, d, w, disp_high):
 
 
 def match_epipolar_rows(code_src, code_tar, valid_src, valid_tar, disp_high,
-                        key=None):
+                        key=None, num_tests=None):
     """Row-form epipolar matcher: ((xs (H, W), ds (H, W)), row_counts (H,)).
 
     Same unique-collision semantics as match_epipolar(packed=True) but the
@@ -449,7 +511,8 @@ def match_epipolar_rows(code_src, code_tar, valid_src, valid_tar, disp_high,
     (xs[y, :c], y, ds[y, :c]) with c = row_counts[y], ordered by x.
     """
     return _match_epipolar_packed(code_src, code_tar, valid_src, valid_tar,
-                                  disp_high, capacity=None, key=key)
+                                  disp_high, capacity=None, key=key,
+                                  num_tests=num_tests)
 
 
 def _global_pairs(code_src, code_tar, valid_src, valid_tar, packed=False):

@@ -406,16 +406,19 @@ def build_sharded_frame_sparsematch(forest_or_mask,
             key = _key_image_jnp_slab(hl, hr, mask, settings, y0, h_total)
         if contract == "masked-compact":
             buf, counts, ovf = match_epipolar_masked_compact(
-                key, settings.disp_high, chunk, k)
+                key, settings.disp_high, chunk, k,
+                num_tests=mask.num_tests)
             # one replicated frame-level flag: any shard's chunk overflow
             # taints the whole frame (the fallback re-runs it whole)
             ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis) > 0
             return buf, counts, ovf
         if contract == "masked":
             return match_epipolar_masked(None, None, None, None,
-                                         settings.disp_high, key=key)
+                                         settings.disp_high, key=key,
+                                         num_tests=mask.num_tests)
         return match_epipolar_rows(None, None, None, None,
-                                   settings.disp_high, key=key)
+                                   settings.disp_high, key=key,
+                                   num_tests=mask.num_tests)
 
     spec = P(DATA_AXIS)
     out_specs = ((spec, spec) if contract == "masked"
@@ -550,16 +553,19 @@ def build_batched_sharded_frame_sparsematch(forest_or_mask,
         flat = keys.reshape(bl * sh, 2 * w)
         if contract == "masked-compact":
             buf, counts, ovf = match_epipolar_masked_compact(
-                flat, settings.disp_high, chunk, k)
+                flat, settings.disp_high, chunk, k,
+                num_tests=mask.num_tests)
             ovf = jax.lax.pmax(ovf.astype(jnp.int32), ROWS_AXIS) > 0
             return (buf.reshape(bl, sh, -1), counts.reshape(bl, sh),
                     ovf.reshape(1))
         if contract == "masked":
             buf, counts = match_epipolar_masked(
-                None, None, None, None, settings.disp_high, key=flat)
+                None, None, None, None, settings.disp_high, key=flat,
+                num_tests=mask.num_tests)
             return buf.reshape(bl, sh, 2 * w), counts.reshape(bl, sh)
         (xs, ds), counts = match_epipolar_rows(
-            None, None, None, None, settings.disp_high, key=flat)
+            None, None, None, None, settings.disp_high, key=flat,
+            num_tests=mask.num_tests)
         return ((xs.reshape(bl, sh, w), ds.reshape(bl, sh, w)),
                 counts.reshape(bl, sh))
 

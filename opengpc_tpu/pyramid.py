@@ -137,7 +137,7 @@ def _pyramid_compact_impl(left, right, mask: FilterMask,
         key, m = _interior_rows(
             _key_image(l_img, r_img, mask, settings, use_pallas))
         buf, _counts, o = match_epipolar_masked_compact(
-            key, disp_high, chunk, k)
+            key, disp_high, chunk, k, num_tests=mask.num_tests)
         ovf = ovf | o
         scale = 1 << level
         valid = buf != MASKED_SENTINEL

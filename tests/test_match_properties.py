@@ -121,3 +121,71 @@ def test_capacity_overflow_truncates_deterministically():
             np.asarray(ds).tolist())
     )
     assert held <= full and len(held) == cap
+
+
+class TestSingleOperandPackedSort:
+    """Small-forest single-operand matcher sort (r4): when
+    num_tests + pos_bits(2W) <= 30, pos packs INTO the sort key and the
+    payload operand disappears (measured 3.4x on the CPU sort;
+    experiments/exp_smallforest.py).  Equality with the 2-operand path is
+    the contract here."""
+
+    def test_pack_ok_boundary(self):
+        from opengpc_tpu.match import _pack_ok, _pos_bits
+
+        assert _pos_bits(2048) == 11
+        assert _pack_ok(19, 2048)       # 19 + 11 = 30: fits
+        assert not _pack_ok(20, 2048)   # 31: one bit too many
+        assert not _pack_ok(None, 2048)
+        assert _pack_ok(17, 8192)       # 17 + 13 = 30 (4K rows)
+        assert not _pack_ok(18, 8192)
+
+    @pytest.mark.parametrize("n_tests", [1, 11, 17, 19])
+    def test_masked_equal_either_sort(self, n_tests):
+        """The 1-op path (num_tests given, small) and the 2-op path
+        (num_tests=None) must produce IDENTICAL masked buffers — not just
+        equal support sets — for the same key image."""
+        import os
+
+        from opengpc_tpu.config import InferenceSettings
+        from opengpc_tpu.forest import load_forest, make_filter_mask
+        from opengpc_tpu.infer import _key_image
+        from opengpc_tpu.match import (_pack_ok, match_epipolar_masked,
+                                       match_epipolar_masked_compact)
+
+        forests = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "forests")
+        mask = make_filter_mask(
+            load_forest(os.path.join(forests, "defaultTauForest.txt")),
+            max_tests=n_tests)
+        settings = InferenceSettings(gradient_threshold=4,
+                                     epipolar_mode=True, disp_high=32,
+                                     vertical_tolerance=0, capacity=8192)
+        rng = np.random.default_rng(n_tests)
+        h, w = 96, 160
+        left = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        right = np.roll(left, -4, axis=1)
+        key = _key_image(left, right, mask, settings, use_pallas=False)
+        assert _pack_ok(n_tests, 2 * w)
+
+        b1, c1 = match_epipolar_masked(None, None, None, None,
+                                       settings.disp_high, key=key,
+                                       num_tests=n_tests)
+        b2, c2 = match_epipolar_masked(None, None, None, None,
+                                       settings.disp_high, key=key)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        if n_tests >= 11:  # a 1-test forest has 2 codes: nothing unique
+            assert int(np.asarray(c1).sum()) > 50
+
+        # compact contract: same buffers, same overflow flag, both sorts
+        # single-operand on the packed path
+        cb1, cc1, o1 = match_epipolar_masked_compact(
+            key, settings.disp_high, 64, 32, num_tests=n_tests)
+        cb2, cc2, o2 = match_epipolar_masked_compact(
+            key, settings.disp_high, 64, 32)
+        assert bool(np.asarray(o1)) == bool(np.asarray(o2))
+        if not bool(np.asarray(o1)):
+            np.testing.assert_array_equal(np.asarray(cb1), np.asarray(cb2))
+            np.testing.assert_array_equal(np.asarray(cc1), np.asarray(cc2))
