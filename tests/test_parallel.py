@@ -718,3 +718,37 @@ def test_batched_sharded_frame_rejects_bad_inputs():
     lefts, rights = _frame_batch(63, 2, 48, 64)  # 12 rows/shard < 14 halo
     with pytest.raises(ValueError, match="halo"):
         run(lefts, rights)
+
+
+def test_sharded_frame_small_forest_one_op_sort():
+    """The single-operand small-forest sort (match._sort_key_pos) under
+    shard_map: a 17-test mask rides the 1-op path inside every row shard
+    and must stay bit-identical to the single-device masked matcher (the
+    30-test forests of the other sharded tests always take the 2-op
+    path)."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest, make_filter_mask
+    from opengpc_tpu.infer import build_sparsematch_masked
+    from opengpc_tpu.match import _pack_ok
+    from opengpc_tpu.parallel import build_sharded_frame_sparsematch
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mask = make_filter_mask(
+        load_forest(os.path.join(repo, "forests", "defaultTauForest.txt")),
+        max_tests=17)
+    assert _pack_ok(mask.num_tests, 2 * 96)
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64, capacity=8192
+    )
+    h, w = 128, 96
+    left, right = _frame_pair(33, h, w)
+    sharded = build_sharded_frame_sparsematch(mask, settings, make_mesh(),
+                                              use_pallas=False)
+    buf, counts = sharded(left, right)
+    sbuf, scounts = build_sparsematch_masked(mask, settings,
+                                             use_pallas=False)(left, right)
+    assert int(np.asarray(counts).sum()) > 50
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(scounts))
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(sbuf))
