@@ -718,6 +718,28 @@ def global_compact_chunks(w2: int):
     return (512, 128) if w2 >= 2048 else (128, 64)
 
 
+def resolve_global_compact_chunks(w2: int, chunk=None, k=None):
+    """Resolve the global-compact (chunk, k) pair from the width rule
+    (:func:`global_compact_chunks`), deriving a missing parameter with the
+    rule's K/S ratio so a single-parameter tuning call can't mix
+    incompatible defaults — the global twin of
+    resolve_masked_compact_chunks, shared by match_global_rows_compact and
+    the sharded-frame global builder."""
+    dchunk, dk = global_compact_chunks(w2)
+    if chunk is None and k is None:
+        chunk, k = dchunk, dk
+    elif chunk is None:
+        chunk = k * (dchunk // dk)
+    elif k is None:
+        k = max(1, chunk // (dchunk // dk))
+    if k > chunk:
+        raise ValueError(
+            f"global-compact chunk capacity k={k} exceeds chunk size "
+            f"S={chunk}; pass k <= chunk (width defaults: "
+            "match.global_compact_chunks)")
+    return chunk, k
+
+
 def match_global_rows_compact(key_img: jnp.ndarray, w: int, disp_high: int,
                               vertical_tolerance: int, chunk: int = None,
                               k: int = None, num_rows: int = 0,
@@ -754,45 +776,55 @@ def match_global_rows_compact(key_img: jnp.ndarray, w: int, disp_high: int,
     """
     h, w2 = key_img.shape
     assert w2 == 2 * w
-    dchunk, dk = global_compact_chunks(w2)
-    if chunk is None and k is None:
-        chunk, k = dchunk, dk
-    elif chunk is None:
-        # derive the missing parameter with the width rule's K/S ratio so a
-        # single-parameter tuning call can't mix incompatible defaults
-        chunk = k * (dchunk // dk)
-    elif k is None:
-        k = max(1, chunk // (dchunk // dk))
-    if k > chunk:
-        raise ValueError(
-            f"global-compact chunk capacity k={k} exceeds chunk size "
-            f"S={chunk}; pass k <= chunk (width defaults: "
-            "match.global_compact_chunks)")
+    chunk, k = resolve_global_compact_chunks(w2, chunk, k)
     pos = (jnp.arange(h, dtype=jnp.int32)[:, None] * w2
            + jnp.arange(w2, dtype=jnp.int32)[None, :])
+    ks, ps, overflow = _strided_chunk_compact(key_img, pos, chunk, k,
+                                              pos_never=h * w2)
+    out = _global_rows_core(ks, ps, w, w2, h, disp_high,
+                            vertical_tolerance, num_rows, y_offset)
+    return out + (overflow,)
+
+
+def _strided_chunk_compact(key_img, pos_img, chunk: int, k: int,
+                           pos_never: int):
+    """Strided chunked pre-compaction shared by the single-device
+    (match_global_rows_compact) and sharded-frame
+    (parallel.build_sharded_frame_sparsematch contract="global-compact")
+    global fast paths: each key row splits into nc strided chunks (chunk c
+    holds columns {j : j % nc == c}), each chunk sorts (valid codes <
+    SENTINEL_BASE sort left) and its first ``k`` columns survive.
+
+    ``pos_img`` carries the caller's position payload (GLOBAL flat
+    positions in the sharded case); ``pos_never`` is the payload given to
+    the chunk-multiple column pads (never emitted — pad keys are unique,
+    so they cannot form equal runs).  Returns
+    ``(keys (h*nc*k,), pos (h*nc*k,), overflow)`` with ``overflow`` True
+    iff some chunk held more than ``k`` valid candidates (the exactness
+    guard: the caller must then re-run a full-width contract)."""
+    h, w2 = key_img.shape
     if w2 % chunk:
-        # pad to a chunk multiple with GLOBALLY unique keys above every
-        # real sentinel (real sentinels are SENTINEL_BASE + [0, 2W)), so
-        # pads can never form an equal run; their pos is never emitted
+        # pad to a chunk multiple with keys unique within this image and
+        # above every real sentinel (real sentinels are
+        # SENTINEL_BASE + [0, 2W)), so pads can never form an equal run
         padn = chunk - w2 % chunk
         pad_k = (SENTINEL_BASE + w2
                  + jnp.arange(h, dtype=jnp.int32)[:, None] * padn
                  + jnp.arange(padn, dtype=jnp.int32)[None, :])
         key_img = jnp.concatenate([key_img, pad_k], axis=1)
-        pos = jnp.concatenate(
-            [pos, jnp.full((h, padn), h * w2, dtype=jnp.int32)], axis=1)
+        pos_img = jnp.concatenate(
+            [pos_img, jnp.full((h, padn), pos_never, dtype=jnp.int32)],
+            axis=1)
     w2p = key_img.shape[1]
     nc = w2p // chunk
     kc = key_img.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
         h * nc, chunk)
-    pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(h * nc, chunk)
+    pc = pos_img.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
+        h * nc, chunk)
     vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
     overflow = jnp.any(vc > k)
     ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1, is_stable=False)
-    out = _global_rows_core(ks[:, :k].reshape(-1), ps[:, :k].reshape(-1),
-                            w, w2, h, disp_high, vertical_tolerance,
-                            num_rows, y_offset)
-    return out + (overflow,)
+    return ks[:, :k].reshape(-1), ps[:, :k].reshape(-1), overflow
 
 
 def match_reference_quirk(

@@ -296,7 +296,7 @@ def build_sharded_frame_sparsematch(forest_or_mask,
                                     settings: InferenceSettings,
                                     mesh: Mesh, use_pallas=None,
                                     contract: str = "masked",
-                                    chunk=None, k=None):
+                                    chunk=None, k=None, bucket_cap=None):
     """SINGLE-FRAME multi-chip matcher: shard ONE (H, W) pair's ROWS over
     the mesh — the direct multi-chip recast of the reference's only
     intra-image parallelism, parFor row partitioning
@@ -322,13 +322,34 @@ def build_sharded_frame_sparsematch(forest_or_mask,
       when True the caller must re-run a full-width contract (the CLI's
       ``--shard-frame --contract masked-compact`` re-runs the sharded
       masked builder).
-
-    Global (non-epipolar) mode is deliberately NOT offered here: its
-    uniqueness domain spans the whole image pair, so a row-sharded version
-    needs a cross-shard duplicate check (all-gather of per-shard candidate
-    codes or a distributed sort) — a collective-heavy design documented as
-    out of scope in PARITY.md §2.10; use the batch-sharded
-    build_batched_sparsematch_global_rows for global-mode scale-out.
+    * ``contract="global-compact"`` (requires ``epipolar_mode=False``):
+      ((xs, ys, ds) (H, C) each, counts (H,), overflow bool[]) — same
+      support set as build_sparsematch_global_compact /
+      build_sparsematch_global_rows whenever ``overflow`` is False,
+      decoded with infer.global_row_supports_to_numpy (segment layout
+      differs: segments follow the distributed bucket order, which the
+      global contract explicitly leaves arbitrary).  Global mode's
+      uniqueness domain spans the whole image pair, so this contract is a
+      DISTRIBUTED SORT: each chip chunk-compacts its slab's candidates
+      (match._strided_chunk_compact, 2HW -> 2HW*(K/S) survivors), assigns
+      each survivor to the chip owning its code range (fern codes are
+      hash-uniform, so a static equal-width partition of [0, 2^30)
+      balances), exchanges buckets with ONE ``all_to_all`` over ICI
+      (fixed per-destination capacity ``bucket_cap``), and detects
+      duplicate collisions with a LOCAL sort of its own bucket — equal
+      codes land on the same chip by construction, so cross-shard
+      uniqueness needs no further collective and no boundary halo.
+      Sentinel/pad survivors don't ride the exchange at all — they can
+      never pair (unique keys, or same-image runs the cross check
+      rejects, the match_global_rows_compact argument), and dropping
+      non-equal neighbors never changes the equal-run structure of the
+      valid keys that remain.  Exactness is overflow-guarded
+      twice (chunk capacity k and bucket capacity), pmax-combined into
+      one replicated flag: when True, re-run the single-device
+      full-width global matcher.  This replaces the r4 "collective cost
+      ~= re-centralizing" won't-do: the flat uniqueness sort — the
+      dominant global-mode stage — now runs n-way parallel on
+      ~2HW*(K/S)/n elements per chip.
 
     Shards at the image's top/bottom see zero halos (``ppermute`` fills
     non-received edges with zeros), which is exactly the zero padding a
@@ -342,16 +363,21 @@ def build_sharded_frame_sparsematch(forest_or_mask,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from opengpc_tpu.infer import _key_image_jnp_slab, _rows_ok
-    from opengpc_tpu.match import (SENTINEL_BASE, match_epipolar_masked,
+    from opengpc_tpu.infer import (_global_rows_ok, _key_image_jnp_slab,
+                                   _rows_ok)
+    from opengpc_tpu.match import (SENTINEL_BASE, _global_rows_core,
+                                   _strided_chunk_compact,
+                                   match_epipolar_masked,
                                    match_epipolar_masked_compact,
-                                   match_epipolar_rows)
+                                   match_epipolar_rows,
+                                   resolve_global_compact_chunks)
     from opengpc_tpu.ops.fused import PAD, fused_keys_slab
 
-    if contract not in ("masked", "rows", "masked-compact"):
+    if contract not in ("masked", "rows", "masked-compact",
+                        "global-compact"):
         raise ValueError(
-            f"contract must be 'masked', 'rows' or 'masked-compact', "
-            f"got {contract!r}")
+            f"contract must be 'masked', 'rows', 'masked-compact' or "
+            f"'global-compact', got {contract!r}")
     mask = (
         make_filter_mask(forest_or_mask)
         if isinstance(forest_or_mask, Forest)
@@ -373,16 +399,30 @@ def build_sharded_frame_sparsematch(forest_or_mask,
                 f"ppermute hop exchanges at most a full shard); use a "
                 f"smaller mesh for images under {PAD * n} rows"
             )
-        if not settings.epipolar_mode:
-            raise ValueError(
-                "sharded-frame matching is epipolar-only (global mode "
-                "needs cross-shard uniqueness; see docstring)"
-            )
-        if not _rows_ok(mask, (h_total, w), settings):
-            raise ValueError(
-                "sharded-frame matching needs <=30-test forests and a "
-                "packable (x, d) key; see infer._rows_ok"
-            )
+        if contract == "global-compact":
+            if settings.epipolar_mode:
+                raise ValueError(
+                    "contract='global-compact' is for global mode "
+                    "(epipolar_mode=False); use the masked/rows contracts "
+                    "for epipolar settings"
+                )
+            if not _global_rows_ok(mask, (h_total, w), settings):
+                raise ValueError(
+                    "sharded global matching needs <=30-test forests and "
+                    "packable (y, x, d) keys; see infer._global_rows_ok"
+                )
+        else:
+            if not settings.epipolar_mode:
+                raise ValueError(
+                    "epipolar sharded-frame contracts need "
+                    "epipolar_mode=True; global mode rides "
+                    "contract='global-compact' (distributed bucket sort)"
+                )
+            if not _rows_ok(mask, (h_total, w), settings):
+                raise ValueError(
+                    "sharded-frame matching needs <=30-test forests and a "
+                    "packable (x, d) key; see infer._rows_ok"
+                )
         y0 = jax.lax.axis_index(axis).astype(jnp.int32) * sh
 
         def with_halo(x):
@@ -404,6 +444,56 @@ def build_sharded_frame_sparsematch(forest_or_mask,
             ], axis=1)
         else:
             key = _key_image_jnp_slab(hl, hr, mask, settings, y0, h_total)
+        if contract == "global-compact":
+            w2 = 2 * w
+            ch, kk = resolve_global_compact_chunks(w2, chunk, k)
+            pos = ((y0 + jnp.arange(sh, dtype=jnp.int32))[:, None] * w2
+                   + jnp.arange(w2, dtype=jnp.int32)[None, :])
+            ks, ps, ovf_c = _strided_chunk_compact(
+                key, pos, ch, kk, pos_never=h_total * w2)
+            m = int(ks.shape[0])
+            cap = bucket_cap
+            if cap is None:
+                # hash-uniform codes put ~m/n survivors in each bucket
+                # (deviation is a few sigma of binomial(m, 1/n)); 2x slack
+                # absorbs real-image code skew, the overflow flag guards
+                # the rest
+                cap = max(1024, -(-2 * m // (n * 128)) * 128)
+            cap = min(cap, m)
+            # int32 headroom (static trace-time guard): exchange pads live
+            # in [SENTINEL_BASE, 2^31), unique per (source chip, slot)
+            if n * m >= (1 << 30):
+                raise ValueError(
+                    f"exchange pads overflow int32: n*m = {n * m} >= 2^30")
+            my = jax.lax.axis_index(axis).astype(jnp.int32)
+            # owner chip of a valid code = its equal-width range of
+            # [0, 2^30); sentinel/pad survivors DON'T ride the exchange at
+            # all — they can never pair (see docstring), and removing
+            # non-equal neighbors never changes the equal-run structure of
+            # the valid keys that remain
+            div = -(-SENTINEL_BASE // n)
+            bkt = jnp.where(ks < SENTINEL_BASE, ks // div, jnp.int32(n))
+            dest = jnp.arange(n, dtype=jnp.int32)[:, None]
+            pads = (SENTINEL_BASE + my * jnp.int32(m)
+                    + jnp.arange(m, dtype=jnp.int32))[None, :]
+            mine = bkt[None, :] == dest
+            tk = jnp.where(mine, ks[None, :], pads)
+            tp = jnp.where(mine, ps[None, :], jnp.int32(h_total * w2))
+            cnt = jnp.sum(mine, axis=1, dtype=jnp.int32)
+            ovf_b = jnp.any(cnt > cap)
+            # per-destination left-pack: real keys (< pad base) sort left,
+            # the first `cap` columns ride the exchange
+            sk, sp = jax.lax.sort((tk, tp), dimension=1, num_keys=1,
+                                  is_stable=False)
+            send = jnp.stack([sk[:, :cap], sp[:, :cap]], axis=-1)
+            recv = jax.lax.all_to_all(send, axis, split_axis=0,
+                                      concat_axis=0, tiled=True)
+            (xs, ys, ds), counts = _global_rows_core(
+                recv[..., 0].reshape(-1), recv[..., 1].reshape(-1),
+                w, w2, h_total, settings.disp_high,
+                settings.vertical_tolerance, sh, 0)
+            ovf = jax.lax.pmax((ovf_c | ovf_b).astype(jnp.int32), axis) > 0
+            return (xs, ys, ds), counts, ovf
         if contract == "masked-compact":
             buf, counts, ovf = match_epipolar_masked_compact(
                 key, settings.disp_high, chunk, k,
@@ -423,6 +513,8 @@ def build_sharded_frame_sparsematch(forest_or_mask,
     spec = P(DATA_AXIS)
     out_specs = ((spec, spec) if contract == "masked"
                  else (spec, spec, P()) if contract == "masked-compact"
+                 else ((spec, spec, spec), spec, P())
+                 if contract == "global-compact"
                  else ((spec, spec), spec))
     fn = shard_map(
         local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
@@ -741,6 +833,29 @@ def sharded_sparsematch_step(n_devices: int) -> None:
         assert int(np.asarray(cfcounts).sum()) == int(
             np.asarray(wcounts).sum()), (
             "sharded-frame compact counts != whole-frame masked counts")
+
+    # single-frame GLOBAL sharding (r4: distributed bucket sort over one
+    # all_to_all) — k=chunk makes the chunk compaction lossless, so the
+    # support set must equal the single-device global matcher exactly
+    from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                   global_row_supports_to_numpy)
+
+    run_frame_g = build_sharded_frame_sparsematch(
+        forest, gsettings, mesh, contract="global-compact", chunk=64, k=64)
+    (gx, gy, gd), gfcounts, gfovf = run_frame_g(fl, fr)
+    gfcounts.block_until_ready()
+    assert not bool(np.asarray(gfovf)), (
+        "lossless (k=chunk) sharded global run reported overflow")
+    gotg = set(map(tuple, global_row_supports_to_numpy(
+        np.asarray(gx), np.asarray(gy), np.asarray(gd),
+        np.asarray(gfcounts))))
+    (wgx, wgy, wgd), wgcounts = build_sparsematch_global_rows(
+        forest, gsettings, use_pallas=False)(fl, fr)
+    wantg = set(map(tuple, global_row_supports_to_numpy(
+        np.asarray(wgx), np.asarray(wgy), np.asarray(wgd),
+        np.asarray(wgcounts))))
+    assert gotg == wantg and len(wantg) > 0, (
+        "sharded-frame global support set != single-device global")
 
     # 2-D (data, rows) mesh (r4): the batch axis AND each frame's rows
     # sharded together — per-frame results must equal the whole-frame run
