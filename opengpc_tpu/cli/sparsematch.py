@@ -293,13 +293,15 @@ def main(argv=None) -> int:
                                           make_mesh)
 
         n = args.shard_frame
+        gmode = args.global_mode
+        ok_contracts = (("auto", "global-compact") if gmode
+                        else ("auto", "rows", "masked", "masked-compact"))
         bad = [name for name, on in (
             ("--pyramid", args.pyramid > 1),
-            ("--global-mode", args.global_mode),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
-            (f"--contract {args.contract}",
-             args.contract not in ("auto", "rows", "masked",
-                                   "masked-compact")),
+            (f"--contract {args.contract} (with "
+             + ("--global-mode" if gmode else "epipolar mode") + ")",
+             args.contract not in ok_contracts),
         ) if on]
         if bad:
             print(f"--shard-frame does not support: {', '.join(bad)}",
@@ -311,31 +313,53 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         fmask = make_filter_mask(forest)
-        if not _rows_ok(fmask, left.shape, settings) or left.shape[0] % n \
-                or left.shape[0] // n < PAD:
-            print(f"--shard-frame {n} needs epipolar mode, a <=30-test "
-                  "forest, packable (x, d) keys, and an image height "
-                  f"divisible by {n} with >= {PAD} rows per shard "
-                  f"(got {left.shape})", file=sys.stderr)
-            return 1
-        contract = (args.contract if args.contract in ("rows",
-                                                       "masked-compact")
-                    else "masked")
-        masked_form = contract in ("masked", "masked-compact")
-        row_form = contract == "rows"
-        mesh = make_mesh(devs[:n])
-        smatch = build_sharded_frame_sparsematch(
-            fmask, settings, mesh, contract=contract)
+        if gmode:
+            from opengpc_tpu.infer import _global_rows_ok
 
-        if contract == "masked-compact":
-            # any shard's dense chunk trips the pmax-replicated flag
-            match = _OverflowGuard(
-                lambda: build_sharded_frame_sparsematch(
-                    fmask, settings, mesh, contract="masked"),
-                "masked-compact overflow: dense frame, re-ran the "
-                "sharded full-width masked matcher").wrap(smatch)
+            eligible = _global_rows_ok(fmask, left.shape, settings)
         else:
-            match = smatch
+            eligible = _rows_ok(fmask, left.shape, settings)
+        if not eligible or left.shape[0] % n \
+                or left.shape[0] // n < PAD:
+            print(f"--shard-frame {n} needs a <=30-test forest, packable "
+                  f"{'(y, x, d)' if gmode else '(x, d)'} keys, and an "
+                  f"image height divisible by {n} with >= {PAD} rows per "
+                  f"shard (got {left.shape})", file=sys.stderr)
+            return 1
+        mesh = make_mesh(devs[:n])
+        if gmode:
+            # distributed bucket sort (one all_to_all); dense frames trip
+            # the replicated chunk/bucket overflow flag and re-run on one
+            # device at full width (cross-shard uniqueness has no exact
+            # full-width sharded form)
+            from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                           global_row_supports_to_numpy)
+
+            global_rows = True
+            smatch = build_sharded_frame_sparsematch(
+                fmask, settings, mesh, contract="global-compact")
+            match = _OverflowGuard(
+                lambda: build_sparsematch_global_rows(fmask, settings),
+                "global-compact overflow: dense frame, re-ran the "
+                "single-device full-width global matcher").wrap(smatch)
+        else:
+            contract = (args.contract if args.contract in ("rows",
+                                                           "masked-compact")
+                        else "masked")
+            masked_form = contract in ("masked", "masked-compact")
+            row_form = contract == "rows"
+            smatch = build_sharded_frame_sparsematch(
+                fmask, settings, mesh, contract=contract)
+
+            if contract == "masked-compact":
+                # any shard's dense chunk trips the pmax-replicated flag
+                match = _OverflowGuard(
+                    lambda: build_sharded_frame_sparsematch(
+                        fmask, settings, mesh, contract="masked"),
+                    "masked-compact overflow: dense frame, re-ran the "
+                    "sharded full-width masked matcher").wrap(smatch)
+            else:
+                match = smatch
 
         def run():
             out = match(left, right)
@@ -774,9 +798,11 @@ def _run_sequence(args, forest, settings) -> int:
             # each frame's rows over a "rows" axis — the 2-D mesh builder
             if mode not in ("masked", "rows", "masked-compact"):
                 print(f"--shard-frame with the {mode} contract is not "
-                      "supported in sequence mode (row sharding is "
-                      "epipolar-only; global modes scale over the batch "
-                      "axis with --data-parallel)", file=sys.stderr)
+                      "supported in sequence mode (the global distributed "
+                      "bucket sort is single-pair only — use the "
+                      "single-pair CLI for one big global frame, or "
+                      "--data-parallel to scale global sequences over "
+                      "the batch axis)", file=sys.stderr)
                 return 1
             if len(devs) < nd * sf:
                 print(f"--shard-frame {sf} x --data-parallel {nd}: only "

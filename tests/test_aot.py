@@ -526,3 +526,47 @@ def test_cli_aot_export_batch1_is_stacked(tmp_path):
     # (not silently export the unstacked module)
     assert aot_main(["export", fpath, str(tmp_path / "x.ogpcx"),
                      "--height", "64", "--width", "96", "--batch", "1"]) == 1
+
+
+def test_export_sharded_frame_global_round_trip(forest, tmp_path):
+    """The distributed-bucket-sort global contract (r4) exports and
+    serves unchanged: the all_to_all exchange serializes, the served
+    outputs are bit-equal to the live builder, and the generic container
+    API routes the contract to the global decoder."""
+    from opengpc_tpu.aot import (decode_outputs, export_sharded_frame,
+                                 load_artifact, save_artifact)
+    from opengpc_tpu.infer import (build_sparsematch_global_rows,
+                                   global_row_supports_to_numpy)
+    from opengpc_tpu.parallel import (build_sharded_frame_sparsematch,
+                                      make_mesh)
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    settings = _settings(epipolar=False)
+    h, w = 128, 96
+    left, right = make_sparse_pair(h, w, 3, density=0.15)
+    mesh = make_mesh()
+    blob = export_sharded_frame(forest, settings, (h, w), mesh,
+                                contract="global-compact",
+                                use_pallas=False)
+    path = str(tmp_path / "g.ogpcx")
+    save_artifact(path, blob, contract="global-compact",
+                  settings=settings, shape=(h, w), platforms=None,
+                  use_pallas=False, extra={"n_devices": 8})
+    call, meta = load_artifact(path)
+    out = call(left, right)
+    live = build_sharded_frame_sparsematch(
+        forest, settings, mesh, use_pallas=False,
+        contract="global-compact")(left, right)
+    np.testing.assert_array_equal(np.asarray(out[0][0]),
+                                  np.asarray(live[0][0]))
+    np.testing.assert_array_equal(np.asarray(out[1]),
+                                  np.asarray(live[1]))
+    assert bool(np.asarray(out[2])) == bool(np.asarray(live[2]))
+    assert not bool(np.asarray(out[2]))
+    supports = decode_outputs(meta, out)
+    (wx, wy, wd), wc = build_sparsematch_global_rows(
+        forest, settings, use_pallas=False)(left, right)
+    want = global_row_supports_to_numpy(wx, wy, wd, wc)
+    assert len(want) > 20
+    assert (set(map(tuple, supports.tolist()))
+            == set(map(tuple, want.tolist())))

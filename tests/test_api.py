@@ -616,15 +616,32 @@ def test_cli_shard_frame_matches_single_device(tmp_path):
     assert rc == 0
     c = read_supports(str(tmp_path / "s_shard_rows.txt"))
     assert set(map(tuple, c.tolist())) == set(map(tuple, a.tolist()))
+    # global mode row-shards via the distributed bucket sort (r4); the
+    # dense make_pair scene trips the overflow guard and re-runs on one
+    # device full-width, so the supports must still equal the plain
+    # single-device global run
+    rc = sparsematch_main(base + ["--global-mode", "--supports-out",
+                                  str(tmp_path / "g_single.txt")])
+    assert rc == 0
+    rc = sparsematch_main(base + ["--shard-frame", "8", "--global-mode",
+                                  "--supports-out",
+                                  str(tmp_path / "g_shard.txt")])
+    assert rc == 0
+    ga = read_supports(str(tmp_path / "g_single.txt"))
+    gb = read_supports(str(tmp_path / "g_shard.txt"))
+    assert len(ga) > 100
+    assert set(map(tuple, ga.tolist())) == set(map(tuple, gb.tolist()))
     # rejected combinations
-    assert sparsematch_main(base + ["--shard-frame", "8",
-                                    "--global-mode"]) == 1
     assert sparsematch_main(base + ["--shard-frame", "3"]) == 1  # 128 % 3
     # explicit contracts the sharded builder can't honor must error out,
     # never silently remap to the masked contract (r4 review finding)
     for bad in ("flat", "global-rows", "global-compact"):
         assert sparsematch_main(
             base + ["--shard-frame", "8", "--contract", bad]) == 1
+    # and the epipolar-only contracts are rejected under --global-mode
+    assert sparsematch_main(
+        base + ["--shard-frame", "8", "--global-mode",
+                "--contract", "masked"]) == 1
 
 
 def test_cli_sequence_mode_masked_contract(tmp_path):
