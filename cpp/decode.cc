@@ -12,6 +12,61 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// One thread's share of the masked-buffer scan: rows [y0, y1), writing each
+// row at its prefix-sum offset.  Branchless store-always/advance-on-hit as in
+// the sequential scan; a row holding MORE hits than its count overruns into
+// the NEXT row's region, which this thread overwrites when it processes that
+// row (rows ascend) — only stores past `rend` (the range's end offset, i.e.
+// the next THREAD's territory) divert to the caller-provided per-thread
+// scratch triple, so ranges never race.  Returns the hits seen.
+int64_t scan_rows(const int32_t* buf, int64_t w2, int64_t y0, int64_t y1,
+                  const int64_t* offs, int bd, int32_t dmask,
+                  int32_t sentinel, int32_t disp_high, int32_t* out,
+                  int64_t rend, int32_t* scratch) {
+  int64_t hits = 0;
+  for (int64_t y = y0; y < y1; y++) {
+    const int32_t* row = buf + y * w2;
+    const int32_t yy = static_cast<int32_t>(y);
+    int64_t slot = offs[y];
+    for (int64_t i = 0; i < w2; i++) {
+      int32_t v = row[i];
+      int32_t* o = slot < rend ? out + 3 * slot : scratch;
+      o[0] = v >> bd;
+      o[1] = yy;
+      o[2] = (v & dmask) - disp_high;
+      slot += (v != sentinel);
+    }
+    hits += slot - offs[y];
+  }
+  return hits;
+}
+
+// Format (x, y, d) triples [i0, i1) as "x y d\n" lines into `buf` (caller
+// sizes it for 40 bytes/triple).  Returns bytes written.
+size_t format_triples(const int32_t* a, int64_t i0, int64_t i1, char* buf) {
+  size_t pos = 0;
+  for (int64_t i = i0; i < i1; i++) {
+    for (int c = 0; c < 3; c++) {
+      // widen before negating: -INT32_MIN is signed-overflow UB
+      int64_t v = a[3 * i + c];
+      if (v < 0) { buf[pos++] = '-'; v = -v; }
+      char tmp[12];
+      int t = 0;
+      do { tmp[t++] = static_cast<char>('0' + v % 10); v /= 10; } while (v);
+      while (t) buf[pos++] = tmp[--t];
+      buf[pos++] = c == 2 ? '\n' : ' ';
+    }
+  }
+  return pos;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -53,33 +108,106 @@ int64_t ogpc_masked_decode(const int32_t* buf, int64_t h, int64_t w2,
   return n;
 }
 
+// Parallel variant of ogpc_masked_decode: `row_counts` (h int32, the
+// matcher's per-row device output) gives each row's expected support count,
+// so a prefix sum fixes every row's output offset up front and the scan
+// parallelizes over contiguous row ranges with zero coordination — the
+// per-element cost is uniform in w2, so an equal-rows split is balanced.
+// Output is identical to the sequential scan whenever the buffer agrees
+// with row_counts (each row lands at its own offset); on disagreement the
+// returned total (all non-sentinel entries seen) differs from
+// sum(row_counts) and the caller raises, same error contract as before.
+// nthreads <= 1 runs inline.
+int64_t ogpc_masked_decode_par(const int32_t* buf, int64_t h, int64_t w2,
+                               int32_t disp_high, int32_t sentinel,
+                               const int32_t* row_counts, int32_t* out,
+                               int64_t max_out, int32_t nthreads) {
+  int bd = 1;
+  while ((int64_t{1} << bd) <= int64_t{2} * disp_high) bd++;
+  const int32_t dmask = (int32_t{1} << bd) - 1;
+
+  std::vector<int64_t> offs(static_cast<size_t>(h) + 1);
+  offs[0] = 0;
+  for (int64_t y = 0; y < h; y++) {
+    int32_t c = row_counts[y];
+    offs[y + 1] = offs[y] + (c > 0 ? c : 0);
+  }
+
+  int64_t t = nthreads > 1 ? nthreads : 1;
+  if (t > h) t = h > 0 ? h : 1;
+  if (t == 1) {
+    int32_t scratch[3];
+    return scan_rows(buf, w2, 0, h, offs.data(), bd, dmask, sentinel,
+                     disp_high, out, max_out, scratch);
+  }
+
+  std::vector<int64_t> hits(static_cast<size_t>(t), 0);
+  // per-thread scratch triples, padded to their own cache lines
+  std::vector<int32_t> scratch(static_cast<size_t>(t) * 16);
+  std::vector<std::thread> workers;
+  workers.reserve(static_cast<size_t>(t));
+  for (int64_t k = 0; k < t; k++) {
+    int64_t y0 = h * k / t, y1 = h * (k + 1) / t;
+    int64_t rend = offs[y1] < max_out ? offs[y1] : max_out;
+    workers.emplace_back([=, &offs, &hits, &scratch] {
+      hits[static_cast<size_t>(k)] =
+          scan_rows(buf, w2, y0, y1, offs.data(), bd, dmask, sentinel,
+                    disp_high, out, rend,
+                    scratch.data() + 16 * static_cast<size_t>(k));
+    });
+  }
+  int64_t n = 0;
+  for (int64_t k = 0; k < t; k++) {
+    workers[static_cast<size_t>(k)].join();
+    n += hits[static_cast<size_t>(k)];
+  }
+  return n;
+}
+
 // Write n (x, y, d) int32 triples as "x y d\n" text lines — the supports
 // file format (byte-identical to numpy.savetxt(fmt="%d")).  A 344k-line
 // savetxt costs ~750 ms; this loop ~30 ms.  Returns 0 on success.
+int ogpc_write_supports_par(const char* path, const int32_t* a, int64_t n,
+                            int32_t nthreads);
+
 int ogpc_write_supports(const char* path, const int32_t* a, int64_t n) {
+  return ogpc_write_supports_par(path, a, n, 1);
+}
+
+// Parallel variant: the hand-rolled itoa (fprintf's format parsing is the
+// bottleneck at this volume; a 344k-line savetxt costs ~750 ms, the
+// sequential loop ~30 ms) is pure per-line work, so each thread formats an
+// equal slice of the triples into its own buffer (40 bytes/line upper
+// bound) and the buffers are written out in order.  nthreads <= 1 formats
+// inline.  Returns 0 on success.
+int ogpc_write_supports_par(const char* path, const int32_t* a, int64_t n,
+                            int32_t nthreads) {
+  int64_t t = nthreads > 1 ? nthreads : 1;
+  if (t > n) t = n > 0 ? n : 1;
+  std::vector<std::vector<char>> bufs(static_cast<size_t>(t));
+  std::vector<size_t> lens(static_cast<size_t>(t), 0);
+  auto fmt = [&](int64_t k) {
+    int64_t i0 = n * k / t, i1 = n * (k + 1) / t;
+    auto& b = bufs[static_cast<size_t>(k)];
+    b.resize(static_cast<size_t>(40 * (i1 - i0)));
+    lens[static_cast<size_t>(k)] = format_triples(a, i0, i1, b.data());
+  };
+  if (t == 1) {
+    fmt(0);
+  } else {
+    std::vector<std::thread> workers;
+    workers.reserve(static_cast<size_t>(t));
+    for (int64_t k = 0; k < t; k++) workers.emplace_back(fmt, k);
+    for (auto& w : workers) w.join();
+  }
   FILE* f = fopen(path, "wb");
   if (!f) return 1;
-  // hand-rolled itoa into a line buffer: fprintf's format parsing is the
-  // bottleneck at this volume
-  char buf[1 << 15];
-  size_t pos = 0;
-  for (int64_t i = 0; i < n; i++) {
-    if (pos + 40 > sizeof(buf)) {
-      if (fwrite(buf, 1, pos, f) != pos) { fclose(f); return 1; }
-      pos = 0;
-    }
-    for (int c = 0; c < 3; c++) {
-      // widen before negating: -INT32_MIN is signed-overflow UB
-      int64_t v = a[3 * i + c];
-      if (v < 0) { buf[pos++] = '-'; v = -v; }
-      char tmp[12];
-      int t = 0;
-      do { tmp[t++] = static_cast<char>('0' + v % 10); v /= 10; } while (v);
-      while (t) buf[pos++] = tmp[--t];
-      buf[pos++] = c == 2 ? '\n' : ' ';
-    }
+  int rc = 0;
+  for (int64_t k = 0; k < t; k++) {
+    size_t len = lens[static_cast<size_t>(k)];
+    if (len && fwrite(bufs[static_cast<size_t>(k)].data(), 1, len, f) != len)
+      rc = 1;
   }
-  int rc = fwrite(buf, 1, pos, f) != pos;
   return fclose(f) ? 1 : rc;
 }
 

@@ -539,8 +539,10 @@ def masked_supports_to_numpy(buf, row_counts, disp_high: int) -> np.ndarray:
             "index the batch axis first"
         )
     buf = np.asarray(buf)
-    n = int(np.asarray(row_counts).sum())
-    out = masked_decode_native(buf, n, disp_high, MASKED_SENTINEL)
+    row_counts = np.asarray(row_counts)
+    n = int(row_counts.sum())
+    out = masked_decode_native(buf, n, disp_high, MASKED_SENTINEL,
+                               row_counts=row_counts)
     if out is not None:
         return out
     bd = max(1, int(2 * disp_high).bit_length())

@@ -90,6 +90,19 @@ def _native_lib_load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),  # out (x, y, d triples)
                 ctypes.c_int64,                  # max_out
             ]
+        if hasattr(lib, "ogpc_masked_decode_par"):  # absent in stale builds
+            lib.ogpc_masked_decode_par.restype = ctypes.c_int64
+            lib.ogpc_masked_decode_par.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),  # buf
+                ctypes.c_int64,                  # h
+                ctypes.c_int64,                  # w2
+                ctypes.c_int32,                  # disp_high
+                ctypes.c_int32,                  # sentinel
+                ctypes.POINTER(ctypes.c_int32),  # row_counts (h,)
+                ctypes.POINTER(ctypes.c_int32),  # out (x, y, d triples)
+                ctypes.c_int64,                  # max_out
+                ctypes.c_int32,                  # nthreads
+            ]
         if hasattr(lib, "ogpc_write_supports"):
             lib.ogpc_write_supports.restype = ctypes.c_int
             lib.ogpc_write_supports.argtypes = [
@@ -97,22 +110,62 @@ def _native_lib_load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),  # (n, 3) triples
                 ctypes.c_int64,                  # n
             ]
+        if hasattr(lib, "ogpc_write_supports_par"):
+            lib.ogpc_write_supports_par.restype = ctypes.c_int
+            lib.ogpc_write_supports_par.argtypes = [
+                ctypes.c_char_p,                 # path
+                ctypes.POINTER(ctypes.c_int32),  # (n, 3) triples
+                ctypes.c_int64,                  # n
+                ctypes.c_int32,                  # nthreads
+            ]
         _NATIVE = lib
     except OSError:
         _NATIVE = None
     return _NATIVE
 
 
+# threads for the parallel masked decode / supports writer: the scan is
+# memory-bound host work, diminishing past the physical core count
+_DECODE_THREADS = min(8, os.cpu_count() or 1)
+# below this buffer size the thread-spawn overhead (~25 us/thread) eats the
+# win; the sequential scan is already < 100 us there
+_DECODE_PAR_MIN_ELEMS = 1 << 18
+
+
 def masked_decode_native(buf: np.ndarray, n: int, disp_high: int,
-                         sentinel: int) -> Optional[np.ndarray]:
+                         sentinel: int,
+                         row_counts: Optional[np.ndarray] = None,
+                         ) -> Optional[np.ndarray]:
     """Native scan of a masked sorted-order support buffer (cpp/decode.cc):
     (H, 2W) int32 -> (n, 3) int32 (x, y, d) in scan order, or None when the
-    native library isn't built (callers fall back to numpy)."""
+    native library isn't built (callers fall back to numpy).
+
+    With ``row_counts`` (the matcher's (H,) per-row device output) and a
+    large enough buffer, the scan parallelizes over row ranges — each row's
+    output offset is a prefix sum of the counts, so threads never
+    coordinate (ogpc_masked_decode_par); output identical to the
+    sequential scan."""
     lib = _native_lib()
     if lib is None or not hasattr(lib, "ogpc_masked_decode"):
         return None
     buf = np.ascontiguousarray(buf, dtype=np.int32)
     out = np.empty((n + 1, 3), dtype=np.int32)  # slot n = scratch (see .cc)
+    if (row_counts is not None and hasattr(lib, "ogpc_masked_decode_par")
+            and _DECODE_THREADS > 1 and buf.size >= _DECODE_PAR_MIN_ELEMS):
+        counts = np.ascontiguousarray(row_counts, dtype=np.int32)
+        if counts.shape == (buf.shape[0],):
+            got = lib.ogpc_masked_decode_par(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                buf.shape[0], buf.shape[1], disp_high, sentinel,
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+                _DECODE_THREADS,
+            )
+            if got != n:
+                raise ValueError(
+                    f"masked buffer holds {got} supports, row counts say {n}"
+                )
+            return out[:n]
     got = lib.ogpc_masked_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         buf.shape[0], buf.shape[1], disp_high, sentinel,

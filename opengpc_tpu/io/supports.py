@@ -20,9 +20,22 @@ def write_supports(path: str, supports: np.ndarray) -> None:
     ``np.savetxt(path, a, fmt="%d")``)."""
     from opengpc_tpu.io.png import _native_lib
 
+    from opengpc_tpu.io.png import _DECODE_THREADS
+
     a = np.ascontiguousarray(np.asarray(supports).reshape(-1, 3),
                              dtype=np.int32)
     lib = _native_lib()
+    if lib is not None and hasattr(lib, "ogpc_write_supports_par") \
+            and _DECODE_THREADS > 1 and a.shape[0] >= 50_000:
+        # parallel formatting (the hand-rolled itoa dominates): each thread
+        # formats an equal slice, buffers written in order — byte-identical
+        rc = lib.ogpc_write_supports_par(
+            str(path).encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            a.shape[0], _DECODE_THREADS,
+        )
+        if rc == 0:
+            return
     if lib is not None and hasattr(lib, "ogpc_write_supports"):
         rc = lib.ogpc_write_supports(
             str(path).encode(),

@@ -469,6 +469,67 @@ def test_masked_decode_native_equals_numpy(monkeypatch):
     assert (native == fallback).all()
 
 
+def test_masked_decode_parallel_equals_sequential(monkeypatch):
+    """The threaded masked decode (ogpc_masked_decode_par: per-row offsets
+    from the counts prefix sum, parallel row ranges) must be byte-identical
+    to the sequential scan at every thread count, and must keep the
+    count-mismatch error contract."""
+    import ctypes
+
+    import opengpc_tpu.io.png as iopng
+    from opengpc_tpu.infer import (build_sparsematch_masked,
+                                   masked_supports_to_numpy)
+    from opengpc_tpu.match import MASKED_SENTINEL
+
+    lib = iopng._native_lib()
+    if lib is None:
+        pytest.skip("native library not built")
+    assert hasattr(lib, "ogpc_masked_decode_par"), \
+        "stale cpp/build/libopengpc_io.so: rebuild with `make -C cpp`"
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=48,
+                                 capacity=8192)
+    left, right = make_pair(96, 160, 7, seed=77)
+    buf, counts = build_sparsematch_masked(forest, settings,
+                                           use_pallas=False)(left, right)
+    buf = np.ascontiguousarray(np.asarray(buf), dtype=np.int32)
+    counts = np.ascontiguousarray(np.asarray(counts), dtype=np.int32)
+    n = int(counts.sum())
+    assert n > 100
+    seq = masked_supports_to_numpy(buf, counts, settings.disp_high)
+
+    # the buffer is below the size threshold — force the par path and sweep
+    # thread counts incl. more threads than rows carry hits
+    monkeypatch.setattr(iopng, "_DECODE_PAR_MIN_ELEMS", 0)
+    for t in (1, 2, 5, 8):
+        monkeypatch.setattr(iopng, "_DECODE_THREADS", t)
+        got = masked_supports_to_numpy(buf, counts, settings.disp_high)
+        assert (got == seq).all(), t
+
+    # direct-lib sweep on an adversarial split: thread boundaries land
+    # mid-row-run, trailing misses must divert to scratch, not race
+    out = np.empty((n + 1, 3), dtype=np.int32)
+    for t in (3, 7):
+        out[:] = -1
+        got_n = lib.ogpc_masked_decode_par(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            buf.shape[0], buf.shape[1], settings.disp_high,
+            MASKED_SENTINEL,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, t)
+        assert got_n == n
+        assert (out[:n] == seq).all(), t
+
+    # mismatched counts (buffer holds more hits than claimed) must raise
+    bad = counts.copy()
+    nz = np.flatnonzero(bad)
+    bad[nz[0]] -= 1
+    monkeypatch.setattr(iopng, "_DECODE_THREADS", 5)
+    with pytest.raises(ValueError, match="row counts say"):
+        masked_supports_to_numpy(buf, bad, settings.disp_high)
+
+
 def test_cli_sequence_mode_batched(tmp_path):
     """Sequence mode with --batch 3: same-shape frames are stacked into
     one (B*H, 2W) dispatch (with a mid-sequence shape change flushing the

@@ -368,3 +368,41 @@ def test_write_supports_byte_identical_to_savetxt(tmp_path):
     assert (read_supports(str(p1)) == a).all()
     write_supports(str(tmp_path / "e.txt"), a[:0])
     assert (tmp_path / "e.txt").read_bytes() == b""
+
+
+def test_write_supports_parallel_byte_identical(tmp_path):
+    """The threaded writer (ogpc_write_supports_par: per-thread slice
+    formatting, ordered buffer writes) must stay byte-identical to savetxt
+    above its 50k-row engagement threshold."""
+    import ctypes
+
+    import numpy as np
+
+    import opengpc_tpu.io.png as iopng
+    from opengpc_tpu.io.supports import write_supports
+
+    lib = iopng._native_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native library not built")
+    assert hasattr(lib, "ogpc_write_supports_par"), \
+        "stale cpp/build/libopengpc_io.so: rebuild with `make -C cpp`"
+    rng = np.random.default_rng(4)
+    n = 60_000  # above the write_supports par threshold
+    a = np.stack([rng.integers(0, 4096, n),
+                  rng.integers(0, 2048, n),
+                  rng.integers(-(2**31), 2**31, n)], axis=1).astype(np.int32)
+    a[0] = (-(2**31), 0, 2**31 - 1)  # INT32_MIN through the itoa
+    p1, p2, p3 = (tmp_path / f for f in ("p.txt", "s.txt", "t.txt"))
+    write_supports(str(p1), a)
+    np.savetxt(str(p2), a, fmt="%d")
+    assert p1.read_bytes() == p2.read_bytes()
+    # direct-lib thread sweep incl. more threads than a tiny n
+    for t, nn in ((7, n), (5, 3), (3, 0)):
+        rc = lib.ogpc_write_supports_par(
+            str(p3).encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nn, t)
+        assert rc == 0
+        want = p2.read_bytes() if nn == n else b"".join(
+            b"%d %d %d\n" % tuple(r) for r in a[:nn].tolist())
+        assert p3.read_bytes() == want, (t, nn)
