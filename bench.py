@@ -428,6 +428,40 @@ def main():
          "(decode gated against the oracle-gated flat tau set)")
 
     # ------------------------------------------------------------------
+    # small-forest single-operand sort (r4, experiments/exp_smallforest.py):
+    # a <=17-test mask at this width packs the sort payload INTO the key,
+    # dropping one operand from the matcher sort.  Gate: masked decode set
+    # equal to the flat pipeline's on the SAME truncated mask (truncation
+    # semantics themselves are pinned to the real readForest by the
+    # random-forest differential tests).
+    # ------------------------------------------------------------------
+    mask17 = make_filter_mask(forest, max_tests=17)
+    assert mask17.num_tests == 17
+    sf_flat = build_sparsematch(mask17, settings)
+    sf_supp = supports_to_numpy(*sf_flat(left, right))
+    sf_acc = float((sf_supp[:, 2] == TRUE_DISP).mean())
+    assert sf_acc > 0.99, f"small-forest support accuracy {sf_acc:.3f}"
+    sf_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
+        l, r, mask=mask17, settings=settings, use_pallas=use_pallas))
+    sfbuf, sfcounts = sf_fn(left, right)
+    sfdec = masked_supports_to_numpy(sfbuf, sfcounts, settings.disp_high)
+    assert set(map(tuple, sfdec.tolist())) == set(map(tuple,
+                                                      sf_supp.tolist())), \
+        "small-forest masked set != flat set"
+
+    def sfstep(a, b):
+        buf, counts = _sparsematch_masked_impl(
+            a, b, mask=mask17, settings=settings, use_pallas=use_pallas)
+        return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+
+    sfbest = device_time_per_iter(sfstep, (left, right), rdep, N_SHORT,
+                                  N_LONG, repeats=5)
+    _aux("smallforest_sparsematch_throughput",
+         2 * H * W / 1e6 / _nonzero(sfbest), "Mpix/s",
+         "17-test truncated zero forest on the masked contract — the "
+         "single-operand packed sort path, set-equality gated")
+
+    # ------------------------------------------------------------------
     # config 4: extract — GT mining throughput (host-side numpy pipeline;
     # wall clock is the honest metric, no device in the loop), gated on
     # keypoint correctness against the scene's exact warp

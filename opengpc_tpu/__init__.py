@@ -25,6 +25,7 @@ from opengpc_tpu.forest import (
     save_forest,
     parse_forest,
     serialize_forest,
+    truncate_forest,
     make_filter_mask,
 )
 from opengpc_tpu.config import (

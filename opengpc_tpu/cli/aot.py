@@ -64,6 +64,11 @@ def main(argv=None) -> int:
                     help="with --shard-frame: freeze a (B, H, W) stacked "
                     "input (required when --data-parallel > 1; B must "
                     "divide by D)")
+    pe.add_argument("--max-tests", type=int, default=None, metavar="T",
+                    help="truncate the forest to its first T tests (file "
+                    "order) before freezing — T + bit_length(2W-1) <= 30 "
+                    "rides the single-operand packed sort (+41%% device "
+                    "throughput, README fast-preset table)")
 
     pr = sub.add_parser("run", help="serve one pair from an artifact")
     pr.add_argument("artifact")
@@ -79,9 +84,15 @@ def main(argv=None) -> int:
 
 
 def _export(args) -> int:
-    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.forest import load_forest, truncate_forest
 
     forest = load_forest(args.forest)
+    if args.max_tests is not None:
+        if not 1 <= args.max_tests <= forest.num_tests:
+            print(f"--max-tests must be in [1, {forest.num_tests}] for "
+                  "this forest", file=sys.stderr)
+            return 1
+        forest = truncate_forest(forest, args.max_tests)
     settings = InferenceSettings(
         gradient_threshold=args.gradient_threshold,
         disp_high=args.disp_high,

@@ -184,6 +184,37 @@ def make_filter_mask(forest: Forest, max_tests: int = MAX_TESTS) -> FilterMask:
     return FilterMask(i_off=i_off, j_off=j_off, tau=tau, type=ftype)
 
 
+def truncate_forest(forest: Forest, max_tests: int) -> Forest:
+    """A forest containing exactly ``forest.flat_tests(max_tests)`` — whole
+    ferns in file order, the boundary fern cut level-wise, empty trailing
+    ferns dropped.  This is the reference's own file-order cap rule
+    (inference.hpp:426-432) materialized as a forest artifact, so the
+    result serializes/round-trips like any other forest.
+
+    Why: the matcher sort drops its payload operand when
+    ``num_tests + bit_length(2W-1) <= 30`` (match._pack_ok — ≤17 tests at
+    Sintel width), measured +41% device throughput on the masked contract
+    (README ledger).  ``truncate_forest(f, n)`` gives the same filter mask
+    as ``make_filter_mask(f, max_tests=n)`` except for one corner: a TAU
+    forest whose kept prefix is all-zero derives type 0 instead of the
+    reference's all-parsed-tests type rule — the match results are
+    identical either way (a tau test with tau == 0 is the zero test), only
+    the kernel variant differs.
+    """
+    if max_tests < 1:
+        raise ValueError(f"max_tests must be >= 1, got {max_tests}")
+    ferns: List[Fern] = []
+    left = max_tests
+    for f in forest.ferns:
+        if left <= 0:
+            break
+        take = f.tests[:left]
+        if take:
+            ferns.append(Fern(scale=f.scale, tests=tuple(take)))
+            left -= len(take)
+    return Forest(ferns=tuple(ferns))
+
+
 def patch_linear_index(ix: int, iy: int) -> int:
     """Linear index of offset (ix, iy) inside a serialized 27x27 patch.
 

@@ -18,9 +18,7 @@ import numpy as np
 def write_supports(path: str, supports: np.ndarray) -> None:
     """Write an (n, 3) int array as 'x y d' lines (byte-identical to
     ``np.savetxt(path, a, fmt="%d")``)."""
-    from opengpc_tpu.io.png import _native_lib
-
-    from opengpc_tpu.io.png import _DECODE_THREADS
+    from opengpc_tpu.io.png import _DECODE_THREADS, _native_lib
 
     a = np.ascontiguousarray(np.asarray(supports).reshape(-1, 3),
                              dtype=np.int32)

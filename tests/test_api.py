@@ -619,6 +619,50 @@ def test_cli_flag_combinations_smoke(tmp_path):
                      "--out", str(tmp_path / "x" / "d.png")]) == 0
 
 
+def test_cli_max_tests_fast_preset(tmp_path):
+    """--max-tests N truncates the loaded forest in file order before any
+    builder sees it (the fast preset: a small-enough N rides the packed
+    single-operand sort).  Supports must equal a direct run on
+    make_filter_mask(forest, max_tests=N); out-of-range N errors."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.forest import make_filter_mask
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.io.supports import read_supports
+    from opengpc_tpu.match import _pack_ok
+
+    left, right = make_pair(96, 160, 7, seed=77)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    write_png(str(lp), left)
+    write_png(str(rp), right)
+    sup = tmp_path / "s.txt"
+    rc = cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                   str(lp), str(rp), "--disp-high", "48",
+                   "--max-tests", "17",
+                   "--out", str(tmp_path / "d.png"),
+                   "--supports-out", str(sup)])
+    assert rc == 0
+    got = read_supports(str(sup))
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    mask17 = make_filter_mask(forest, max_tests=17)
+    assert _pack_ok(mask17.num_tests, 2 * 160)  # the preset's raison d'etre
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=48,
+                                 capacity=1 << 16)
+    want = supports_to_numpy(
+        *build_sparsematch(mask17, settings, use_pallas=False)(left, right))
+    assert len(want) > 100
+    assert set(map(tuple, got.tolist())) == set(map(tuple, want.tolist()))
+
+    # out-of-range rejected
+    assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                     str(lp), str(rp), "--max-tests", "31",
+                     "--out", str(tmp_path / "d2.png")]) == 1
+    assert cli_main([os.path.join(FORESTS, "defaultZeroForest.txt"),
+                     str(lp), str(rp), "--max-tests", "0",
+                     "--out", str(tmp_path / "d2.png")]) == 1
+
+
 def test_cli_densify_device_path_byte_equal(tmp_path):
     """--densify on the masked contracts rides the DEVICE-RESIDENT
     densify_from_masked (no decode/re-upload); the written PNG must stay
@@ -1378,6 +1422,30 @@ def test_cli_sequence_densify_and_rejections(tmp_path):
     for extra in (["--pyramid", "2"], ["--matcher", "quirk"],
                   ["--repeats", "3"], ["--trace", str(tmp_path / "tr")]):
         assert cli_main(base + extra) == 1, extra
+
+
+def test_examples_evaluate_smoke(capsys):
+    """examples/evaluate.py (the fast-preset tradeoff table) runs through
+    its real main at a reduced size: one row per truncation point, the
+    1-op/2-op sort routing column matches match._pack_ok, and precision
+    stays high at every point."""
+    import importlib.util
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "evaluate", os.path.join(repo, "examples", "evaluate.py"))
+    ev = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ev)
+    rc = ev.main(["--height", "128", "--width", "256", "--disp-high", "32",
+                  "--tests", "30,17"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    rows = re.findall(r"^\| (\d+) \| (\S+) \| (\d+) \| [\d.]+ \| ([\d.]+) ",
+                      text, re.M)
+    assert [(r[0], r[1]) for r in rows] == [("30", "2-op"), ("17", "1-op")]
+    assert all(int(r[2]) > 1000 and float(r[3]) > 0.99 for r in rows), rows
 
 
 def test_examples_demo_smoke(tmp_path, capsys):

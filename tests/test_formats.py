@@ -340,6 +340,76 @@ def test_read_gray_batch(tmp_path):
         np.testing.assert_array_equal(got, want)
 
 
+def test_truncate_forest_matches_cap_rule():
+    """truncate_forest(f, n) must materialize exactly the reference's
+    file-order cap rule: its tests are f.flat_tests(n), its filter mask
+    equals make_filter_mask(f, max_tests=n) (offsets + taus), and it
+    round-trips through the text format like any forest."""
+    import numpy as np
+
+    from opengpc_tpu.forest import (load_forest, make_filter_mask,
+                                    parse_forest, serialize_forest,
+                                    truncate_forest)
+    from opengpc_tpu.utils.fuzz import random_forest
+
+    forests = [load_forest(f"forests/default{k}Forest.txt")
+               for k in ("Zero", "Tau")]
+    rng = np.random.default_rng(11)
+    forests += [random_forest(rng) for _ in range(3)]
+    for f in forests:
+        for n in (1, 2, 5, 15, 17, f.num_tests, f.num_tests + 7):
+            tf = truncate_forest(f, n)
+            assert tf.flat_tests(64) == f.flat_tests(n)
+            m_t = make_filter_mask(tf, max_tests=n)
+            m_f = make_filter_mask(f, max_tests=n)
+            assert (m_t.i_off == m_f.i_off).all()
+            assert (m_t.j_off == m_f.j_off).all()
+            assert (m_t.tau == m_f.tau).all()
+            assert parse_forest(serialize_forest(tf)) == tf
+    import pytest
+
+    with pytest.raises(ValueError):
+        truncate_forest(forests[0], 0)
+
+
+def test_truncate_forest_tau_prefix_type_corner():
+    """Documented corner: a TAU forest whose kept prefix is all-zero
+    derives type 0 (the reference's type rule counts every parsed test).
+    The pipelines must still emit the identical support set — a tau test
+    with tau == 0 is the zero test."""
+    import numpy as np
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import (Fern, Forest, Test, make_filter_mask,
+                                    truncate_forest)
+    from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
+    from opengpc_tpu.utils.scenes import make_pair
+
+    rng = np.random.default_rng(3)
+    zero_tests = tuple(
+        Test(*map(int, rng.integers(-3, 4, 4)), tau=0) for _ in range(8))
+    tau_tests = tuple(
+        Test(*map(int, rng.integers(-3, 4, 4)), tau=int(t)) for t in (3, -2))
+    f = Forest(ferns=(Fern(scale=2, tests=zero_tests),
+                      Fern(scale=2, tests=tau_tests)))
+    assert not f.is_zero
+    tf = truncate_forest(f, 8)
+    assert tf.is_zero  # type flips — results must not
+    m_full_rule = make_filter_mask(f, max_tests=8)   # type 1, taus all 0
+    m_trunc = make_filter_mask(tf)                   # type 0
+    assert m_full_rule.type == 1 and m_trunc.type == 0
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, disp_high=16,
+                                 capacity=4096)
+    left, right = make_pair(64, 96, 3, seed=5)
+    a = supports_to_numpy(*build_sparsematch(m_full_rule, settings,
+                                             use_pallas=False)(left, right))
+    b = supports_to_numpy(*build_sparsematch(m_trunc, settings,
+                                             use_pallas=False)(left, right))
+    assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist()))
+    assert len(a) > 0
+
+
 def test_write_supports_byte_identical_to_savetxt(tmp_path):
     """io.supports.write_supports (native itoa writer, cpp/decode.cc) must
     be byte-identical to np.savetxt(fmt='%d') — the supports-file format is
