@@ -33,6 +33,7 @@ mining, training) are printed as JSON lines on stderr.
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -42,7 +43,14 @@ from opengpc_tpu.utils.scenes import make_pair, make_scene  # noqa: E402
 BASELINE_MPIX_S = 50.0  # BASELINE.json: >= 50 Mpix/s per v5e chip
 H, W = 436, 1024        # Sintel frame size
 TRUE_DISP = 16
-N_SHORT, N_LONG = 3, 43
+# The per-iter estimate differences two relay wall-clocks; their O(10 ms)
+# noise divides by the iteration spread, so wide chains (r4: 43 -> 203
+# for ~0.5-1 ms steps, 23 -> 103 for the 2-4 ms batched/pyramid steps)
+# cut the per-metric error ~5x for negligible extra device time.
+# OGPC_BENCH_FAST=1 restores the short chains (CPU dry-runs).
+_FAST = bool(int(os.environ.get("OGPC_BENCH_FAST", "0")))
+N_SHORT, N_LONG = 3, (43 if _FAST else 203)
+N_LONG_HEAVY = 23 if _FAST else 103
 BATCH = 4
 
 
@@ -566,7 +574,7 @@ def main():
             a, (count & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
         return (a, b)
 
-    bbest = device_time_per_iter(bstep, (lb, rb), bdep, N_SHORT, 23,
+    bbest = device_time_per_iter(bstep, (lb, rb), bdep, N_SHORT, N_LONG_HEAVY,
                                  repeats=5)
     batch_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bbest)
     _aux("batched_rows_throughput", batch_mpix, "Mpix/s",
@@ -590,7 +598,7 @@ def main():
             a, b, mask=mask, settings=settings, use_pallas=use_pallas)
         return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
 
-    bmbest = device_time_per_iter(bmstep, (lb, rb), bdep, N_SHORT, 23,
+    bmbest = device_time_per_iter(bmstep, (lb, rb), bdep, N_SHORT, N_LONG_HEAVY,
                                   repeats=5)
     bmasked_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bmbest)
     _aux("batched_masked_throughput", bmasked_mpix, "Mpix/s",
@@ -622,7 +630,7 @@ def main():
             a, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0))
         return (a, b)
 
-    pbest = device_time_per_iter(pstep, (left, right), pdep, N_SHORT, 23,
+    pbest = device_time_per_iter(pstep, (left, right), pdep, N_SHORT, N_LONG_HEAVY,
                                  repeats=5)
     # pyramid processes 2*(1 + 1/4 + 1/16) H*W pixels
     ppix = 2 * H * W * (1 + 0.25 + 0.0625)
@@ -652,9 +660,9 @@ def main():
                 + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
                 + jnp.sum(counts) + ovf.astype(jnp.int32))
 
-    prbest = device_time_per_iter(pstep, (sl, sr), pdep, N_SHORT, 23,
+    prbest = device_time_per_iter(pstep, (sl, sr), pdep, N_SHORT, N_LONG_HEAVY,
                                   repeats=5)
-    cpbest = device_time_per_iter(cpstep, (sl, sr), pdep, N_SHORT, 23,
+    cpbest = device_time_per_iter(cpstep, (sl, sr), pdep, N_SHORT, N_LONG_HEAVY,
                                   repeats=5)
     _aux("lowdensity_pyramid_rows_throughput",
          ppix / 1e6 / _nonzero(prbest), "Mpix/s",

@@ -99,7 +99,11 @@ def main(argv=None) -> int:
                     a, b, mask=_mask, settings=settings,
                     use_pallas=use_pallas)
                 return bb.sum(dtype=jnp.int32) + cc.sum(dtype=jnp.int32)
-            sec = device_time_per_iter(step, (left, right), rdep, 3, 43,
+            # wide iteration spread: the per-iter estimate differences two
+            # wall-clocks through the relay, whose noise is O(10 ms) —
+            # (203-3) iters divides it to ~0.05 ms/iter (a 43-iter spread
+            # showed non-monotonic columns across truncation points)
+            sec = device_time_per_iter(step, (left, right), rdep, 3, 203,
                                        repeats=5)
             row += f" {sec*1e3:.3f} | {2*h*w/1e6/sec:.0f} |"
         print(row, flush=True)
