@@ -24,11 +24,16 @@ namespace {
 // the NEXT row's region, which this thread overwrites when it processes that
 // row (rows ascend) — only stores past `rend` (the range's end offset, i.e.
 // the next THREAD's territory) divert to the caller-provided per-thread
-// scratch triple, so ranges never race.  Returns the hits seen.
+// scratch triple, so ranges never race.  Returns the hits seen; sets
+// *mismatch when ANY row's actual hit count differs from its expected
+// count (offs[y+1] - offs[y]) — unlike the sequential scan the output
+// placement here DEPENDS on the per-row counts being right, so per-row
+// errors that cancel in total (row A short, row B long) must still be
+// reported, not just a wrong grand total.
 int64_t scan_rows(const int32_t* buf, int64_t w2, int64_t y0, int64_t y1,
                   const int64_t* offs, int bd, int32_t dmask,
                   int32_t sentinel, int32_t disp_high, int32_t* out,
-                  int64_t rend, int32_t* scratch) {
+                  int64_t rend, int32_t* scratch, bool* mismatch) {
   int64_t hits = 0;
   for (int64_t y = y0; y < y1; y++) {
     const int32_t* row = buf + y * w2;
@@ -42,6 +47,7 @@ int64_t scan_rows(const int32_t* buf, int64_t w2, int64_t y0, int64_t y1,
       o[2] = (v & dmask) - disp_high;
       slot += (v != sentinel);
     }
+    if (slot != offs[y + 1]) *mismatch = true;
     hits += slot - offs[y];
   }
   return hits;
@@ -114,9 +120,10 @@ int64_t ogpc_masked_decode(const int32_t* buf, int64_t h, int64_t w2,
 // parallelizes over contiguous row ranges with zero coordination — the
 // per-element cost is uniform in w2, so an equal-rows split is balanced.
 // Output is identical to the sequential scan whenever the buffer agrees
-// with row_counts (each row lands at its own offset); on disagreement the
-// returned total (all non-sentinel entries seen) differs from
-// sum(row_counts) and the caller raises, same error contract as before.
+// with row_counts (each row lands at its own offset); on ANY per-row
+// disagreement — including errors that cancel in the grand total —
+// returns -1 so the caller raises (stricter than the sequential scan's
+// total-only check, because placement here depends on the counts).
 // nthreads <= 1 runs inline.
 int64_t ogpc_masked_decode_par(const int32_t* buf, int64_t h, int64_t w2,
                                int32_t disp_high, int32_t sentinel,
@@ -137,31 +144,38 @@ int64_t ogpc_masked_decode_par(const int32_t* buf, int64_t h, int64_t w2,
   if (t > h) t = h > 0 ? h : 1;
   if (t == 1) {
     int32_t scratch[3];
-    return scan_rows(buf, w2, 0, h, offs.data(), bd, dmask, sentinel,
-                     disp_high, out, max_out, scratch);
+    bool mismatch = false;
+    int64_t n = scan_rows(buf, w2, 0, h, offs.data(), bd, dmask, sentinel,
+                          disp_high, out, max_out, scratch, &mismatch);
+    return mismatch ? -1 : n;
   }
 
   std::vector<int64_t> hits(static_cast<size_t>(t), 0);
   // per-thread scratch triples, padded to their own cache lines
   std::vector<int32_t> scratch(static_cast<size_t>(t) * 16);
+  std::vector<uint8_t> bad(static_cast<size_t>(t), 0);
   std::vector<std::thread> workers;
   workers.reserve(static_cast<size_t>(t));
   for (int64_t k = 0; k < t; k++) {
     int64_t y0 = h * k / t, y1 = h * (k + 1) / t;
     int64_t rend = offs[y1] < max_out ? offs[y1] : max_out;
-    workers.emplace_back([=, &offs, &hits, &scratch] {
+    workers.emplace_back([=, &offs, &hits, &scratch, &bad] {
+      bool mismatch = false;
       hits[static_cast<size_t>(k)] =
           scan_rows(buf, w2, y0, y1, offs.data(), bd, dmask, sentinel,
                     disp_high, out, rend,
-                    scratch.data() + 16 * static_cast<size_t>(k));
+                    scratch.data() + 16 * static_cast<size_t>(k), &mismatch);
+      bad[static_cast<size_t>(k)] = mismatch;
     });
   }
   int64_t n = 0;
+  bool mismatch = false;
   for (int64_t k = 0; k < t; k++) {
     workers[static_cast<size_t>(k)].join();
     n += hits[static_cast<size_t>(k)];
+    mismatch |= bad[static_cast<size_t>(k)] != 0;
   }
-  return n;
+  return mismatch ? -1 : n;
 }
 
 // Write n (x, y, d) int32 triples as "x y d\n" text lines — the supports
@@ -177,36 +191,47 @@ int ogpc_write_supports(const char* path, const int32_t* a, int64_t n) {
 // Parallel variant: the hand-rolled itoa (fprintf's format parsing is the
 // bottleneck at this volume; a 344k-line savetxt costs ~750 ms, the
 // sequential loop ~30 ms) is pure per-line work, so each thread formats an
-// equal slice of the triples into its own buffer (40 bytes/line upper
-// bound) and the buffers are written out in order.  nthreads <= 1 formats
-// inline.  Returns 0 on success.
+// equal slice of the triples into its own fixed-size buffer and the
+// buffers are written out in order.  Memory stays bounded regardless of n:
+// triples are processed in blocks of t * 64Ki (one 2.5 MB buffer per
+// thread, reused across blocks), so a 10M-triple file streams instead of
+// materializing ~400 MB of formatted text.  nthreads <= 1 formats inline
+// over the same block loop.  Returns 0 on success.
 int ogpc_write_supports_par(const char* path, const int32_t* a, int64_t n,
                             int32_t nthreads) {
   int64_t t = nthreads > 1 ? nthreads : 1;
   if (t > n) t = n > 0 ? n : 1;
+  const int64_t per_thread = int64_t{1} << 16;  // triples per thread per block
+  const int64_t block = t * per_thread;
   std::vector<std::vector<char>> bufs(static_cast<size_t>(t));
+  for (auto& b : bufs) b.resize(static_cast<size_t>(40 * per_thread));
   std::vector<size_t> lens(static_cast<size_t>(t), 0);
-  auto fmt = [&](int64_t k) {
-    int64_t i0 = n * k / t, i1 = n * (k + 1) / t;
-    auto& b = bufs[static_cast<size_t>(k)];
-    b.resize(static_cast<size_t>(40 * (i1 - i0)));
-    lens[static_cast<size_t>(k)] = format_triples(a, i0, i1, b.data());
-  };
-  if (t == 1) {
-    fmt(0);
-  } else {
-    std::vector<std::thread> workers;
-    workers.reserve(static_cast<size_t>(t));
-    for (int64_t k = 0; k < t; k++) workers.emplace_back(fmt, k);
-    for (auto& w : workers) w.join();
-  }
   FILE* f = fopen(path, "wb");
   if (!f) return 1;
   int rc = 0;
-  for (int64_t k = 0; k < t; k++) {
-    size_t len = lens[static_cast<size_t>(k)];
-    if (len && fwrite(bufs[static_cast<size_t>(k)].data(), 1, len, f) != len)
-      rc = 1;
+  for (int64_t b0 = 0; b0 < n; b0 += block) {
+    int64_t m = n - b0 < block ? n - b0 : block;
+    int64_t tb = t < m ? t : m;  // threads this block
+    // slice size ceil(m / tb) <= per_thread since m <= tb * per_thread
+    // whenever tb == t; when m < t each slice is one triple.
+    auto fmt = [&](int64_t k) {
+      int64_t i0 = b0 + m * k / tb, i1 = b0 + m * (k + 1) / tb;
+      lens[static_cast<size_t>(k)] =
+          format_triples(a, i0, i1, bufs[static_cast<size_t>(k)].data());
+    };
+    if (tb == 1) {
+      fmt(0);
+    } else {
+      std::vector<std::thread> workers;
+      workers.reserve(static_cast<size_t>(tb));
+      for (int64_t k = 0; k < tb; k++) workers.emplace_back(fmt, k);
+      for (auto& w : workers) w.join();
+    }
+    for (int64_t k = 0; k < tb; k++) {
+      size_t len = lens[static_cast<size_t>(k)];
+      if (len && fwrite(bufs[static_cast<size_t>(k)].data(), 1, len, f) != len)
+        rc = 1;
+    }
   }
   return fclose(f) ? 1 : rc;
 }

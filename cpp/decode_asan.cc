@@ -84,19 +84,33 @@ int main(void) {
 
   // mismatch: understate one row's count — the trailing hits overrun into
   // the next rows' regions (overwritten) or the thread scratch at a range
-  // boundary; the returned total still counts every hit so the caller's
-  // equality check fires.  ASan verifies no out-of-bounds writes.
+  // boundary; the per-row check reports -1 so the caller raises.  ASan
+  // verifies no out-of-bounds writes.
   counts[0] -= 5;
   counts[h - 1] -= 3;  // last row: overrun goes to scratch, not past out
   int64_t nm = ogpc_masked_decode_par(buf, h, w2, 128, 0x7FFFFFFF, counts,
                                       out_p, hits - 8, 7);
-  if (nm != hits) {
-    printf("FAIL mismatch total %lld vs %lld\n", (long long)nm,
-           (long long)hits);
+  if (nm != -1) {
+    printf("FAIL mismatch not reported: %lld\n", (long long)nm);
     return 1;
   }
   counts[0] += 5;
   counts[h - 1] += 3;
+
+  // canceling mismatch: row 0 short by 2, row 1 long by 2 — the grand
+  // total matches sum(row_counts), but placement is corrupt, so the
+  // per-row check must still report -1 (a total-only check would pass
+  // and silently return garbage triples).
+  counts[0] -= 2;
+  counts[1] += 2;
+  nm = ogpc_masked_decode_par(buf, h, w2, 128, 0x7FFFFFFF, counts, out_p,
+                              hits, 7);
+  if (nm != -1) {
+    printf("FAIL canceling mismatch not reported: %lld\n", (long long)nm);
+    return 1;
+  }
+  counts[0] += 2;
+  counts[1] -= 2;
 
   out[0] = -2147483647 - 1;  // INT32_MIN through the writer
   if (ogpc_write_supports("/tmp/ogpc_asan_supports.txt", out, hits)) return 1;

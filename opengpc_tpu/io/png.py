@@ -161,6 +161,13 @@ def masked_decode_native(buf: np.ndarray, n: int, disp_high: int,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
                 _DECODE_THREADS,
             )
+            if got < 0:
+                # -1: some row's actual hits differ from row_counts (even
+                # if the totals cancel) — the parallel scan's placement
+                # depends on the counts, so its output would be corrupt
+                raise ValueError(
+                    "masked buffer disagrees with per-row counts"
+                )
             if got != n:
                 raise ValueError(
                     f"masked buffer holds {got} supports, row counts say {n}"

@@ -526,7 +526,17 @@ def test_masked_decode_parallel_equals_sequential(monkeypatch):
     nz = np.flatnonzero(bad)
     bad[nz[0]] -= 1
     monkeypatch.setattr(iopng, "_DECODE_THREADS", 5)
-    with pytest.raises(ValueError, match="row counts say"):
+    with pytest.raises(ValueError, match="disagrees with per-row"):
+        masked_supports_to_numpy(buf, bad, settings.disp_high)
+
+    # CANCELING per-row errors (row A short by 1, row B long by 1: the
+    # grand total still equals sum(row_counts)) must also raise — the
+    # parallel scan's output placement depends on the per-row counts, so
+    # a total-only check would silently return corrupt triples here
+    bad = counts.copy()
+    bad[nz[0]] -= 1
+    bad[nz[1]] += 1
+    with pytest.raises(ValueError, match="disagrees with per-row"):
         masked_supports_to_numpy(buf, bad, settings.disp_high)
 
 

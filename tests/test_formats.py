@@ -476,3 +476,18 @@ def test_write_supports_parallel_byte_identical(tmp_path):
         want = p2.read_bytes() if nn == n else b"".join(
             b"%d %d %d\n" % tuple(r) for r in a[:nn].tolist())
         assert p3.read_bytes() == want, (t, nn)
+
+    # multi-block streaming: n > 64Ki crosses the t=1 block boundary
+    # (the writer streams fixed-size blocks instead of materializing the
+    # whole file — 40 bytes/line for 10M+ triples would be 400 MB+), and
+    # t=2 exercises a block whose last slice is partial
+    big = np.tile(a, (3, 1))[: (1 << 16) + 12345]
+    pb = tmp_path / "b.txt"
+    for t in (1, 2):
+        rc = lib.ogpc_write_supports_par(
+            str(pb).encode(),
+            big.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            big.shape[0], t)
+        assert rc == 0
+        np.savetxt(str(p2), big, fmt="%d")
+        assert pb.read_bytes() == p2.read_bytes(), t

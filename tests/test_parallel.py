@@ -797,8 +797,11 @@ def test_sharded_frame_global_lossless_and_overflow():
     """k == chunk makes the chunk compaction lossless, so the distributed
     sort must be EXACT even on a dense frame (every candidate rides the
     exchange); default chunks on the same dense frame trip the overflow
-    guard and the flagged result is a strict subset (drops, never
-    fabrications)."""
+    guard, whose contract is "discard and re-run full-width" — flagged
+    output carries NO subset guarantee (truncating one copy of a
+    3-occurrence code can leave a run of 2 that fabricates a pair), so
+    the test only checks the flag fires and the output stays
+    well-formed."""
     from opengpc_tpu.config import InferenceSettings
     from opengpc_tpu.forest import load_forest
     from opengpc_tpu.infer import (build_sparsematch_global_rows,
@@ -836,8 +839,15 @@ def test_sharded_frame_global_lossless_and_overflow():
         contract="global-compact")
     (xs, ys, ds), counts, ovf = flagged(left, right)
     assert bool(np.asarray(ovf))
-    got = set(map(tuple, global_row_supports_to_numpy(xs, ys, ds, counts)))
-    assert got < want
+    flagged_sup = global_row_supports_to_numpy(xs, ys, ds, counts)
+    # well-formed even when flagged: decodable, coordinates in range
+    assert flagged_sup.shape[1] == 3
+    if len(flagged_sup):
+        assert flagged_sup[:, 0].min() >= 0
+        assert flagged_sup[:, 0].max() < left.shape[1]
+        assert flagged_sup[:, 1].min() >= 0
+        assert flagged_sup[:, 1].max() < left.shape[0]
+        assert np.abs(flagged_sup[:, 2]).max() <= settings.disp_high
 
 
 def test_sharded_frame_global_rejects_epipolar_settings():
