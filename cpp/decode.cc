@@ -227,11 +227,12 @@ int ogpc_write_supports_par(const char* path, const int32_t* a, int64_t n,
       for (int64_t k = 0; k < tb; k++) workers.emplace_back(fmt, k);
       for (auto& w : workers) w.join();
     }
-    for (int64_t k = 0; k < tb; k++) {
+    for (int64_t k = 0; k < tb && !rc; k++) {
       size_t len = lens[static_cast<size_t>(k)];
       if (len && fwrite(bufs[static_cast<size_t>(k)].data(), 1, len, f) != len)
         rc = 1;
     }
+    if (rc) break;  // dead stream: don't format/write the remaining blocks
   }
   return fclose(f) ? 1 : rc;
 }

@@ -163,8 +163,9 @@ def validate_stereo(root):
     dens = len(supp) / left.size
     check("real-pair matching", len(supp) > 0,
           f"{len(supp)} supports ({dens:.1%} of pixels)")
-    if os.path.exists(ORACLE):
-        want = _oracle_supports(forest_path, left, right, settings, True)
+    want = (_oracle_supports(forest_path, left, right, settings, True)
+            if os.path.exists(ORACLE) else None)
+    if want is not None:
         got = set(map(tuple, supp.tolist()))
         check("ORACLE parity on real pair", got == want,
               f"{len(got & want)}/{len(want)} common, "
@@ -192,8 +193,7 @@ def validate_stereo(root):
             with open(out) as f:
                 ref = set(tuple(int(v) for v in line.split())
                           for line in f if line.strip())
-        quirk = _oracle_supports(forest_path, left, right, settings, True) \
-            if os.path.exists(ORACLE) else set()
+        quirk = want if want is not None else set()
         print(f"    refmatch (real binary) on real PNGs: {len(ref)} "
               f"supports; clean-matcher overlap {len(ref & quirk)}")
     else:

@@ -77,8 +77,12 @@ def main(argv=None) -> int:
     print(hdr)
     print("|" + "---|" * (len(hdr.split("|")) - 2))
 
+    # density is "supports relative to the LEAST-truncated run", so rows
+    # are processed largest-n first regardless of the --tests order (a
+    # first-listed small n would otherwise become the baseline and print
+    # inverted >1.0 densities for the stronger forests)
     base_n = None
-    for n in points:
+    for n in sorted(set(points), reverse=True):
         if n > forest.num_tests:
             continue
         mask = make_filter_mask(forest, max_tests=n)

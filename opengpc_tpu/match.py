@@ -154,6 +154,23 @@ def _pack_ok(num_tests, w2) -> bool:
     return num_tests is not None and num_tests + _pos_bits(w2) <= 30
 
 
+def _pack_keypos(key, pos, pb):
+    """Pack pos into the low ``pb`` bits of a valid code key; per-position
+    sentinels pass through UNCHANGED (they already encode their position).
+    The ONE definition of the single-operand key layout — _unpack_keypos
+    is its inverse and every packed-sort path shares the pair."""
+    return jnp.where(key < SENTINEL_BASE, (key << pb) | pos, key)
+
+
+def _unpack_keypos(packed, pb):
+    """Inverse of _pack_keypos: recover (key, pos) from packed keys."""
+    sent = packed >= SENTINEL_BASE
+    key = jnp.where(sent, packed, packed >> pb)
+    pos = jnp.where(sent, packed - SENTINEL_BASE,
+                    packed & ((1 << pb) - 1))
+    return key, pos
+
+
 def _sort_key_pos(key, pos, w2, num_tests):
     """The matcher's row sort: single-operand pos-packed when the code
     width allows (``_pack_ok``), the (key, pos) 2-operand UNSTABLE sort
@@ -161,14 +178,10 @@ def _sort_key_pos(key, pos, w2, num_tests):
     exactly as they went in."""
     if _pack_ok(num_tests, w2):
         pb = _pos_bits(w2)
-        packed = jnp.where(key < SENTINEL_BASE, (key << pb) | pos, key)
+        packed = _pack_keypos(key, pos, pb)
         packed_s = jax.lax.sort((packed,), dimension=1, num_keys=1,
                                 is_stable=False)[0]
-        sent = packed_s >= SENTINEL_BASE
-        key_s = jnp.where(sent, packed_s, packed_s >> pb)
-        pos_s = jnp.where(sent, packed_s - SENTINEL_BASE,
-                          packed_s & ((1 << pb) - 1))
-        return key_s, pos_s
+        return _unpack_keypos(packed_s, pb)
     # UNSTABLE sort: pair detection is order-insensitive (key equality +
     # lo/hi position normalization), and the emitted support set is
     # identical either way — two matched pairs always have different
@@ -363,12 +376,7 @@ def match_epipolar_masked(code_src, code_tar, valid_src, valid_tar,
         pos = jnp.broadcast_to(
             jnp.arange(2 * w, dtype=jnp.int32)[None, :], (h, 2 * w)
         )
-    if _pack_ok(num_tests, 2 * w):
-        key_s, pos_s = _sort_key_pos(key, pos, 2 * w, num_tests)
-        keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
-        return _masked_emit(keep, src_x, d, w, disp_high)
-    key_s, pos_s = jax.lax.sort((key, pos), dimension=1, num_keys=1,
-                                is_stable=False)
+    key_s, pos_s = _sort_key_pos(key, pos, 2 * w, num_tests)
     keep, src_x, d = _detect_pairs_packed(key_s, pos_s, w, disp_high)
     return _masked_emit(keep, src_x, d, w, disp_high)
 
@@ -440,7 +448,7 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
         # single-operand variant: pos rides inside the key through BOTH
         # sorts (chunk stage and final), halving the sort traffic of each
         pb = _pos_bits(w2p)
-        packed = jnp.where(key < SENTINEL_BASE, (key << pb) | pos, key)
+        packed = _pack_keypos(key, pos, pb)
         kc = packed.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
             h * nc, chunk)
         vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
@@ -450,10 +458,7 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
         ks = ks[:, :k].reshape(h, nc * k)
         packed_s = jax.lax.sort((ks,), dimension=1, num_keys=1,
                                 is_stable=False)[0]
-        sent = packed_s >= SENTINEL_BASE
-        key_s = jnp.where(sent, packed_s, packed_s >> pb)
-        pos_s = jnp.where(sent, packed_s - SENTINEL_BASE,
-                          packed_s & ((1 << pb) - 1))
+        key_s, pos_s = _unpack_keypos(packed_s, pb)
     else:
         kc = key.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
             h * nc, chunk)

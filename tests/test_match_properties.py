@@ -140,6 +140,30 @@ class TestSingleOperandPackedSort:
         assert _pack_ok(17, 8192)       # 17 + 13 = 30 (4K rows)
         assert not _pack_ok(18, 8192)
 
+    def test_pack_unpack_roundtrip(self):
+        """_pack_keypos/_unpack_keypos are exact inverses for valid codes
+        AND per-position sentinels (the ONE packed-key layout shared by
+        _sort_key_pos and the masked-compact path)."""
+        import jax.numpy as jnp
+
+        from opengpc_tpu.match import (SENTINEL_BASE, _pack_keypos,
+                                       _pos_bits, _unpack_keypos)
+
+        rng = np.random.default_rng(0)
+        w2 = 192
+        pb = _pos_bits(w2)
+        pos = np.arange(w2, dtype=np.int32)[None, :].repeat(4, axis=0)
+        code = rng.integers(0, 1 << (30 - pb), (4, w2)).astype(np.int32)
+        valid = rng.random((4, w2)) < 0.5
+        key = np.where(valid, code, SENTINEL_BASE + pos).astype(np.int32)
+        packed = _pack_keypos(jnp.asarray(key), jnp.asarray(pos), pb)
+        # sentinels pass through unchanged (they already encode position)
+        np.testing.assert_array_equal(
+            np.asarray(packed)[~valid], key[~valid])
+        k2, p2 = _unpack_keypos(packed, pb)
+        np.testing.assert_array_equal(np.asarray(k2), key)
+        np.testing.assert_array_equal(np.asarray(p2), pos)
+
     @pytest.mark.parametrize("n_tests", [1, 11, 17, 19])
     def test_masked_equal_either_sort(self, n_tests):
         """The 1-op path (num_tests given, small) and the 2-op path
