@@ -179,6 +179,17 @@ def make_filter_mask(forest: Forest, max_tests: int = MAX_TESTS) -> FilterMask:
         raise ValueError("forest has no tests")
     i_off = np.array([(t.iy, t.ix) for t in tests], dtype=np.int32)
     j_off = np.array([(t.jy, t.jx) for t in tests], dtype=np.int32)
+    # every downstream consumer assumes offsets live inside the 27x27
+    # patch window (jnp path pads by PATCH_HALF; the fused Pallas kernel
+    # DMAs a fixed PATCH_HALF halo per tile and would silently read the
+    # wrong rows) — reject corrupt forests loudly instead.  The reference
+    # bakes offsets into unchecked linear indices (inference.hpp:427-428),
+    # so no valid reference forest can exceed this.
+    if max(int(np.abs(i_off).max()), int(np.abs(j_off).max())) > PATCH_HALF:
+        raise ValueError(
+            f"forest test offsets exceed the {2*PATCH_HALF+1}x"
+            f"{2*PATCH_HALF+1} patch window (|offset| > {PATCH_HALF}); "
+            "corrupt or incompatible forest file")
     tau = np.array([t.tau for t in tests], dtype=np.int32)
     ftype = 0 if forest.is_zero else 1
     return FilterMask(i_off=i_off, j_off=j_off, tau=tau, type=ftype)

@@ -341,8 +341,15 @@ def _read_python(path: str) -> Tuple[np.ndarray, int]:
             break
     if width is None:
         raise IOError(f"{path}: missing IHDR")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise IOError(f"{path}: bad PNG color type {color_type}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # truncated/bit-flipped IDAT: surface the same IOError the rest of
+        # the codec raises instead of leaking a bare zlib.error
+        raise IOError(f"{path}: corrupt PNG data ({e})") from e
     if bit_depth < 8 and color_type not in (0, 3):
         raise NotImplementedError("sub-byte depth only for gray/palette")
     if interlace == 1:

@@ -491,3 +491,68 @@ def test_write_supports_parallel_byte_identical(tmp_path):
         assert rc == 0
         np.savetxt(str(p2), big, fmt="%d")
         assert pb.read_bytes() == p2.read_bytes(), t
+
+
+class TestCorruptInputs:
+    """Error-path contracts: malformed forests and PNGs raise clear
+    ValueError/IOError instead of returning garbage or leaking internals
+    (the reference reads both formats unchecked — inference.hpp:404-446
+    forest parse, buffer.hpp:197-474 PNG — and would walk into UB)."""
+
+    @pytest.mark.parametrize("text,msg", [
+        ("", "truncated"),
+        ("2\n0 s 5\n0 1 1 2 2 0\n", "truncated"),     # fewer tests than declared
+        ("1\n0 X 1\n0 0 0 0 0 0\n", "scale char"),    # bad scale letter
+    ])
+    def test_malformed_forest_raises(self, text, msg):
+        with pytest.raises(ValueError, match=msg):
+            parse_forest(text)
+
+    def test_non_integer_token_raises(self):
+        with pytest.raises(ValueError):
+            parse_forest("1\n0 s foo\n")
+
+    def test_empty_forest_rejected_by_mask(self):
+        assert parse_forest("0\n").num_tests == 0
+        with pytest.raises(ValueError, match="no tests"):
+            make_filter_mask(parse_forest("0\n"))
+
+    def test_out_of_window_offsets_rejected(self):
+        # the fused kernel DMAs a fixed PATCH_HALF halo per tile; a forest
+        # with wider offsets would silently read the wrong rows — the mask
+        # builder must refuse it loudly
+        bad = Forest((Fern(0, (Test(14, 0, 0, 0, 0),)),))
+        with pytest.raises(ValueError, match="patch window"):
+            make_filter_mask(bad)
+        ok = Forest((Fern(0, (Test(13, -13, 13, -13, 0),)),))
+        assert make_filter_mask(ok).num_tests == 1
+
+    def _corrupt_pngs(self, tmp_path):
+        arr = (np.arange(64 * 48, dtype=np.uint8).reshape(48, 64) % 251)
+        good = tmp_path / "good.png"
+        write_png(str(good), arr)
+        data = good.read_bytes()
+        not_png = tmp_path / "notpng.png"
+        not_png.write_bytes(b"hello world, definitely not a png")
+        trunc = tmp_path / "trunc.png"
+        trunc.write_bytes(data[: len(data) // 2])
+        flipped = tmp_path / "flip.png"
+        bad = bytearray(data)
+        bad[50] ^= 0xFF  # inside the IDAT stream
+        flipped.write_bytes(bytes(bad))
+        return [not_png, trunc, flipped]
+
+    def test_corrupt_png_raises_ioerror_native_or_python(self, tmp_path):
+        # public read_png (native libpng fast path when built)
+        for p in self._corrupt_pngs(tmp_path):
+            with pytest.raises(IOError):
+                read_png(str(p))
+
+    def test_corrupt_png_raises_ioerror_pure_python(self, tmp_path):
+        # the pure-python fallback must match the error surface — a bare
+        # zlib.error used to leak from truncated/bit-flipped IDAT streams
+        from opengpc_tpu.io.png import _read_python
+
+        for p in self._corrupt_pngs(tmp_path):
+            with pytest.raises(IOError):
+                _read_python(str(p))
