@@ -48,10 +48,26 @@ TRUE_DISP = 16
 # for ~0.5-1 ms steps, 23 -> 103 for the 2-4 ms batched/pyramid steps)
 # cut the per-metric error ~5x for negligible extra device time.
 # OGPC_BENCH_FAST=1 restores the short chains (CPU dry-runs).
-_FAST = bool(int(os.environ.get("OGPC_BENCH_FAST", "0")))
-N_SHORT, N_LONG = 3, (43 if _FAST else 203)
-N_LONG_HEAVY = 23 if _FAST else 103
+def _env_flag(name):
+    # tolerant parse (ADVICE r4): "", "0", "false", "no" are off; anything
+    # else (1/true/yes/...) is on — a typo must not crash the bench before
+    # any output.
+    return os.environ.get(name, "0").strip().lower() not in (
+        "", "0", "false", "no")
+
+
+_SMOKE = _env_flag("OGPC_BENCH_SMOKE")   # CI smoke: tiny chains, 1 repeat
+_FAST = _env_flag("OGPC_BENCH_FAST") or _SMOKE
+N_SHORT, N_LONG = 3, (5 if _SMOKE else (43 if _FAST else 203))
+N_LONG_HEAVY = 4 if _SMOKE else (23 if _FAST else 103)
+N_LONG_TRAIN = 13 if _SMOKE else 2003
 BATCH = 4
+
+
+def _rep(n):
+    """Timing repeats: 1 in smoke mode (the smoke test checks the output
+    contract, not the numbers)."""
+    return 1 if _SMOKE else n
 
 
 def _nonzero(seconds):
@@ -159,7 +175,7 @@ def main():
             return (a, b)
 
         best = device_time_per_iter(stepb, (l, r), make_dep, N_SHORT, n_long,
-                                    repeats=5)
+                                    repeats=_rep(5))
         npix = 2 * l.size  # both images
         return (npix / 1e6) / _nonzero(best)
 
@@ -218,7 +234,7 @@ def main():
         return (a, b)
 
     rbest = device_time_per_iter(rstep, (left, right), rdep, N_SHORT, N_LONG,
-                                 repeats=5)
+                                 repeats=_rep(5))
     rowform_mpix = 2 * H * W / 1e6 / _nonzero(rbest)
     _aux("flat_buffer_throughput", mpix_s, "Mpix/s",
          "config 1 with the flat fixed-capacity buffer contract "
@@ -252,7 +268,7 @@ def main():
     # the HEADLINE metric: a couple more repeats than the aux configs to
     # damp relay/run-to-run variance (best-of semantics)
     mbest = device_time_per_iter(mstep, (left, right), rdep, N_SHORT, N_LONG,
-                                 repeats=9)
+                                 repeats=_rep(9))
     masked_mpix = 2 * H * W / 1e6 / _nonzero(mbest)
     # headline EARLY on stdout (the driver parses this line): the masked
     # sorted-order contract — full sparse match, every output buffer
@@ -261,431 +277,442 @@ def main():
     # measured so a timeout during the aux-metric tail (a cold relay
     # compile cache costs ~25-40 s per program across ~20 programs)
     # cannot lose the headline.
-    print(
-        json.dumps(
-            {
-                "metric": "sintel_sparsematch_throughput",
-                "value": round(masked_mpix, 1),
-                "unit": "Mpix/s",
-                "vs_baseline": round(masked_mpix / BASELINE_MPIX_S, 2),
-            }
-        ),
-        flush=True,
-    )
+    headline_rec = {
+        "metric": "sintel_sparsematch_throughput",
+        "value": round(masked_mpix, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(masked_mpix / BASELINE_MPIX_S, 2),
+    }
+    print(json.dumps(headline_rec), flush=True)
 
-    # ------------------------------------------------------------------
-    # realistic-density scene (VERDICT r3 weak #2): ~15% of pixels pass
-    # gradientThreshold 5 (vs make_pair's 79%) — the masked contract's
-    # device time is density-independent by construction (static shapes),
-    # and this metric PROVES it on a measured low-density frame instead of
-    # asserting it; it is also the scene the per-row-compaction dead end
-    # was re-litigated on (experiments/exp_lowdens.py)
-    # ------------------------------------------------------------------
-    from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
-    from opengpc_tpu.utils.scenes import make_sparse_pair
+    def _aux_tail():
 
-    sl, sr = make_sparse_pair(H, W, TRUE_DISP, density=0.15)
-    # jitted: eager jnp ops each compile remotely through the relay
-    sdens = float(np.asarray(jax.jit(
-        lambda x: candidate_mask(sobel3(x, 5)).mean())(sl)))
-    s_supp = supports_to_numpy(*match(sl, sr))
-    s_acc = float((s_supp[:, 2] == TRUE_DISP).mean())
-    assert len(s_supp) > 1000, f"low-density: too few supports {len(s_supp)}"
-    assert s_acc > 0.99, f"low-density support accuracy {s_acc:.3f}"
-    _check_against_oracle(sl, sr, s_supp, settings, "defaultZeroForest.txt",
-                          "config1 low-density")
-    sbuf2, scounts2 = masked_fn(sl, sr)
-    sdec = masked_supports_to_numpy(sbuf2, scounts2, settings.disp_high)
-    assert set(map(tuple, sdec.tolist())) == set(map(tuple, s_supp.tolist())), \
-        "low-density masked set != flat set"
-    sbest = device_time_per_iter(mstep, (sl, sr), rdep, N_SHORT, N_LONG,
-                                 repeats=5)
-    _aux("lowdensity_sparsematch_throughput",
-         2 * H * W / 1e6 / _nonzero(sbest), "Mpix/s",
-         f"masked contract on a {sdens:.2f}-candidate-density scene "
-         f"({len(s_supp)} supports; headline scene is 0.79-dense) — "
-         "oracle-gated")
+        # ------------------------------------------------------------------
+        # realistic-density scene (VERDICT r3 weak #2): ~15% of pixels pass
+        # gradientThreshold 5 (vs make_pair's 79%) — the masked contract's
+        # device time is density-independent by construction (static shapes),
+        # and this metric PROVES it on a measured low-density frame instead of
+        # asserting it; it is also the scene the per-row-compaction dead end
+        # was re-litigated on (experiments/exp_lowdens.py)
+        # ------------------------------------------------------------------
+        from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
+        from opengpc_tpu.utils.scenes import make_sparse_pair
 
-    # chunk-compacted masked contract (the adopted low-density fast path,
-    # experiments/exp_lowdens.py): gate on no-overflow + set equality
-    from opengpc_tpu.infer import _sparsematch_masked_compact_impl
+        sl, sr = make_sparse_pair(H, W, TRUE_DISP, density=0.15)
+        # jitted: eager jnp ops each compile remotely through the relay
+        sdens = float(np.asarray(jax.jit(
+            lambda x: candidate_mask(sobel3(x, 5)).mean())(sl)))
+        s_supp = supports_to_numpy(*match(sl, sr))
+        s_acc = float((s_supp[:, 2] == TRUE_DISP).mean())
+        assert len(s_supp) > 1000, f"low-density: too few supports {len(s_supp)}"
+        assert s_acc > 0.99, f"low-density support accuracy {s_acc:.3f}"
+        _check_against_oracle(sl, sr, s_supp, settings, "defaultZeroForest.txt",
+                              "config1 low-density")
+        sbuf2, scounts2 = masked_fn(sl, sr)
+        sdec = masked_supports_to_numpy(sbuf2, scounts2, settings.disp_high)
+        assert set(map(tuple, sdec.tolist())) == set(map(tuple, s_supp.tolist())), \
+            "low-density masked set != flat set"
+        sbest = device_time_per_iter(mstep, (sl, sr), rdep, N_SHORT, N_LONG,
+                                     repeats=_rep(5))
+        _aux("lowdensity_sparsematch_throughput",
+             2 * H * W / 1e6 / _nonzero(sbest), "Mpix/s",
+             f"masked contract on a {sdens:.2f}-candidate-density scene "
+             f"({len(s_supp)} supports; headline scene is 0.79-dense) — "
+             "oracle-gated")
 
-    cfn = jax.jit(lambda l, r: _sparsematch_masked_compact_impl(
-        l, r, mask=mask, settings=settings, use_pallas=use_pallas,
-        chunk=128, k=64))
-    cbuf, ccounts, covf = cfn(sl, sr)
-    assert not bool(np.asarray(covf)), "low-density scene tripped overflow"
-    cdec = masked_supports_to_numpy(cbuf, ccounts, settings.disp_high)
-    assert set(map(tuple, cdec.tolist())) == set(map(tuple,
-                                                     s_supp.tolist())), \
-        "compact masked set != flat set"
+        # chunk-compacted masked contract (the adopted low-density fast path,
+        # experiments/exp_lowdens.py): gate on no-overflow + set equality
+        from opengpc_tpu.infer import _sparsematch_masked_compact_impl
 
-    def cstep(a, b):
-        buf, counts, ovf = _sparsematch_masked_compact_impl(
-            a, b, mask=mask, settings=settings, use_pallas=use_pallas,
-            chunk=128, k=64)
-        return (buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
-                + ovf.astype(jnp.int32))
+        cfn = jax.jit(lambda l, r: _sparsematch_masked_compact_impl(
+            l, r, mask=mask, settings=settings, use_pallas=use_pallas,
+            chunk=128, k=64))
+        cbuf, ccounts, covf = cfn(sl, sr)
+        assert not bool(np.asarray(covf)), "low-density scene tripped overflow"
+        cdec = masked_supports_to_numpy(cbuf, ccounts, settings.disp_high)
+        assert set(map(tuple, cdec.tolist())) == set(map(tuple,
+                                                         s_supp.tolist())), \
+            "compact masked set != flat set"
 
-    cbest = device_time_per_iter(cstep, (sl, sr), rdep, N_SHORT, N_LONG,
-                                 repeats=5)
-    _aux("lowdensity_compact_throughput",
-         2 * H * W / 1e6 / _nonzero(cbest), "Mpix/s",
-         "chunk-compacted masked contract (strided S=128 K=64) on the "
-         "low-density scene — overflow-guarded, set-equality gated")
+        def cstep(a, b):
+            buf, counts, ovf = _sparsematch_masked_compact_impl(
+                a, b, mask=mask, settings=settings, use_pallas=use_pallas,
+                chunk=128, k=64)
+            return (buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+                    + ovf.astype(jnp.int32))
 
-    # ------------------------------------------------------------------
-    # global (non-epipolar) mode — the reference's DEFAULT settings path
-    # (inference.hpp:75) — on the segmented global row-form contract
-    # ------------------------------------------------------------------
-    import dataclasses
+        cbest = device_time_per_iter(cstep, (sl, sr), rdep, N_SHORT, N_LONG,
+                                     repeats=_rep(5))
+        _aux("lowdensity_compact_throughput",
+             2 * H * W / 1e6 / _nonzero(cbest), "Mpix/s",
+             "chunk-compacted masked contract (strided S=128 K=64) on the "
+             "low-density scene — overflow-guarded, set-equality gated")
 
-    from opengpc_tpu.infer import (_sparsematch_global_rows_impl,
-                                   global_row_supports_to_numpy)
+        # ------------------------------------------------------------------
+        # global (non-epipolar) mode — the reference's DEFAULT settings path
+        # (inference.hpp:75) — on the segmented global row-form contract
+        # ------------------------------------------------------------------
+        import dataclasses
 
-    gsettings = dataclasses.replace(settings, epipolar_mode=False)
-    grows_fn = jax.jit(lambda l, r: _sparsematch_global_rows_impl(
-        l, r, mask=mask, settings=gsettings, use_pallas=use_pallas))
-    (gxs, gys, gds), gcounts = grows_fn(left, right)
-    gsupp = global_row_supports_to_numpy(gxs, gys, gds, gcounts)
-    gacc = float((gsupp[:, 2] == TRUE_DISP).mean())
-    assert gacc > 0.99, f"global support accuracy {gacc:.3f}"
-    _check_against_oracle(left, right, gsupp, gsettings,
-                          "defaultZeroForest.txt", "global zero",
-                          epipolar=False)
+        from opengpc_tpu.infer import (_sparsematch_global_rows_impl,
+                                       global_row_supports_to_numpy)
 
-    def gstep(a, b):
-        (xs, ys, ds), counts = _sparsematch_global_rows_impl(
-            a, b, mask=mask, settings=gsettings, use_pallas=use_pallas)
-        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
-                + ds.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32))
+        gsettings = dataclasses.replace(settings, epipolar_mode=False)
+        grows_fn = jax.jit(lambda l, r: _sparsematch_global_rows_impl(
+            l, r, mask=mask, settings=gsettings, use_pallas=use_pallas))
+        (gxs, gys, gds), gcounts = grows_fn(left, right)
+        gsupp = global_row_supports_to_numpy(gxs, gys, gds, gcounts)
+        gacc = float((gsupp[:, 2] == TRUE_DISP).mean())
+        assert gacc > 0.99, f"global support accuracy {gacc:.3f}"
+        _check_against_oracle(left, right, gsupp, gsettings,
+                              "defaultZeroForest.txt", "global zero",
+                              epipolar=False)
 
-    gbest = device_time_per_iter(gstep, (left, right), rdep, N_SHORT, N_LONG,
-                                 repeats=5)
-    _aux("global_sparsematch_throughput", 2 * H * W / 1e6 / _nonzero(gbest),
-         "Mpix/s", "global (non-epipolar) mode, segmented row-form "
-         "contract, oracle-gated")
+        def gstep(a, b):
+            (xs, ys, ds), counts = _sparsematch_global_rows_impl(
+                a, b, mask=mask, settings=gsettings, use_pallas=use_pallas)
+            return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                    + ds.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32))
 
-    # chunk-compacted GLOBAL contract on the low-density scene (r4,
-    # experiments/exp_global_compact.py: +91% — the flat uniqueness sort
-    # runs on 2HW*(K/S) elements): gate on no-overflow + set equality
-    # with the full global contract
-    from opengpc_tpu.infer import (_sparsematch_global_compact_impl,
-                                   global_row_supports_to_numpy)
+        gbest = device_time_per_iter(gstep, (left, right), rdep, N_SHORT, N_LONG,
+                                     repeats=_rep(5))
+        _aux("global_sparsematch_throughput", 2 * H * W / 1e6 / _nonzero(gbest),
+             "Mpix/s", "global (non-epipolar) mode, segmented row-form "
+             "contract, oracle-gated")
 
-    gcfn = jax.jit(lambda l, r: _sparsematch_global_compact_impl(
-        l, r, mask=mask, settings=gsettings, use_pallas=use_pallas,
-        chunk=512, k=128))
-    (gcx, gcy, gcd), gcc, gcovf = gcfn(sl, sr)
-    assert not bool(np.asarray(gcovf)), \
-        "low-density scene tripped the global-compact overflow"
-    (gsx, gsy, gsd), gsc = grows_fn(sl, sr)
-    gsup_sparse = global_row_supports_to_numpy(gsx, gsy, gsd, gsc)
-    gcdec = global_row_supports_to_numpy(gcx, gcy, gcd, gcc)
-    assert set(map(tuple, gcdec.tolist())) == set(map(
-        tuple, gsup_sparse.tolist())), "global-compact set != global set"
+        # chunk-compacted GLOBAL contract on the low-density scene (r4,
+        # experiments/exp_global_compact.py: +91% — the flat uniqueness sort
+        # runs on 2HW*(K/S) elements): gate on no-overflow + set equality
+        # with the full global contract
+        from opengpc_tpu.infer import (_sparsematch_global_compact_impl,
+                                       global_row_supports_to_numpy)
 
-    def gcstep(a, b):
-        (xs, ys, ds), counts, ovf = _sparsematch_global_compact_impl(
-            a, b, mask=mask, settings=gsettings, use_pallas=use_pallas,
-            chunk=512, k=128)
-        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
-                + ds.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
-                + ovf.astype(jnp.int32))
+        gcfn = jax.jit(lambda l, r: _sparsematch_global_compact_impl(
+            l, r, mask=mask, settings=gsettings, use_pallas=use_pallas,
+            chunk=512, k=128))
+        (gcx, gcy, gcd), gcc, gcovf = gcfn(sl, sr)
+        assert not bool(np.asarray(gcovf)), \
+            "low-density scene tripped the global-compact overflow"
+        (gsx, gsy, gsd), gsc = grows_fn(sl, sr)
+        gsup_sparse = global_row_supports_to_numpy(gsx, gsy, gsd, gsc)
+        gcdec = global_row_supports_to_numpy(gcx, gcy, gcd, gcc)
+        assert set(map(tuple, gcdec.tolist())) == set(map(
+            tuple, gsup_sparse.tolist())), "global-compact set != global set"
 
-    gcbest = device_time_per_iter(gcstep, (sl, sr), rdep, N_SHORT, N_LONG,
-                                  repeats=5)
-    _aux("lowdensity_global_compact_throughput",
-         2 * H * W / 1e6 / _nonzero(gcbest), "Mpix/s",
-         "chunk-compacted global contract (strided S=512 K=128) on the "
-         "low-density scene — overflow-guarded, set-equality gated")
+        def gcstep(a, b):
+            (xs, ys, ds), counts, ovf = _sparsematch_global_compact_impl(
+                a, b, mask=mask, settings=gsettings, use_pallas=use_pallas,
+                chunk=512, k=128)
+            return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                    + ds.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+                    + ovf.astype(jnp.int32))
 
-    # ------------------------------------------------------------------
-    # config 2: defaultTauForest (sequence stands on per-pair throughput;
-    # frames stream through the same compiled program)
-    # ------------------------------------------------------------------
-    tau_forest = load_forest("forests/defaultTauForest.txt")
-    tau_mask = make_filter_mask(tau_forest)
-    tau_match = build_sparsematch(tau_forest, settings)
-    tau_supp = supports_to_numpy(*tau_match(left, right))
-    tau_acc = float((tau_supp[:, 2] == TRUE_DISP).mean())
-    assert tau_acc > 0.99, f"tau support accuracy {tau_acc:.3f}"
-    _check_against_oracle(left, right, tau_supp, settings,
-                          "defaultTauForest.txt", "config2 tau")
-    # tau is just as eligible for the masked headline contract as the zero
-    # forest (30 tests; the fused kernel carries per-test taus) — time it
-    # there, gated on decode equality vs the oracle-gated flat tau set
-    tau_masked_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
-        l, r, mask=tau_mask, settings=settings, use_pallas=use_pallas))
-    tbuf, tcounts = tau_masked_fn(left, right)
-    tdec = masked_supports_to_numpy(tbuf, tcounts, settings.disp_high)
-    assert set(map(tuple, tdec.tolist())) == set(map(tuple,
-                                                     tau_supp.tolist())), \
-        "tau masked support set != tau flat support set"
+        gcbest = device_time_per_iter(gcstep, (sl, sr), rdep, N_SHORT, N_LONG,
+                                      repeats=_rep(5))
+        _aux("lowdensity_global_compact_throughput",
+             2 * H * W / 1e6 / _nonzero(gcbest), "Mpix/s",
+             "chunk-compacted global contract (strided S=512 K=128) on the "
+             "low-density scene — overflow-guarded, set-equality gated")
 
-    def tstep(a, b):
-        buf, counts = _sparsematch_masked_impl(
-            a, b, mask=tau_mask, settings=settings, use_pallas=use_pallas)
-        return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+        # ------------------------------------------------------------------
+        # config 2: defaultTauForest (sequence stands on per-pair throughput;
+        # frames stream through the same compiled program)
+        # ------------------------------------------------------------------
+        tau_forest = load_forest("forests/defaultTauForest.txt")
+        tau_mask = make_filter_mask(tau_forest)
+        tau_match = build_sparsematch(tau_forest, settings)
+        tau_supp = supports_to_numpy(*tau_match(left, right))
+        tau_acc = float((tau_supp[:, 2] == TRUE_DISP).mean())
+        assert tau_acc > 0.99, f"tau support accuracy {tau_acc:.3f}"
+        _check_against_oracle(left, right, tau_supp, settings,
+                              "defaultTauForest.txt", "config2 tau")
+        # tau is just as eligible for the masked headline contract as the zero
+        # forest (30 tests; the fused kernel carries per-test taus) — time it
+        # there, gated on decode equality vs the oracle-gated flat tau set
+        tau_masked_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
+            l, r, mask=tau_mask, settings=settings, use_pallas=use_pallas))
+        tbuf, tcounts = tau_masked_fn(left, right)
+        tdec = masked_supports_to_numpy(tbuf, tcounts, settings.disp_high)
+        assert set(map(tuple, tdec.tolist())) == set(map(tuple,
+                                                         tau_supp.tolist())), \
+            "tau masked support set != tau flat support set"
 
-    tbest = device_time_per_iter(tstep, (left, right), rdep, N_SHORT, N_LONG,
-                                 repeats=5)
-    tau_mpix = 2 * H * W / 1e6 / _nonzero(tbest)
-    _aux("tau_sparsematch_throughput", tau_mpix, "Mpix/s",
-         "config 2: defaultTauForest on the masked contract, device-timed "
-         "(decode gated against the oracle-gated flat tau set)")
+        def tstep(a, b):
+            buf, counts = _sparsematch_masked_impl(
+                a, b, mask=tau_mask, settings=settings, use_pallas=use_pallas)
+            return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
 
-    # ------------------------------------------------------------------
-    # small-forest single-operand sort (r4, experiments/exp_smallforest.py):
-    # a <=17-test mask at this width packs the sort payload INTO the key,
-    # dropping one operand from the matcher sort.  Gate: masked decode set
-    # equal to the flat pipeline's on the SAME truncated mask (truncation
-    # semantics themselves are pinned to the real readForest by the
-    # random-forest differential tests).
-    # ------------------------------------------------------------------
-    mask17 = make_filter_mask(forest, max_tests=17)
-    assert mask17.num_tests == 17
-    sf_flat = build_sparsematch(mask17, settings)
-    sf_supp = supports_to_numpy(*sf_flat(left, right))
-    sf_acc = float((sf_supp[:, 2] == TRUE_DISP).mean())
-    assert sf_acc > 0.99, f"small-forest support accuracy {sf_acc:.3f}"
-    sf_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
-        l, r, mask=mask17, settings=settings, use_pallas=use_pallas))
-    sfbuf, sfcounts = sf_fn(left, right)
-    sfdec = masked_supports_to_numpy(sfbuf, sfcounts, settings.disp_high)
-    assert set(map(tuple, sfdec.tolist())) == set(map(tuple,
-                                                      sf_supp.tolist())), \
-        "small-forest masked set != flat set"
+        tbest = device_time_per_iter(tstep, (left, right), rdep, N_SHORT, N_LONG,
+                                     repeats=_rep(5))
+        tau_mpix = 2 * H * W / 1e6 / _nonzero(tbest)
+        _aux("tau_sparsematch_throughput", tau_mpix, "Mpix/s",
+             "config 2: defaultTauForest on the masked contract, device-timed "
+             "(decode gated against the oracle-gated flat tau set)")
 
-    def sfstep(a, b):
-        buf, counts = _sparsematch_masked_impl(
-            a, b, mask=mask17, settings=settings, use_pallas=use_pallas)
-        return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+        # ------------------------------------------------------------------
+        # small-forest single-operand sort (r4, experiments/exp_smallforest.py):
+        # a <=17-test mask at this width packs the sort payload INTO the key,
+        # dropping one operand from the matcher sort.  Gate: masked decode set
+        # equal to the flat pipeline's on the SAME truncated mask (truncation
+        # semantics themselves are pinned to the real readForest by the
+        # random-forest differential tests).
+        # ------------------------------------------------------------------
+        mask17 = make_filter_mask(forest, max_tests=17)
+        assert mask17.num_tests == 17
+        sf_flat = build_sparsematch(mask17, settings)
+        sf_supp = supports_to_numpy(*sf_flat(left, right))
+        sf_acc = float((sf_supp[:, 2] == TRUE_DISP).mean())
+        assert sf_acc > 0.99, f"small-forest support accuracy {sf_acc:.3f}"
+        sf_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
+            l, r, mask=mask17, settings=settings, use_pallas=use_pallas))
+        sfbuf, sfcounts = sf_fn(left, right)
+        sfdec = masked_supports_to_numpy(sfbuf, sfcounts, settings.disp_high)
+        assert set(map(tuple, sfdec.tolist())) == set(map(tuple,
+                                                          sf_supp.tolist())), \
+            "small-forest masked set != flat set"
 
-    sfbest = device_time_per_iter(sfstep, (left, right), rdep, N_SHORT,
-                                  N_LONG, repeats=5)
-    _aux("smallforest_sparsematch_throughput",
-         2 * H * W / 1e6 / _nonzero(sfbest), "Mpix/s",
-         "17-test truncated zero forest on the masked contract — the "
-         "single-operand packed sort path, set-equality gated")
+        def sfstep(a, b):
+            buf, counts = _sparsematch_masked_impl(
+                a, b, mask=mask17, settings=settings, use_pallas=use_pallas)
+            return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
 
-    # ------------------------------------------------------------------
-    # config 4: extract — GT mining throughput (host-side numpy pipeline;
-    # wall clock is the honest metric, no device in the loop), gated on
-    # keypoint correctness against the scene's exact warp
-    # ------------------------------------------------------------------
-    import time as _time
+        sfbest = device_time_per_iter(sfstep, (left, right), rdep, N_SHORT,
+                                      N_LONG, repeats=_rep(5))
+        _aux("smallforest_sparsematch_throughput",
+             2 * H * W / 1e6 / _nonzero(sfbest), "Mpix/s",
+             "17-test truncated zero forest on the masked contract — the "
+             "single-operand packed sort path, set-equality gated")
 
-    from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
+        # ------------------------------------------------------------------
+        # config 4: extract — GT mining throughput (host-side numpy pipeline;
+        # wall clock is the honest metric, no device in the loop), gated on
+        # keypoint correctness against the scene's exact warp
+        # ------------------------------------------------------------------
+        import time as _time
 
-    rng = np.random.default_rng(1)
-    m_left, m_right, m_disp, m_occ = make_scene(rng, H, W)
-    oof = np.zeros((H, W), np.uint8)
-    n_trip = 2000
-    t0 = _time.perf_counter()
-    kl, kr, kn = mine_stereo_pair(m_disp.astype(np.float64), m_occ, oof,
-                                  n_trip, 10, 20, rng)
-    trips = extract_triplets(m_left, m_right, kl, kr, kn)
-    mine_dt = _time.perf_counter() - t0
-    ok = (m_right[kr[:, 1], kr[:, 0]] == m_left[kl[:, 1], kl[:, 0]]).mean()
-    assert ok > 0.999, f"mining keypoint correctness {ok:.4f}"
-    assert len(trips) >= 0.9 * n_trip
-    _aux("mining_triplets_per_s", len(trips) / _nonzero(mine_dt), "triplets/s",
-         "config 4: extract (mine_stereo_pair + 27x27 patch crops, host)")
+        from opengpc_tpu.mine import extract_triplets, mine_stereo_pair
 
-    # ------------------------------------------------------------------
-    # config 5: train — split-scorer throughput (the training hot loop),
-    # gated by the existing oracle trainfern parity (tests/test_train.py);
-    # here we re-gate cheaply: scored counts must sum to N per candidate
-    # ------------------------------------------------------------------
-    from opengpc_tpu.train import _score_level, sample_candidates
+        rng = np.random.default_rng(1)
+        m_left, m_right, m_disp, m_occ = make_scene(rng, H, W)
+        oof = np.zeros((H, W), np.uint8)
+        n_trip = 2000
+        t0 = _time.perf_counter()
+        kl, kr, kn = mine_stereo_pair(m_disp.astype(np.float64), m_occ, oof,
+                                      n_trip, 10, 20, rng)
+        trips = extract_triplets(m_left, m_right, kl, kr, kn)
+        mine_dt = _time.perf_counter() - t0
+        ok = (m_right[kr[:, 1], kr[:, 0]] == m_left[kl[:, 1], kl[:, 0]]).mean()
+        assert ok > 0.999, f"mining keypoint correctness {ok:.4f}"
+        assert len(trips) >= 0.9 * n_trip
+        _aux("mining_triplets_per_s", len(trips) / _nonzero(mine_dt), "triplets/s",
+             "config 4: extract (mine_stereo_pair + 27x27 patch crops, host)")
 
-    n_tr = 32768  # 72 MB upload; the tunnel makes bigger sets slow to ship
-    rng2 = np.random.default_rng(2)
-    ref = rng2.integers(0, 256, (n_tr, 729))
-    pos = np.clip(ref + rng2.integers(-8, 9, (n_tr, 729)), 0, 255)
-    neg = rng2.integers(0, 256, (n_tr, 729))
-    patches = jnp.asarray(
-        np.stack([ref, pos, neg], axis=1).astype(np.uint8))
-    cand = jnp.asarray(sample_candidates(rng2, 0, 10).astype(np.int32))
-    num_taus = 20
-    ones = jnp.ones((n_tr,), bool)
+        # ------------------------------------------------------------------
+        # config 5: train — split-scorer throughput (the training hot loop),
+        # gated by the existing oracle trainfern parity (tests/test_train.py);
+        # here we re-gate cheaply: scored counts must sum to N per candidate
+        # ------------------------------------------------------------------
+        from opengpc_tpu.train import _score_level, sample_candidates
 
-    def trn_step(p):
-        counts = _score_level(p, cand, jnp.int32(-10), num_taus,
-                              ones, ones, ones)
-        return counts.sum(dtype=jnp.int32) & 0xFF
+        n_tr = 32768  # 72 MB upload; the tunnel makes bigger sets slow to ship
+        rng2 = np.random.default_rng(2)
+        ref = rng2.integers(0, 256, (n_tr, 729))
+        pos = np.clip(ref + rng2.integers(-8, 9, (n_tr, 729)), 0, 255)
+        neg = rng2.integers(0, 256, (n_tr, 729))
+        patches = jnp.asarray(
+            np.stack([ref, pos, neg], axis=1).astype(np.uint8))
+        cand = jnp.asarray(sample_candidates(rng2, 0, 10).astype(np.int32))
+        num_taus = 20
+        ones = jnp.ones((n_tr,), bool)
 
-    def trn_dep(s, args):
-        (p,) = args
-        p = jax.lax.dynamic_update_slice(
-            p, (s & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
-        return (p,)
+        def trn_step(p):
+            counts = _score_level(p, cand, jnp.int32(-10), num_taus,
+                                  ones, ones, ones)
+            return counts.sum(dtype=jnp.int32) & 0xFF
 
-    counts0 = np.asarray(jax.jit(lambda p: _score_level(
-        p, cand, jnp.int32(-10), num_taus, ones, ones, ones))(patches))
-    assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
-    # one scorer pass is ~50 us on chip; chain thousands of iterations so
-    # the loop-length difference dwarfs relay jitter
-    trn_best = device_time_per_iter(trn_step, (patches,), trn_dep, 3, 2003,
-                                    repeats=3)
-    evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
-    _aux("train_split_evals_per_s", evals / _nonzero(trn_best) / 1e9,
-         "G evals/s",
-         "config 5: vectorized greedy split scorer (_score_level), "
-         "32k triplets x 10 resamples x 20 taus")
+        def trn_dep(s, args):
+            (p,) = args
+            p = jax.lax.dynamic_update_slice(
+                p, (s & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
+            return (p,)
 
-    # ------------------------------------------------------------------
-    # config 3a: batched pairs aggregate throughput per chip — the batch
-    # is FOLDED into one (B*H, 2W) segmented row sort
-    # (infer._sparsematch_rows_batched_impl; A/B vs lax.map-of-pipelines
-    # in experiments/exp_batch_rows.py)
-    # ------------------------------------------------------------------
-    from opengpc_tpu.infer import _sparsematch_rows_batched_impl
+        counts0 = np.asarray(jax.jit(lambda p: _score_level(
+            p, cand, jnp.int32(-10), num_taus, ones, ones, ones))(patches))
+        assert (counts0.sum(axis=-1) == n_tr).all(), "scored counts != N"
+        # one scorer pass is ~50 us on chip; chain thousands of iterations so
+        # the loop-length difference dwarfs relay jitter
+        trn_best = device_time_per_iter(trn_step, (patches,), trn_dep, 3, N_LONG_TRAIN,
+                                        repeats=_rep(3))
+        evals = n_tr * 10 * num_taus  # triplet-test evaluations per pass
+        _aux("train_split_evals_per_s", evals / _nonzero(trn_best) / 1e9,
+             "G evals/s",
+             "config 5: vectorized greedy split scorer (_score_level), "
+             "32k triplets x 10 resamples x 20 taus")
 
-    lefts, rights = [], []
-    for b in range(BATCH):
-        l2, r2 = make_pair(H, W, TRUE_DISP, seed=100 + b)
-        lefts.append(l2)
-        rights.append(r2)
-    lb = np.stack(lefts)
-    rb = np.stack(rights)
-    brows_fn = jax.jit(lambda l, r: _sparsematch_rows_batched_impl(
-        l, r, mask=mask, settings=settings, use_pallas=use_pallas))
-    (bxs, bds), bcounts = brows_fn(lb, rb)
-    # gate: stacked batch element 0 == the single-pair flat pipeline
-    s0 = row_supports_to_numpy(np.asarray(bxs)[0], np.asarray(bds)[0],
-                               np.asarray(bcounts)[0])
-    flat0 = supports_to_numpy(*match(lb[0], rb[0]))
-    assert set(map(tuple, s0.tolist())) == set(map(tuple, flat0.tolist())), \
-        "stacked batch supports != single-pair supports"
-    acc0 = float((s0[:, 2] == TRUE_DISP).mean())
-    assert acc0 > 0.99, f"batched pair-0 accuracy {acc0:.3f}"
+        # ------------------------------------------------------------------
+        # config 3a: batched pairs aggregate throughput per chip — the batch
+        # is FOLDED into one (B*H, 2W) segmented row sort
+        # (infer._sparsematch_rows_batched_impl; A/B vs lax.map-of-pipelines
+        # in experiments/exp_batch_rows.py)
+        # ------------------------------------------------------------------
+        from opengpc_tpu.infer import _sparsematch_rows_batched_impl
 
-    def bstep(a, b):
-        (xs, ds), counts = _sparsematch_rows_batched_impl(
-            a, b, mask=mask, settings=settings, use_pallas=use_pallas)
-        return (xs.sum(dtype=jnp.int32) + ds.sum(dtype=jnp.int32)
-                + counts.sum(dtype=jnp.int32))
+        lefts, rights = [], []
+        for b in range(BATCH):
+            l2, r2 = make_pair(H, W, TRUE_DISP, seed=100 + b)
+            lefts.append(l2)
+            rights.append(r2)
+        lb = np.stack(lefts)
+        rb = np.stack(rights)
+        brows_fn = jax.jit(lambda l, r: _sparsematch_rows_batched_impl(
+            l, r, mask=mask, settings=settings, use_pallas=use_pallas))
+        (bxs, bds), bcounts = brows_fn(lb, rb)
+        # gate: stacked batch element 0 == the single-pair flat pipeline
+        s0 = row_supports_to_numpy(np.asarray(bxs)[0], np.asarray(bds)[0],
+                                   np.asarray(bcounts)[0])
+        flat0 = supports_to_numpy(*match(lb[0], rb[0]))
+        assert set(map(tuple, s0.tolist())) == set(map(tuple, flat0.tolist())), \
+            "stacked batch supports != single-pair supports"
+        acc0 = float((s0[:, 2] == TRUE_DISP).mean())
+        assert acc0 > 0.99, f"batched pair-0 accuracy {acc0:.3f}"
 
-    def bdep(count, args):
-        a, b = args
-        a = jax.lax.dynamic_update_slice(
-            a, (count & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
-        return (a, b)
+        def bstep(a, b):
+            (xs, ds), counts = _sparsematch_rows_batched_impl(
+                a, b, mask=mask, settings=settings, use_pallas=use_pallas)
+            return (xs.sum(dtype=jnp.int32) + ds.sum(dtype=jnp.int32)
+                    + counts.sum(dtype=jnp.int32))
 
-    bbest = device_time_per_iter(bstep, (lb, rb), bdep, N_SHORT, N_LONG_HEAVY,
-                                 repeats=5)
-    batch_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bbest)
-    _aux("batched_rows_throughput", batch_mpix, "Mpix/s",
-         f"config 3: B={BATCH} stacked into one (B*H, 2W) row sort, "
-         "aggregate per chip")
+        def bdep(count, args):
+            a, b = args
+            a = jax.lax.dynamic_update_slice(
+                a, (count & 1).astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
+            return (a, b)
 
-    # batched MASKED contract: the same stacked fold without the row-pack
-    # sort — the peak aggregate number (gate: batch element 0 decodes to
-    # the single-pair flat set)
-    bmasked_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
-        l, r, mask=mask, settings=settings, use_pallas=use_pallas))
-    bmbuf, bmcounts = bmasked_fn(lb, rb)
-    bm0 = masked_supports_to_numpy(np.asarray(bmbuf)[0],
-                                   np.asarray(bmcounts)[0],
-                                   settings.disp_high)
-    assert set(map(tuple, bm0.tolist())) == set(map(tuple, flat0.tolist())), \
-        "batched masked pair-0 supports != single-pair supports"
+        bbest = device_time_per_iter(bstep, (lb, rb), bdep, N_SHORT, N_LONG_HEAVY,
+                                     repeats=_rep(5))
+        batch_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bbest)
+        _aux("batched_rows_throughput", batch_mpix, "Mpix/s",
+             f"config 3: B={BATCH} stacked into one (B*H, 2W) row sort, "
+             "aggregate per chip")
 
-    def bmstep(a, b):
-        buf, counts = _sparsematch_masked_impl(
-            a, b, mask=mask, settings=settings, use_pallas=use_pallas)
-        return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
+        # batched MASKED contract: the same stacked fold without the row-pack
+        # sort — the peak aggregate number (gate: batch element 0 decodes to
+        # the single-pair flat set)
+        bmasked_fn = jax.jit(lambda l, r: _sparsematch_masked_impl(
+            l, r, mask=mask, settings=settings, use_pallas=use_pallas))
+        bmbuf, bmcounts = bmasked_fn(lb, rb)
+        bm0 = masked_supports_to_numpy(np.asarray(bmbuf)[0],
+                                       np.asarray(bmcounts)[0],
+                                       settings.disp_high)
+        assert set(map(tuple, bm0.tolist())) == set(map(tuple, flat0.tolist())), \
+            "batched masked pair-0 supports != single-pair supports"
 
-    bmbest = device_time_per_iter(bmstep, (lb, rb), bdep, N_SHORT, N_LONG_HEAVY,
-                                  repeats=5)
-    bmasked_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bmbest)
-    _aux("batched_masked_throughput", bmasked_mpix, "Mpix/s",
-         f"config 3: B={BATCH} stacked into one (B*H, 2W) masked emit "
-         "(no pack sort), aggregate per chip")
+        def bmstep(a, b):
+            buf, counts = _sparsematch_masked_impl(
+                a, b, mask=mask, settings=settings, use_pallas=use_pallas)
+            return buf.sum(dtype=jnp.int32) + counts.sum(dtype=jnp.int32)
 
-    # ------------------------------------------------------------------
-    # config 3b: 3-level pyramid multi-scale matching
-    # ------------------------------------------------------------------
-    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
-                                     pyramid_supports_to_numpy)
+        bmbest = device_time_per_iter(bmstep, (lb, rb), bdep, N_SHORT, N_LONG_HEAVY,
+                                      repeats=_rep(5))
+        bmasked_mpix = 2 * BATCH * H * W / 1e6 / _nonzero(bmbest)
+        _aux("batched_masked_throughput", bmasked_mpix, "Mpix/s",
+             f"config 3: B={BATCH} stacked into one (B*H, 2W) masked emit "
+             "(no pack sort), aggregate per chip")
 
-    pmatch = build_pyramid_sparsematch(forest, settings, num_levels=3,
-                                       use_pallas=use_pallas)
-    rows = pyramid_supports_to_numpy(*pmatch(left, right))
-    lv0 = rows[rows[:, 3] == 0]
-    pacc = float((lv0[:, 2] == TRUE_DISP).mean())
-    assert pacc > 0.99, f"pyramid level-0 accuracy {pacc:.3f}"
+        # ------------------------------------------------------------------
+        # config 3b: 3-level pyramid multi-scale matching
+        # ------------------------------------------------------------------
+        from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                         pyramid_supports_to_numpy)
 
-    def pstep(a, b):
-        xs, ys, ds, lv, counts = pmatch(a, b)
-        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
-                + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
-                + jnp.sum(counts))
+        pmatch = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                           use_pallas=use_pallas)
+        rows = pyramid_supports_to_numpy(*pmatch(left, right))
+        lv0 = rows[rows[:, 3] == 0]
+        pacc = float((lv0[:, 2] == TRUE_DISP).mean())
+        assert pacc > 0.99, f"pyramid level-0 accuracy {pacc:.3f}"
 
-    def pdep(count, args):
-        a, b = args
-        a = jax.lax.dynamic_update_slice(
-            a, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0))
-        return (a, b)
+        def pstep(a, b):
+            xs, ys, ds, lv, counts = pmatch(a, b)
+            return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                    + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
+                    + jnp.sum(counts))
 
-    pbest = device_time_per_iter(pstep, (left, right), pdep, N_SHORT, N_LONG_HEAVY,
-                                 repeats=5)
-    # pyramid processes 2*(1 + 1/4 + 1/16) H*W pixels
-    ppix = 2 * H * W * (1 + 0.25 + 0.0625)
-    _aux("pyramid_throughput", ppix / 1e6 / _nonzero(pbest), "Mpix/s",
-         "config 3: 3-level pyramid, all-level pixels counted")
+        def pdep(count, args):
+            a, b = args
+            a = jax.lax.dynamic_update_slice(
+                a, (count & 1).astype(jnp.uint8).reshape(1, 1), (0, 0))
+            return (a, b)
 
-    # low-density pyramid: chunk-compacted per-level matchers (r4
-    # adoption, experiments/exp_pyr.py: +26% over the rows pyramid at
-    # 15% density) — overflow-guarded, set-equality gated vs the rows
-    # pyramid on the same scene (same (H, W) shape reuses its compile)
-    from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
+        pbest = device_time_per_iter(pstep, (left, right), pdep, N_SHORT, N_LONG_HEAVY,
+                                     repeats=_rep(5))
+        # pyramid processes 2*(1 + 1/4 + 1/16) H*W pixels
+        ppix = 2 * H * W * (1 + 0.25 + 0.0625)
+        _aux("pyramid_throughput", ppix / 1e6 / _nonzero(pbest), "Mpix/s",
+             "config 3: 3-level pyramid, all-level pixels counted")
 
-    cpmatch = build_pyramid_sparsematch_compact(
-        forest, settings, num_levels=3, use_pallas=use_pallas)
-    cp_out = cpmatch(sl, sr)
-    assert not bool(np.asarray(cp_out[-1])), \
-        "low-density scene tripped pyramid compact overflow"
-    cp_set = set(map(tuple,
-                     pyramid_supports_to_numpy(*cp_out[:-1]).tolist()))
-    rp_set = set(map(tuple,
-                     pyramid_supports_to_numpy(*pmatch(sl, sr)).tolist()))
-    assert cp_set == rp_set, "compact pyramid set != rows pyramid set"
+        # low-density pyramid: chunk-compacted per-level matchers (r4
+        # adoption, experiments/exp_pyr.py: +26% over the rows pyramid at
+        # 15% density) — overflow-guarded, set-equality gated vs the rows
+        # pyramid on the same scene (same (H, W) shape reuses its compile)
+        from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
 
-    def cpstep(a, b):
-        xs, ys, ds, lv, counts, ovf = cpmatch(a, b)
-        return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
-                + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
-                + jnp.sum(counts) + ovf.astype(jnp.int32))
+        cpmatch = build_pyramid_sparsematch_compact(
+            forest, settings, num_levels=3, use_pallas=use_pallas)
+        cp_out = cpmatch(sl, sr)
+        assert not bool(np.asarray(cp_out[-1])), \
+            "low-density scene tripped pyramid compact overflow"
+        cp_set = set(map(tuple,
+                         pyramid_supports_to_numpy(*cp_out[:-1]).tolist()))
+        rp_set = set(map(tuple,
+                         pyramid_supports_to_numpy(*pmatch(sl, sr)).tolist()))
+        assert cp_set == rp_set, "compact pyramid set != rows pyramid set"
 
-    prbest = device_time_per_iter(pstep, (sl, sr), pdep, N_SHORT, N_LONG_HEAVY,
-                                  repeats=5)
-    cpbest = device_time_per_iter(cpstep, (sl, sr), pdep, N_SHORT, N_LONG_HEAVY,
-                                  repeats=5)
-    _aux("lowdensity_pyramid_rows_throughput",
-         ppix / 1e6 / _nonzero(prbest), "Mpix/s",
-         "3-level rows pyramid on the 0.15-density scene (compact A/B "
-         "baseline)")
-    _aux("lowdensity_pyramid_compact_throughput",
-         ppix / 1e6 / _nonzero(cpbest), "Mpix/s",
-         "3-level chunk-compacted pyramid on the 0.15-density scene — "
-         "overflow-guarded, set-equality gated vs the rows pyramid")
+        def cpstep(a, b):
+            xs, ys, ds, lv, counts, ovf = cpmatch(a, b)
+            return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                    + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
+                    + jnp.sum(counts) + ovf.astype(jnp.int32))
 
-    # (the headline sintel_sparsematch_throughput line was printed to
-    # stdout right after its measurement, in the masked-contract section)
-    print(
-        "methodology note: all steps consume every output buffer; round 1's "
-        "1362 Mpix/s timed a count-only program whose support compaction "
-        "XLA dead-code-eliminated (honest equivalent: 54.7 Mpix/s — see "
-        "README 'Methodology warning').  The headline contract is "
-        "build_sparsematch_masked (r3): detection results are emitted as a "
-        "masked (H, 2W) buffer; the per-row left-packing the row-form "
-        "contract did on device moves to the consumer (one vectorized "
-        "nonzero host-side, included in CLI wall-clock numbers).",
-        file=sys.stderr,
-    )
+        prbest = device_time_per_iter(pstep, (sl, sr), pdep, N_SHORT, N_LONG_HEAVY,
+                                      repeats=_rep(5))
+        cpbest = device_time_per_iter(cpstep, (sl, sr), pdep, N_SHORT, N_LONG_HEAVY,
+                                      repeats=_rep(5))
+        _aux("lowdensity_pyramid_rows_throughput",
+             ppix / 1e6 / _nonzero(prbest), "Mpix/s",
+             "3-level rows pyramid on the 0.15-density scene (compact A/B "
+             "baseline)")
+        _aux("lowdensity_pyramid_compact_throughput",
+             ppix / 1e6 / _nonzero(cpbest), "Mpix/s",
+             "3-level chunk-compacted pyramid on the 0.15-density scene — "
+             "overflow-guarded, set-equality gated vs the rows pyramid")
+
+        # (the headline sintel_sparsematch_throughput line was printed to
+        # stdout right after its measurement, in the masked-contract section)
+        print(
+            "methodology note: all steps consume every output buffer; round 1's "
+            "1362 Mpix/s timed a count-only program whose support compaction "
+            "XLA dead-code-eliminated (honest equivalent: 54.7 Mpix/s — see "
+            "README 'Methodology warning').  The headline contract is "
+            "build_sparsematch_masked (r3): detection results are emitted as a "
+            "masked (H, 2W) buffer; the per-row left-packing the row-form "
+            "contract did on device moves to the consumer (one vectorized "
+            "nonzero host-side, included in CLI wall-clock numbers).",
+            file=sys.stderr,
+        )
+
+    # Driver output contract (VERDICT r4 weak #1): the driver merges
+    # stdout+stderr and parses the LAST JSON line, so the aux-metric
+    # tail used to shadow the headline in the recorded artifact
+    # (BENCH_r03/r04 understated the project by ~35%).  The early
+    # print above survives a relay outage mid-tail; this finally
+    # re-print guarantees the FINAL line of a completed (or aux-
+    # crashed) run is the headline metric.
+    try:
+        _aux_tail()
+    finally:
+        print(json.dumps(headline_rec), flush=True)
+
 
 
 if __name__ == "__main__":

@@ -150,30 +150,34 @@ int64_t ogpc_masked_decode_par(const int32_t* buf, int64_t h, int64_t w2,
     return mismatch ? -1 : n;
   }
 
-  std::vector<int64_t> hits(static_cast<size_t>(t), 0);
-  // per-thread scratch triples, padded to their own cache lines
-  std::vector<int32_t> scratch(static_cast<size_t>(t) * 16);
-  std::vector<uint8_t> bad(static_cast<size_t>(t), 0);
+  // per-thread result slot + scratch triple, each on its own cache line
+  // (ADVICE r4: the adjacent hits/bad elements were false-sharing hot;
+  // only the scratch triples had padding)
+  struct alignas(64) Slot {
+    int64_t hits = 0;
+    uint8_t bad = 0;
+    int32_t scratch[3] = {0, 0, 0};
+  };
+  std::vector<Slot> slots(static_cast<size_t>(t));
   std::vector<std::thread> workers;
   workers.reserve(static_cast<size_t>(t));
   for (int64_t k = 0; k < t; k++) {
     int64_t y0 = h * k / t, y1 = h * (k + 1) / t;
     int64_t rend = offs[y1] < max_out ? offs[y1] : max_out;
-    workers.emplace_back([=, &offs, &hits, &scratch, &bad] {
+    workers.emplace_back([=, &offs, &slots] {
+      Slot& s = slots[static_cast<size_t>(k)];
       bool mismatch = false;
-      hits[static_cast<size_t>(k)] =
-          scan_rows(buf, w2, y0, y1, offs.data(), bd, dmask, sentinel,
-                    disp_high, out, rend,
-                    scratch.data() + 16 * static_cast<size_t>(k), &mismatch);
-      bad[static_cast<size_t>(k)] = mismatch;
+      s.hits = scan_rows(buf, w2, y0, y1, offs.data(), bd, dmask, sentinel,
+                         disp_high, out, rend, s.scratch, &mismatch);
+      s.bad = mismatch;
     });
   }
   int64_t n = 0;
   bool mismatch = false;
   for (int64_t k = 0; k < t; k++) {
     workers[static_cast<size_t>(k)].join();
-    n += hits[static_cast<size_t>(k)];
-    mismatch |= bad[static_cast<size_t>(k)] != 0;
+    n += slots[static_cast<size_t>(k)].hits;
+    mismatch |= slots[static_cast<size_t>(k)].bad != 0;
   }
   return mismatch ? -1 : n;
 }

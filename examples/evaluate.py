@@ -21,9 +21,11 @@ tunnel-safe); omit it off-TPU for a quality-only table.
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+# importable from any cwd (ADVICE r4), like data/validate_real_sintel.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
