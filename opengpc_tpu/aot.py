@@ -35,7 +35,7 @@ from opengpc_tpu.config import InferenceSettings
 from opengpc_tpu.forest import Forest, make_filter_mask
 
 CONTRACTS = ("flat", "rows", "masked", "masked-compact", "global-rows",
-             "global-compact")
+             "global-compact", "pyramid", "pyramid-compact")
 
 _MAGIC = b"OGPCAOT1"
 
@@ -46,9 +46,10 @@ _MOSAIC_TARGET = "tpu_custom_call"
 
 
 def _impl_for(contract: str, mask, settings: InferenceSettings,
-              shape, use_pallas: bool) -> Callable:
+              shape, use_pallas: bool, num_levels: int = 3) -> Callable:
     """Resolve the jit-able impl for ``contract``, validating eligibility
-    for ``shape`` the same way the build_* constructors do."""
+    for ``shape`` the same way the build_* constructors do.
+    ``num_levels`` applies to the pyramid contracts only."""
     from opengpc_tpu.infer import (_global_rows_ok, _rows_ok,
                                    _sparsematch_global_compact_impl,
                                    _sparsematch_global_rows_impl,
@@ -60,6 +61,29 @@ def _impl_for(contract: str, mask, settings: InferenceSettings,
     if contract not in CONTRACTS:
         raise ValueError(f"contract must be one of {CONTRACTS}, "
                          f"got {contract!r}")
+    if contract in ("pyramid", "pyramid-compact"):
+        from opengpc_tpu.pyramid import (_pack_params, _pyramid_compact_impl,
+                                         _pyramid_impl, _rows_eligible)
+
+        if contract == "pyramid":
+            # _pyramid_impl routes to the rows pyramid when eligible and
+            # falls back to the flat per-level path otherwise — both
+            # freeze fine (same output contract)
+            return functools.partial(
+                _pyramid_impl, mask=mask, settings=settings,
+                num_levels=num_levels, use_pallas=use_pallas, dedup=True)
+        el = _rows_eligible(mask, settings, shape[0], shape[1], num_levels)
+        if el is None or settings.disp_high < 1:
+            raise ValueError(
+                "contract 'pyramid-compact' needs epipolar mode, a "
+                "<=30-test packable forest, disp_high >= 1 and 31-bit "
+                f"packable dedup keys for shape {shape} x {num_levels} "
+                "levels; export 'pyramid' instead")
+        mult, nbd = el
+        return functools.partial(
+            _pyramid_compact_impl, mask=mask, settings=settings,
+            num_levels=num_levels, use_pallas=use_pallas, mult=mult,
+            nbd=nbd, chunk=None, k=None)
     if contract == "flat":
         return functools.partial(_sparsematch_impl, mask=mask,
                                  settings=settings, use_pallas=use_pallas)
@@ -105,7 +129,8 @@ def resolve_use_pallas(platforms: Optional[Sequence[str]] = None) -> bool:
 def export_sparsematch(forest_or_mask, settings: InferenceSettings,
                        shape: Tuple[int, int], contract: str = "masked",
                        use_pallas: Optional[bool] = None,
-                       platforms: Optional[Sequence[str]] = None) -> bytes:
+                       platforms: Optional[Sequence[str]] = None,
+                       num_levels: int = 3) -> bytes:
     """Serialize the full matcher pipeline for one (H, W) frame shape.
 
     Returns the raw ``jax.export`` blob (no container header — see
@@ -113,7 +138,8 @@ def export_sparsematch(forest_or_mask, settings: InferenceSettings,
     defaults to the current backend; pass ``("cpu", "tpu")`` for one
     multi-platform jnp artifact.  ``use_pallas=None`` selects the Pallas
     kernel path exactly when every target platform is TPU
-    (``resolve_use_pallas``).
+    (``resolve_use_pallas``).  ``num_levels`` applies to the pyramid
+    contracts (burned into the module like everything else).
     """
     import jax
     from jax import export as jexport
@@ -127,7 +153,8 @@ def export_sparsematch(forest_or_mask, settings: InferenceSettings,
         raise ValueError("the Pallas kernel path lowers for TPU only; "
                          "use use_pallas=False for multi-platform "
                          f"artifacts (got platforms={plats})")
-    fn = jax.jit(_impl_for(contract, mask, settings, shape, use_pallas))
+    fn = jax.jit(_impl_for(contract, mask, settings, shape, use_pallas,
+                           num_levels=num_levels))
     spec = jax.ShapeDtypeStruct(tuple(shape), np.uint8)
     disabled = ([jexport.DisabledSafetyCheck.custom_call(_MOSAIC_TARGET)]
                 if use_pallas else [])
@@ -149,20 +176,30 @@ def load_sparsematch(data: bytes) -> Callable:
 def export_sharded_frame(forest_or_mask, settings: InferenceSettings,
                          shape: Tuple[int, int], mesh,
                          contract: str = "masked",
-                         use_pallas: Optional[bool] = None) -> bytes:
+                         use_pallas: Optional[bool] = None,
+                         num_levels: int = 3) -> bytes:
     """Serialize the SINGLE-FRAME multi-chip matcher
     (parallel.build_sharded_frame_sparsematch: one pair's rows over the
     mesh with a 14-row ppermute halo) — pod-scale serving from one
-    artifact.  The module pins the device count: the serving side loads
-    it over a same-size mesh (``load_sharded_frame``)."""
+    artifact.  ``contract="pyramid"`` freezes the sharded multi-scale
+    matcher instead (parallel.build_sharded_frame_pyramid, ``num_levels``
+    levels; H must divide by mesh_size * 2^(levels-1)).  The module pins
+    the device count: the serving side loads it over a same-size mesh
+    (``load_sharded_frame``)."""
     import jax
     from jax import export as jexport
 
-    from opengpc_tpu.parallel import build_sharded_frame_sparsematch
+    from opengpc_tpu.parallel import (build_sharded_frame_pyramid,
+                                      build_sharded_frame_sparsematch)
 
-    fn = build_sharded_frame_sparsematch(forest_or_mask, settings, mesh,
-                                         use_pallas=use_pallas,
-                                         contract=contract)
+    if contract == "pyramid":
+        fn = build_sharded_frame_pyramid(forest_or_mask, settings, mesh,
+                                         num_levels=num_levels,
+                                         use_pallas=use_pallas)
+    else:
+        fn = build_sharded_frame_sparsematch(forest_or_mask, settings, mesh,
+                                             use_pallas=use_pallas,
+                                             contract=contract)
     spec = jax.ShapeDtypeStruct(tuple(shape), np.uint8)
     disabled = [jexport.DisabledSafetyCheck.custom_call(_MOSAIC_TARGET)]
     exp = jexport.export(fn, disabled_checks=disabled)(spec, spec)
@@ -331,7 +368,9 @@ def load_artifact(path: str, mesh=None) -> Tuple[Callable, dict]:
 
 def decode_outputs(meta: dict, out) -> np.ndarray:
     """Route an artifact's device outputs to the matching host decoder,
-    returning (n, 3) [x, y, d] supports.  The masked-compact contract's
+    returning (n, 3) [x, y, d] supports — except the pyramid contracts,
+    which return (n, 4) [x, y, d, level] (d/x/y in level-0 units; slice
+    ``[:, :3]`` for the plain support list).  The compact contracts'
     overflow flag raises here — an AOT artifact has a single frozen
     program, so the caller must re-export (or ship alongside) a
     full-width artifact for dense frames."""
@@ -340,6 +379,17 @@ def decode_outputs(meta: dict, out) -> np.ndarray:
                                    row_supports_to_numpy, supports_to_numpy)
 
     contract = meta["contract"]
+    if contract in ("pyramid", "pyramid-compact"):
+        from opengpc_tpu.pyramid import pyramid_supports_to_numpy
+
+        if contract == "pyramid-compact":
+            *out, ovf = out
+            if bool(np.asarray(ovf)):
+                raise OverflowError(
+                    "pyramid-compact chunk overflow: frame too dense for "
+                    "this artifact — serve a full 'pyramid' artifact for "
+                    "it")
+        return pyramid_supports_to_numpy(*out)
     if contract == "flat":
         return supports_to_numpy(*out)
     if contract == "rows":

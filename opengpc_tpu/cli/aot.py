@@ -64,6 +64,9 @@ def main(argv=None) -> int:
                     help="with --shard-frame: freeze a (B, H, W) stacked "
                     "input (required when --data-parallel > 1; B must "
                     "divide by D)")
+    pe.add_argument("--levels", type=int, default=3, metavar="L",
+                    help="pyramid levels for the pyramid contracts "
+                    "(default 3)")
     pe.add_argument("--max-tests", type=int, default=None, metavar="T",
                     help="truncate the forest to its first T tests (file "
                     "order) before freezing — T + bit_length(2W-1) <= 30 "
@@ -140,8 +143,11 @@ def _export(args) -> int:
             else:
                 blob = export_sharded_frame(
                     forest, settings, shape, make_mesh(devs[:sf]),
-                    contract=args.contract, use_pallas=use_pallas)
+                    contract=args.contract, use_pallas=use_pallas,
+                    num_levels=args.levels)
                 extra = {"n_devices": sf}
+                if args.contract == "pyramid":
+                    extra["num_levels"] = args.levels
         elif dp > 1 or batch >= 1:
             # any explicit --batch (even 1) without --shard-frame must
             # error, mirroring the stacked semantics the sharded branch
@@ -155,7 +161,10 @@ def _export(args) -> int:
             blob = export_sparsematch(forest, settings, shape,
                                       contract=args.contract,
                                       use_pallas=use_pallas,
-                                      platforms=plats)
+                                      platforms=plats,
+                                      num_levels=args.levels)
+            if args.contract.startswith("pyramid"):
+                extra = {"num_levels": args.levels}
     except ValueError as e:
         print(f"export failed: {e}", file=sys.stderr)
         return 1
@@ -223,7 +232,10 @@ def _run(args) -> int:
           f"{t_first * 1e3:.1f} ms; incl. host decode), "
           f"num matches: {len(supports)} (contract {meta['contract']})")
     if args.supports_out:
-        write_supports(args.supports_out, supports)
+        # pyramid contracts decode to (n, 4) [x, y, d, level]; the text
+        # format is the 3-column 'x y d' one (level-0 units), like the
+        # sparsematch CLI's --pyramid output
+        write_supports(args.supports_out, supports[:, :3])
         print(f"wrote {args.supports_out}")
     return 0
 

@@ -538,6 +538,157 @@ def build_sharded_frame_sparsematch(forest_or_mask,
     return run
 
 
+def build_sharded_frame_pyramid(forest_or_mask,
+                                settings: InferenceSettings,
+                                mesh: Mesh, num_levels: int = 3,
+                                use_pallas=None):
+    """SINGLE-FRAME multi-chip PYRAMID matcher (VERDICT r4 #2c): shard one
+    (H, W) pair's rows over the mesh at EVERY pyramid level, so the
+    multi-scale path composes with the same intra-image parallelism the
+    flat contracts got (``build_sharded_frame_sparsematch``).
+
+    Design: every chip owns the SAME level-0 row range at every level —
+    chip c holds level-L slab rows [c*sh/2^L, (c+1)*sh/2^L), which scale
+    back to exactly its level-0 rows [c*sh, (c+1)*sh).  The finest-wins
+    dedup groups by level-0 pixel, so with this alignment the dedup is
+    PER-CHIP LOCAL: one small packed sort per chip, no cross-chip
+    collective beyond (a) the per-level 14-row halo ``ppermute``s (the
+    preprocessing windows, same as the flat sharded contracts) and (b)
+    one ``psum`` for the per-level counts.  Downscaling is row-local
+    (2x2 means never cross the slab boundary because slab heights stay
+    even), so each chip builds its own coarse slabs from its level-0
+    slab — the coarse images are never materialized whole anywhere.
+
+    Requires ``H % (n * 2^(num_levels-1)) == 0`` (every level's slab is
+    exact) and the coarsest slab to clear the 14-row halo; pad the pair
+    to a suitable height otherwise (the result then matches the
+    single-device pyramid on the SAME padded pair — padding changes the
+    margin semantics near the original bottom edge, as it does for any
+    contract).
+
+    Output contract: (xs, ys, ds, lv, counts) exactly like
+    ``build_pyramid_sparsematch`` with dedup (decode with
+    ``pyramid_supports_to_numpy``); buffer ORDER differs (per-chip
+    blocks), the support set is identical — pinned on the 8-virtual-
+    device mesh in tests/test_parallel.py.
+
+    Reference analog: multi-scale is the GPC paper's pipeline; row
+    partitioning is filter.hpp:128-145 — composed, which the reference
+    never does."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _key_image_jnp_slab, _rows_ok
+    from opengpc_tpu.match import SENTINEL_BASE, match_epipolar_rows
+    from opengpc_tpu.ops.fused import PAD, fused_keys_slab
+    from opengpc_tpu.pyramid import _dedup_unpack, _pack_params, downscale2
+
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not settings.epipolar_mode:
+        raise ValueError("the sharded pyramid is epipolar-only (like "
+                         "build_pyramid_sparsematch's fast path)")
+    n = int(np.prod(mesh.devices.shape))
+    axis = DATA_AXIS
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    mult, nbd = _pack_params(settings, num_levels)
+    align = n << (num_levels - 1)
+
+    def local(l_slab, r_slab):
+        sh0, w0 = l_slab.shape
+        h_total = n * sh0
+        if not _rows_ok(mask, (h_total, w0), settings):
+            raise ValueError(
+                "sharded pyramid needs <=30-test forests and a packable "
+                "(x, d) key; see infer._rows_ok")
+        if (h_total * w0 * mult) << nbd >= 0x7FFFFFFF:
+            raise ValueError(
+                f"pyramid dedup keys for {h_total}x{w0} x {num_levels} "
+                "levels exceed int32 packing")
+        if (sh0 >> (num_levels - 1)) < PAD:
+            raise ValueError(
+                f"coarsest-level slabs of {sh0 >> (num_levels - 1)} rows "
+                f"are below the {PAD}-row halo; use fewer levels or a "
+                "smaller mesh")
+        sent = jnp.int32(0x7FFFFFFF)
+        my = jax.lax.axis_index(axis).astype(jnp.int32)
+
+        def with_halo(x):
+            w = x.shape[1]
+            if n == 1:
+                zeros = jnp.zeros((PAD, w), x.dtype)
+                return jnp.concatenate([zeros, x, zeros], axis=0)
+            top = jax.lax.ppermute(x[-PAD:], axis, fwd)
+            bot = jax.lax.ppermute(x[:PAD], axis, bwd)
+            return jnp.concatenate([top, x, bot], axis=0)
+
+        keys = []
+        l_s, r_s = l_slab, r_slab
+        for level in range(num_levels):
+            shl, wl = l_s.shape
+            h_l = n * shl
+            y0 = my * shl
+            hl = with_halo(l_s)
+            hr = with_halo(r_s)
+            if use_pallas:
+                key = jnp.concatenate([
+                    fused_keys_slab(hl, mask, settings.gradient_threshold,
+                                    0, SENTINEL_BASE, y0, h_l),
+                    fused_keys_slab(hr, mask, settings.gradient_threshold,
+                                    wl, SENTINEL_BASE, y0, h_l),
+                ], axis=1)
+            else:
+                key = _key_image_jnp_slab(hl, hr, mask, settings, y0, h_l)
+            (xs, ds), counts = match_epipolar_rows(
+                None, None, None, None, settings.disp_high, key=key,
+                num_tests=mask.num_tests)
+            scale = 1 << level
+            yy = ((y0 + jnp.arange(shl, dtype=jnp.int32)) * scale)[:, None]
+            valid = (jnp.arange(wl, dtype=jnp.int32)[None, :]
+                     < counts[:, None])
+            pix = yy * w0 + xs * scale
+            keys.append(jnp.where(
+                valid,
+                ((pix * mult + level) << nbd) | (ds + settings.disp_high),
+                sent,
+            ).reshape(-1))
+            if level + 1 < num_levels:
+                l_s = downscale2(l_s)
+                r_s = downscale2(r_s)
+        xs, ys, ds, lv, counts = _dedup_unpack(
+            jnp.concatenate(keys), mult, nbd, w0, settings.disp_high,
+            num_levels)
+        return xs, ys, ds, lv, jax.lax.psum(counts, axis)
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec),
+        out_specs=(spec, spec, spec, spec, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(left, right):
+        if left.ndim != 2:
+            raise ValueError("the sharded pyramid takes ONE (H, W) pair")
+        if left.shape[0] % align:
+            raise ValueError(
+                f"image height {left.shape[0]} must divide by mesh size x "
+                f"2^(levels-1) = {align} (pad the pair; the result then "
+                "matches the single-device pyramid on the padded pair)")
+        return fn(left, right)
+
+    return run
+
+
 def build_batched_sharded_frame_sparsematch(forest_or_mask,
                                             settings: InferenceSettings,
                                             mesh: Mesh, use_pallas=None,
@@ -856,6 +1007,29 @@ def sharded_sparsematch_step(n_devices: int) -> None:
         np.asarray(wgcounts))))
     assert gotg == wantg and len(wantg) > 0, (
         "sharded-frame global support set != single-device global")
+
+    # single-frame PYRAMID sharding (r5): one pair's rows split over the
+    # mesh at every pyramid level (per-level halos, chip-local dedup) —
+    # support set and per-level counts must equal the single-device
+    # pyramid
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    ph = 32 * n_devices  # coarsest 2-level slab = 16 rows >= the 14 halo
+    pl = rng.integers(0, 256, (ph, fw)).astype(np.uint8)
+    pr = np.roll(pl, -2, axis=1)
+    run_pyr = build_sharded_frame_pyramid(forest, settings, mesh,
+                                          num_levels=2)
+    pout = run_pyr(pl, pr)
+    pout[4].block_until_ready()
+    wout = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                     use_pallas=False)(pl, pr)
+    assert (np.asarray(pout[4]) == np.asarray(wout[4])).all(), (
+        "sharded pyramid per-level counts != single-device pyramid")
+    gotp = set(map(tuple, pyramid_supports_to_numpy(*pout).tolist()))
+    wantp = set(map(tuple, pyramid_supports_to_numpy(*wout).tolist()))
+    assert gotp == wantp and len(wantp) > 0, (
+        "sharded pyramid support set != single-device pyramid")
 
     # 2-D (data, rows) mesh (r4): the batch axis AND each frame's rows
     # sharded together — per-frame results must equal the whole-frame run

@@ -27,17 +27,19 @@ from opengpc_tpu.infer import _sparsematch_impl
 
 
 def downscale2(img: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) uint8 -> (H//2, W//2) uint8 by 2x2 mean (floor).
+    """(..., H, W) uint8 -> (..., H//2, W//2) uint8 by 2x2 mean (floor);
+    leading axes (a batch) pass through.
 
     Implemented with ``lax.reduce_window`` — the strided-slice formulation
     (``x[0::2, 0::2] + ...``) costs 4.8 ms/image on v5e (lane-dim stride-2
     slices lower to cross-lane data movement) vs 0.018 ms for the window
     reduction (267x; measured, see README roofline ledger)."""
-    h, w = img.shape
+    h, w = img.shape[-2], img.shape[-1]
     h2, w2 = h // 2, w // 2
+    window = (1,) * (img.ndim - 2) + (2, 2)
     s = jax.lax.reduce_window(
-        img[: 2 * h2, : 2 * w2].astype(jnp.int32), 0, jax.lax.add,
-        (2, 2), (2, 2), "VALID",
+        img[..., : 2 * h2, : 2 * w2].astype(jnp.int32), 0, jax.lax.add,
+        window, window, "VALID",
     )
     return (s // 4).astype(jnp.uint8)
 
@@ -45,14 +47,18 @@ def downscale2(img: jnp.ndarray) -> jnp.ndarray:
 def _dedup_unpack(key_c, mult, nbd, w0, disp_high, num_levels):
     """Finest-level-wins dedup + unpack of concatenated packed keys
     ((pix*mult + level) << nbd | d+disp_high; empty slots carry the int32
-    sentinel).  ONE 1-operand flat sort; returns (xs, ys, ds, lv, counts)
-    in the pyramid output contract."""
+    sentinel).  ONE 1-operand sort over the LAST axis; a (B, L) batch of
+    key rows runs as one segmented sort (each pair's keys are a row, like
+    the (B*H, 2W) matcher fold).  Returns (xs, ys, ds, lv, counts) in the
+    pyramid output contract (counts gains a leading batch axis)."""
     sent = jnp.int32(0x7FFFFFFF)
-    key_s = jax.lax.sort((key_c,), dimension=0, num_keys=1,
+    key_s = jax.lax.sort((key_c,), dimension=key_c.ndim - 1, num_keys=1,
                          is_stable=False)[0]
     grp = key_s >> nbd  # pix * mult + level
     pixg = grp // mult
-    first = jnp.concatenate([jnp.ones((1,), bool), pixg[1:] != pixg[:-1]])
+    first = jnp.concatenate(
+        [jnp.ones(key_c.shape[:-1] + (1,), bool),
+         pixg[..., 1:] != pixg[..., :-1]], axis=-1)
     keep = first & (key_s != sent)
     lv_c = jnp.where(keep, grp % mult, -1)
     xs_c = jnp.where(keep, pixg % w0, 0)
@@ -61,7 +67,8 @@ def _dedup_unpack(key_c, mult, nbd, w0, disp_high, num_levels):
     # scale per-level disparities to level-0 units
     ds_c = jnp.where(lv_c >= 0, ds_c << jnp.maximum(lv_c, 0), 0)
     counts = jnp.stack(
-        [jnp.sum(lv_c == level) for level in range(num_levels)]
+        [jnp.sum(lv_c == level, axis=-1) for level in range(num_levels)],
+        axis=-1,
     )
     return xs_c, ys_c, ds_c, lv_c, counts
 
@@ -97,6 +104,58 @@ def _pyramid_rows_impl(left, right, mask: FilterMask,
             l_img = downscale2(l_img)
             r_img = downscale2(r_img)
     return _dedup_unpack(jnp.concatenate(keys), mult, nbd, w0,
+                         settings.disp_high, num_levels)
+
+
+def _pyramid_rows_batched_impl(lefts, rights, mask: FilterMask,
+                               settings: InferenceSettings, num_levels: int,
+                               use_pallas: bool, mult: int, nbd: int):
+    """Batched fast pyramid that AGGREGATES (VERDICT r4 next #2a): at each
+    level the B pairs' key images stack into ONE (B*hs, 2W_l) segmented
+    row sort (infer._sparsematch_rows_batched_impl's fold, per level), and
+    the final finest-wins dedup runs as ONE (B, K) segmented sort — no
+    lax.map of B sequential pyramids.  Rows are independent in the
+    epipolar matcher and each pair's dedup keys stay in their own row of
+    the (B, K) sort, so per-pair outputs are identical to single-pair runs
+    (set equality pinned in tests/test_pyramid.py).
+
+    Margin rows are skipped instead of padded back (they can only carry
+    sentinels), so K = sum_l (H_l - 2*margin_l) * W_l — smaller than the
+    single-pair contract's sum_l H_l * W_l; consumers index by the lv/
+    counts contract, not by position."""
+    from opengpc_tpu.infer import _batched_key_images, _interior_rows
+    from opengpc_tpu.match import match_epipolar_rows
+
+    b, h0, w0 = lefts.shape
+    sent = jnp.int32(0x7FFFFFFF)
+    keys = []
+    l_imgs, r_imgs = lefts, rights
+    for level in range(num_levels):
+        hl, wl = l_imgs.shape[-2:]
+        kimg = _batched_key_images(l_imgs, r_imgs, mask, settings,
+                                   use_pallas)
+        kimg, m = _interior_rows(kimg)
+        hs = hl - 2 * m
+        (xs, ds), counts = match_epipolar_rows(
+            None, None, None, None, settings.disp_high,
+            key=kimg.reshape(b * hs, 2 * wl), num_tests=mask.num_tests)
+        xs = xs.reshape(b, hs, wl)
+        ds = ds.reshape(b, hs, wl)
+        counts = counts.reshape(b, hs)
+        scale = 1 << level
+        yy = ((jnp.arange(hs, dtype=jnp.int32) + m) * scale)[None, :, None]
+        valid = (jnp.arange(wl, dtype=jnp.int32)[None, None, :]
+                 < counts[:, :, None])
+        pix = yy * w0 + xs * scale
+        keys.append(jnp.where(
+            valid,
+            ((pix * mult + level) << nbd) | (ds + settings.disp_high),
+            sent,
+        ).reshape(b, hs * wl))
+        if level + 1 < num_levels:
+            l_imgs = downscale2(l_imgs)
+            r_imgs = downscale2(r_imgs)
+    return _dedup_unpack(jnp.concatenate(keys, axis=1), mult, nbd, w0,
                          settings.disp_high, num_levels)
 
 
@@ -157,24 +216,41 @@ def _pyramid_compact_impl(left, right, mask: FilterMask,
     return out + (ovf,)
 
 
+def _pack_params(settings: InferenceSettings, num_levels: int):
+    """(mult, nbd) of the packed finest-wins dedup key."""
+    mult = 1
+    while mult < num_levels:
+        mult <<= 1
+    nbd = int(2 * settings.disp_high + 1).bit_length()
+    return mult, nbd
+
+
+def _rows_eligible(mask: FilterMask, settings: InferenceSettings,
+                   h0: int, w0: int, num_levels: int):
+    """(mult, nbd) when the fast rows-pyramid path applies for this shape
+    (epipolar, <=30-test packable forest, 31-bit packable dedup keys),
+    else None.  Level-0 eligibility covers the coarser levels — shrinking
+    shapes only shrink the bit budgets."""
+    from opengpc_tpu.infer import _rows_ok
+
+    mult, nbd = _pack_params(settings, num_levels)
+    if (settings.epipolar_mode
+            and (h0 * w0 * mult) << nbd < 0x7FFFFFFF
+            and _rows_ok(mask, (h0, w0), settings)):
+        return mult, nbd
+    return None
+
+
 def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                   num_levels: int, use_pallas: bool, dedup: bool):
     import dataclasses
 
     h0, w0 = left.shape
-    mult = 1
-    while mult < num_levels:
-        mult <<= 1
-    nbd = int(2 * settings.disp_high + 1).bit_length()
-    packable = (h0 * w0 * mult) << nbd < 0x7FFFFFFF
-    if dedup and packable and settings.epipolar_mode:
-        from opengpc_tpu.infer import _rows_ok
-
-        if _rows_ok(mask, (h0, w0), settings):
-            # the shrinking levels only shrink the bit budgets, so level-0
-            # eligibility covers them all
+    if dedup:
+        el = _rows_eligible(mask, settings, h0, w0, num_levels)
+        if el is not None:
             return _pyramid_rows_impl(left, right, mask, settings,
-                                      num_levels, use_pallas, mult, nbd)
+                                      num_levels, use_pallas, *el)
 
     xs_all, ys_all, ds_all, lv_all = [], [], [], []
     l_img, r_img = left, right
@@ -314,6 +390,16 @@ def build_pyramid_sparsematch(
     @jax.jit
     def run(left, right):
         if left.ndim == 3:
+            if dedup:
+                el = _rows_eligible(mask, settings, left.shape[1],
+                                    left.shape[2], num_levels)
+                if el is not None:
+                    # batched FOLD: per-level (B*hs, 2W_l) row sorts + one
+                    # (B, K) dedup sort — no lax.map of B pyramids
+                    # (VERDICT r4 #2a; A/B in experiments/exp_pyr_batch.py)
+                    return _pyramid_rows_batched_impl(
+                        left, right, mask, settings, num_levels,
+                        use_pallas, *el)
             # lax.map for the same reason as build_sparsematch: batched
             # flat sorts are pathological under vmap on TPU
             return jax.lax.map(lambda ab: fn(*ab), (left, right))

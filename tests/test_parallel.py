@@ -397,6 +397,108 @@ def test_sharded_frame_rejects_bad_inputs():
         run(l3, r3)
 
 
+def _pyramid_forest_settings(disp_high=32, capacity=65536):
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, vertical_tolerance=0,
+        disp_high=disp_high, capacity=capacity)
+    return forest, settings
+
+
+def test_sharded_frame_pyramid_matches_single_device():
+    """ONE frame's rows sharded over 8 chips at EVERY pyramid level
+    (VERDICT r4 #2c) == the single-device pyramid: identical support set
+    and per-level counts.  2 levels on the 8-device mesh (coarsest slab
+    14 rows == the 14-row halo minimum)."""
+    from opengpc_tpu.parallel import build_sharded_frame_pyramid
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    forest, settings = _pyramid_forest_settings()
+    left, right = _frame_pair(41, 224, 96)
+    mesh = make_mesh()
+    sharded = build_sharded_frame_pyramid(forest, settings, mesh,
+                                          num_levels=2, use_pallas=False)
+    out = sharded(left, right)
+    single = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                       use_pallas=False)(left, right)
+    got = set(map(tuple, pyramid_supports_to_numpy(*out).tolist()))
+    want = set(map(tuple, pyramid_supports_to_numpy(*single).tolist()))
+    assert len(want) > 100
+    assert got == want
+    np.testing.assert_array_equal(np.asarray(out[4]), np.asarray(single[4]))
+    # the coarse level must actually contribute (otherwise this test
+    # wouldn't exercise the cross-level alignment at all)
+    assert int(np.asarray(out[4])[1]) > 0
+
+
+def test_sharded_frame_pyramid_three_levels_four_devices():
+    """3 levels on a 4-device mesh (coarsest slab 14 rows == the halo
+    minimum) — exercises two rounds of slab downscaling + per-level
+    halos."""
+    from opengpc_tpu.parallel import build_sharded_frame_pyramid
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    forest, settings = _pyramid_forest_settings()
+    left, right = _frame_pair(42, 224, 80)
+    mesh = make_mesh(jax.devices()[:4])
+    sharded = build_sharded_frame_pyramid(forest, settings, mesh,
+                                          num_levels=3, use_pallas=False)
+    out = sharded(left, right)
+    single = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                       use_pallas=False)(left, right)
+    got = set(map(tuple, pyramid_supports_to_numpy(*out).tolist()))
+    want = set(map(tuple, pyramid_supports_to_numpy(*single).tolist()))
+    assert got == want
+    np.testing.assert_array_equal(np.asarray(out[4]), np.asarray(single[4]))
+
+
+def test_sharded_frame_pyramid_pallas_interpret_matches_jnp():
+    """The Pallas slab-kernel path (interpret mode on CPU) inside the
+    sharded pyramid == the jnp slab path."""
+    from opengpc_tpu.parallel import build_sharded_frame_pyramid
+
+    forest, settings = _pyramid_forest_settings()
+    left, right = _frame_pair(43, 224, 96)
+    mesh = make_mesh()
+    a = build_sharded_frame_pyramid(forest, settings, mesh, num_levels=2,
+                                    use_pallas=True)(left, right)
+    b = build_sharded_frame_pyramid(forest, settings, mesh, num_levels=2,
+                                    use_pallas=False)(left, right)
+    for g, x in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
+
+
+def test_sharded_frame_pyramid_rejects_bad_inputs():
+    import dataclasses
+
+    import pytest
+
+    from opengpc_tpu.parallel import build_sharded_frame_pyramid
+
+    forest, settings = _pyramid_forest_settings()
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="epipolar"):
+        build_sharded_frame_pyramid(
+            forest, dataclasses.replace(settings, epipolar_mode=False,
+                                        vertical_tolerance=1), mesh)
+    run = build_sharded_frame_pyramid(forest, settings, mesh, num_levels=2)
+    left, right = _frame_pair(44, 200, 64)  # 200 % (8*2) != 0
+    with pytest.raises(ValueError, match="divide"):
+        run(left, right)
+    l2, r2 = _frame_pair(45, 128, 64)  # coarsest slab 8 < 14-row halo
+    with pytest.raises(ValueError, match="halo"):
+        run(l2, r2)
+
+
 def test_sharded_masked_compact_matches_single_device():
     """Sharded chunk-compacted masked contract == single-device flat runs
     on a low-density batch (no overflow)."""

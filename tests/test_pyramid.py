@@ -125,6 +125,49 @@ def test_pyramid_batched():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pyramid_batched_fold_equals_per_pair():
+    """The batched rows-pyramid FOLD (per-level (B*hs, 2W_l) row sorts +
+    one (B, K) dedup sort, VERDICT r4 #2a) must reproduce each pair's
+    single-pair pyramid support set exactly — distinct scenes with
+    distinct disparities so cross-pair leakage cannot hide."""
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=65536)
+    pyr = build_pyramid_sparsematch(forest, settings, num_levels=3,
+                                    use_pallas=False)
+    pairs = [make_pair(96, 160, 2 + 3 * b, seed=20 + b) for b in range(3)]
+    lefts = np.stack([p[0] for p in pairs])
+    rights = np.stack([p[1] for p in pairs])
+    out = pyr(lefts, rights)
+    for b, (l, r) in enumerate(pairs):
+        single = pyr(l, r)
+        want = set(map(tuple, pyramid_supports_to_numpy(*single).tolist()))
+        got = set(map(tuple, pyramid_supports_to_numpy(
+            *(np.asarray(o)[b] for o in out)).tolist()))
+        assert got == want, (b, len(got), len(want))
+        np.testing.assert_array_equal(np.asarray(out[4])[b],
+                                      np.asarray(single[4]))
+
+
+def test_pyramid_batched_fold_ineligible_falls_back():
+    """Non-packable settings (global mode) must keep the lax.map path and
+    still agree per pair."""
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=False,
+                                 vertical_tolerance=1, capacity=8192)
+    pyr = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                    use_pallas=False)
+    l0, r0 = make_pair(64, 96, 3, seed=31)
+    l1, r1 = make_pair(64, 96, 5, seed=32)
+    out = pyr(np.stack([l0, l1]), np.stack([r0, r1]))
+    for b, (l, r) in enumerate([(l0, r0), (l1, r1)]):
+        want = set(map(tuple,
+                       pyramid_supports_to_numpy(*pyr(l, r)).tolist()))
+        got = set(map(tuple, pyramid_supports_to_numpy(
+            *(np.asarray(o)[b] for o in out)).tolist()))
+        assert got == want
+
+
 def test_pyramid_compact_equals_rows_sparse():
     """Chunk-compacted pyramid (r4 adoption, experiments/exp_pyr.py):
     identical support set to the rows pyramid on a realistic-density
