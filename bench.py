@@ -349,6 +349,48 @@ def main():
              "low-density scene — overflow-guarded, set-equality gated")
 
         # ------------------------------------------------------------------
+        # MID-density scene (~0.35 candidates; VERDICT r4 next #3): the
+        # policy boundary region — above the 0.30 auto-compact cutoff, so
+        # auto rides the full masked contract here.  Three numbers price
+        # the compact contracts' worst case on chip: (a) the masked
+        # contract at mid density (its density-independence claim, proved
+        # at a third point), (b) whether the S=128/K=64 compact contract
+        # overflows here, and (c) the MISPREDICTION cost — the wasted
+        # compact dispatch that precedes the full-width re-run when the
+        # auto policy guesses wrong (compact time / masked time).
+        # ------------------------------------------------------------------
+        ml_, mr_ = make_sparse_pair(H, W, TRUE_DISP, density=0.35)
+        mdens = float(np.asarray(jax.jit(
+            lambda x: candidate_mask(sobel3(x, 5)).mean())(ml_)))
+        m_supp = supports_to_numpy(*match(ml_, mr_))
+        assert len(m_supp) > 1000
+        assert float((m_supp[:, 2] == TRUE_DISP).mean()) > 0.99
+        _check_against_oracle(ml_, mr_, m_supp, settings,
+                              "defaultZeroForest.txt", "config1 mid-density")
+        mbuf3, mcounts3 = masked_fn(ml_, mr_)
+        mdec3 = masked_supports_to_numpy(mbuf3, mcounts3, settings.disp_high)
+        assert set(map(tuple, mdec3.tolist())) == set(map(
+            tuple, m_supp.tolist())), "mid-density masked set != flat set"
+        midbest = device_time_per_iter(mstep, (ml_, mr_), rdep, N_SHORT,
+                                       N_LONG, repeats=_rep(5))
+        _aux("middensity_sparsematch_throughput",
+             2 * H * W / 1e6 / _nonzero(midbest), "Mpix/s",
+             f"masked contract on a {mdens:.2f}-candidate-density scene "
+             "(the auto-policy boundary region) — oracle-gated")
+        _, _, movf = cfn(ml_, mr_)
+        mid_ovf = bool(np.asarray(movf))
+        midcbest = device_time_per_iter(cstep, (ml_, mr_), rdep, N_SHORT,
+                                        N_LONG, repeats=_rep(5))
+        _aux("middensity_compact_throughput",
+             2 * H * W / 1e6 / _nonzero(midcbest), "Mpix/s",
+             f"S=128/K=64 compact contract on the {mdens:.2f}-density "
+             f"scene (overflow={mid_ovf}); when it overflows this is the "
+             "pure misprediction waste a tripped auto policy pays before "
+             "the full-width re-run "
+             f"(+{100 * midcbest / _nonzero(midbest):.0f}% of a masked "
+             "dispatch)")
+
+        # ------------------------------------------------------------------
         # global (non-epipolar) mode — the reference's DEFAULT settings path
         # (inference.hpp:75) — on the segmented global row-form contract
         # ------------------------------------------------------------------

@@ -203,6 +203,29 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    import os
+
+    # single-pair host latency (VERDICT r4 next #5): the reference
+    # workflow (samples/sparsematch.cpp) reads two PNGs and a forest
+    # serially; for LARGE frames both decodes start on a 2-thread pool
+    # immediately and the forest parse overlaps them.  Size-gated because
+    # the measured crossover is real (README host-read note): at Sintel
+    # size (~0.4 MB files, ~1-3 ms native decode) the pool spawn costs
+    # more than it saves (8.2 -> 8.8 ms), at 4K (~1 MB) it wins
+    # (179 -> 169 ms).  Joined right where the serial reads used to
+    # happen — errors surface identically via Future.result.
+    rd_futs = None
+    if (not os.path.isdir(args.left) and os.path.isfile(args.left)
+            and os.path.isfile(args.right)
+            and min(os.path.getsize(args.left),
+                    os.path.getsize(args.right)) > (512 << 10)):
+        from concurrent.futures import ThreadPoolExecutor
+
+        _rdpool = ThreadPoolExecutor(max_workers=2)
+        rd_futs = (_rdpool.submit(read_gray, args.left),
+                   _rdpool.submit(read_gray, args.right))
+        _rdpool.shutdown(wait=False)
+
     forest = load_forest(args.forest)
     if args.max_tests is not None:
         from opengpc_tpu.forest import truncate_forest
@@ -219,8 +242,6 @@ def main(argv=None) -> int:
         epipolar_mode=not args.global_mode,
         capacity=args.capacity,
     )
-    import os
-
     # the native PNG writer does not create directories; make every output
     # parent up front so a missing dir fails here, not mid-run
     for out in (args.out, args.densify, args.supports_out):
@@ -260,8 +281,12 @@ def main(argv=None) -> int:
         print("--data-parallel applies to sequence (directory) mode only "
               "(single-pair multi-chip is --shard-frame)", file=sys.stderr)
         return 1
-    left = read_gray(args.left)
-    right = read_gray(args.right)
+    if rd_futs is not None:
+        left = rd_futs[0].result()
+        right = rd_futs[1].result()
+    else:
+        left = read_gray(args.left)
+        right = read_gray(args.right)
     if left.shape != right.shape:
         print(f"image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
         return 1
@@ -863,6 +888,22 @@ def _run_sequence(args, forest, settings) -> int:
         # probe); partial/leftover groups always dispatch singly on one
         # device (one reusable compile)
 
+    # Mid-sequence density hysteresis (VERDICT r4 weak #3 / next #3b):
+    # the auto probe runs on frame 0 only, so a sequence that drifts
+    # dense would pay compact + full-width on EVERY dense dispatch.
+    # Policy (priced in experiments/exp_ovf_cost.py): the first overflow
+    # trips this flag; while tripped, each incoming frame is density-
+    # probed (one tiny jitted reduce — only paid during dense stretches)
+    # and dense frames dispatch straight through the full-width builder
+    # (single misprediction cost per density TRANSITION, not per frame);
+    # the first sparse probe clears the flag and compact grouping
+    # resumes.  Exactness never depends on this — the overflow flag
+    # remains the guard either way.
+    ovf_state = {"tripped": False}
+    compact_seq = mode in ("masked-compact", "global-compact")
+    fallback_mode = {"masked-compact": "masked",
+                     "global-compact": "global_rows"}.get(mode)
+
     def write_frame(i, supports, gray=None):
         nonlocal total_matches
         total_matches += len(supports)
@@ -899,6 +940,7 @@ def _run_sequence(args, forest, settings) -> int:
             if bool(np.asarray(out[2]).any()):
                 print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
                       file=sys.stderr)
+                ovf_state["tripped"] = True
                 out = ovf_guard.fallback()(*frames)
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
@@ -912,6 +954,7 @@ def _run_sequence(args, forest, settings) -> int:
                 # overflowed: re-run the whole dispatch full-width
                 print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
                       file=sys.stderr)
+                ovf_state["tripped"] = True
                 out = ovf_guard.fallback()(*frames)
             (gxs, gys, gds), gcounts = out[0], out[1]
             gxs, gys, gds = np.asarray(gxs), np.asarray(gys), np.asarray(gds)
@@ -1037,6 +1080,23 @@ def _run_sequence(args, forest, settings) -> int:
                 left = read_gray(pairs[i][0])
                 right = read_gray(pairs[i][1])
             total_px += 2 * left.size
+            if (compact_seq and ovf_state["tripped"]
+                    and left.shape == probe.shape):
+                dens = _probe_density(settings, left, right)
+                if dens > _auto_compact_threshold(
+                        mode == "masked-compact", left.shape[1]):
+                    # dense stretch: skip the compact attempt entirely
+                    if group:
+                        submit(dispatch_group(group))
+                        group = []
+                    submit((i, fallback_mode,
+                            ovf_guard.fallback()(left, right), 1,
+                            (left, right) if keep_frames else None, False))
+                    continue
+                print(f"frame {i}: density {dens:.2f} back under the "
+                      "compact threshold — resuming the compact contract",
+                      file=sys.stderr)
+                ovf_state["tripped"] = False
             if fast and left.shape == probe.shape:
                 group.append((i, left, right))
                 if len(group) < batch:

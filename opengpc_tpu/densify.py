@@ -16,15 +16,16 @@ parity surface.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "num_iters"))
-def _densify(xs, ys, ds, count, shape: Tuple[int, int], num_iters: int):
+@functools.partial(jax.jit, static_argnames=("shape", "num_iters", "method"))
+def _densify(xs, ys, ds, count, shape: Tuple[int, int], num_iters: int,
+             method: str = "multigrid"):
     h, w = shape
     idx = jnp.arange(xs.shape[0])
     valid = idx < count
@@ -40,12 +41,17 @@ def _densify(xs, ys, ds, count, shape: Tuple[int, int], num_iters: int):
     value = jnp.where(
         known, (seed_sum[: h * w] / jnp.maximum(seed_cnt[: h * w], 1.0)).reshape(h, w), 0.0
     )
+    if method == "multigrid":
+        return _diffuse_multigrid(value, known, num_iters)
     return _diffuse(value, known, num_iters)
 
 
-def _diffuse(value, known, num_iters: int):
+def _diffuse(value, known, num_iters: int, filled0=None):
     """The masked-Jacobi sweep loop shared by the flat-supports and the
-    masked-contract densifiers (seeding differs; diffusion is identical)."""
+    masked-contract densifiers (seeding differs; diffusion is identical).
+    ``filled0`` optionally marks extra already-filled (but NOT pinned)
+    pixels — the multigrid path seeds fine levels with the upsampled
+    coarse solution this way."""
 
     def sweep(_, carry):
         val, filled = carry
@@ -70,8 +76,46 @@ def _diffuse(value, known, num_iters: int):
         new_val = jnp.where(known, val, jnp.where(grown, upd, 0.0))
         return new_val, filled | grown
 
-    value, filled = jax.lax.fori_loop(0, num_iters, sweep, (value, known))
+    value, filled = jax.lax.fori_loop(
+        0, num_iters, sweep, (value, known if filled0 is None else filled0))
     return value, filled
+
+
+def _diffuse_multigrid(value, known, sweeps_per_level: int):
+    """Coarse-to-fine masked diffusion (VERDICT r4 #4): restrict the seeds
+    down a 2x2-box pyramid (weighted sums, so coarse seeds are the exact
+    means of their fine seeds), solve the coarsest grid with a few Jacobi
+    sweeps, then repeatedly upsample (nearest) and relax ``sweeps_per_
+    level`` sweeps with the original seeds pinned.  Fill radius is
+    unbounded (the coarsest grid is a few cells wide, so any hole closes
+    there) and total work is a geometric series ~4/3 of the finest level,
+    vs O(diameter) sweeps for plain Jacobi.  Constant seed fields are
+    reproduced exactly (means of constants); smooth fields approach the
+    same harmonic interpolation Jacobi converges to (bounded-diff tested
+    in tests/test_densify.py)."""
+    f = known.astype(jnp.float32)
+    pyr = [(value * f, f)]
+    while max(pyr[-1][0].shape) > 8:
+        wsum, cnt = pyr[-1]
+        h, w = wsum.shape
+        wsum = jnp.pad(wsum, ((0, h % 2), (0, w % 2)))
+        cnt = jnp.pad(cnt, ((0, h % 2), (0, w % 2)))
+        pyr.append(tuple(
+            jax.lax.reduce_window(a, 0.0, jax.lax.add, (2, 2), (2, 2),
+                                  "VALID") for a in (wsum, cnt)))
+    wsum, cnt = pyr[-1]
+    k = cnt > 0
+    sol, filled = _diffuse(jnp.where(k, wsum / jnp.maximum(cnt, 1.0), 0.0),
+                           k, sweeps_per_level)
+    for wsum, cnt in reversed(pyr[:-1]):
+        h, w = wsum.shape
+        up = jnp.repeat(jnp.repeat(sol, 2, axis=0), 2, axis=1)[:h, :w]
+        upf = jnp.repeat(jnp.repeat(filled, 2, axis=0), 2, axis=1)[:h, :w]
+        k = cnt > 0
+        seed = jnp.where(k, wsum / jnp.maximum(cnt, 1.0), 0.0)
+        v0 = jnp.where(k, seed, jnp.where(upf, up, 0.0))
+        sol, filled = _diffuse(v0, k, sweeps_per_level, filled0=k | upf)
+    return sol, filled
 
 
 def _masked_seed_scatter(buf, disp_high: int, w: int):
@@ -149,18 +193,21 @@ def _masked_seed_sortmerge(buf, disp_high: int, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("disp_high", "num_iters",
-                                             "seed_impl", "width"))
+                                             "seed_impl", "width", "method"))
 def _densify_from_masked(buf, disp_high: int, num_iters: int,
                          seed_impl: str = "sortmerge",
-                         width: int = 0):
+                         width: int = 0, method: str = "multigrid"):
     seed = (_masked_seed_sortmerge if seed_impl == "sortmerge"
             else _masked_seed_scatter)
     value, known = seed(buf, disp_high, width or buf.shape[1] // 2)
+    if method == "multigrid":
+        return _diffuse_multigrid(value, known, num_iters)
     return _diffuse(value, known, num_iters)
 
 
-def densify_from_masked(buf, row_counts, disp_high: int, num_iters: int = 64,
-                        width: int = 0):
+def densify_from_masked(buf, row_counts, disp_high: int,
+                        num_iters: Optional[int] = None,
+                        width: int = 0, method: str = "multigrid"):
     """DEVICE-RESIDENT masked-contract consumer: dense float32 disparity
     straight from ``build_sparsematch_masked``'s (buf, row_counts) with NO
     host decode/re-upload — the proof of match.py's "device-resident
@@ -179,27 +226,45 @@ def densify_from_masked(buf, row_counts, disp_high: int, num_iters: int = 64,
     chunk-compacted contract's narrower buffers (defaults to
     buf.shape[1] // 2, correct only for the full-width masked contract).
     Device-timed vs the decode-then-densify host loop in
-    experiments/exp_dense_masked.py."""
+    experiments/exp_dense_masked.py.
+
+    ``method``: "multigrid" (default, r5) runs the coarse-to-fine solver —
+    unbounded fill radius at O(log) cost, ``num_iters`` = sweeps PER LEVEL
+    (default 10); "jacobi" keeps the r4 single-level sweep loop —
+    ``num_iters`` total sweeps (default 64) bound the fill radius."""
     del row_counts
+    if num_iters is None:
+        num_iters = 10 if method == "multigrid" else 64
     return _densify_from_masked(buf, int(disp_high), int(num_iters),
-                                width=int(width))
+                                width=int(width), method=method)
 
 
 def densify_supports(
     supports: np.ndarray,
     shape: Tuple[int, int],
-    num_iters: int = 64,
+    num_iters: Optional[int] = None,
+    method: str = "multigrid",
 ):
     """Dense float32 disparity map from (n, 3) supports (x, y, d).
 
-    Returns (disparity (H, W) float32, filled (H, W) bool).  Pixels not
-    reached within ``num_iters`` diffusion sweeps stay unfilled (each
-    sweep grows the filled region by one 4-neighborhood ring).
+    Returns (disparity (H, W) float32, filled (H, W) bool).
+
+    ``method="multigrid"`` (default, r5): coarse-to-fine masked diffusion
+    — any hole fills regardless of width (the coarsest grid is a few
+    cells wide) at O(log) total sweeps; ``num_iters`` is the sweeps PER
+    LEVEL (default 10).  ``method="jacobi"``: the r4 single-level sweep
+    loop; pixels farther than ``num_iters`` (default 64) steps from a
+    support stay unfilled (each sweep grows the filled region by one
+    4-neighborhood ring) — kept as the measured A/B baseline and for
+    strictly-local fill semantics.
     """
+    if num_iters is None:
+        num_iters = 10 if method == "multigrid" else 64
     supports = np.asarray(supports).reshape(-1, 3)
     n = max(1, len(supports))
     xs = jnp.asarray(np.resize(supports[:, 0], n).astype(np.int32))
     ys = jnp.asarray(np.resize(supports[:, 1], n).astype(np.int32))
     ds = jnp.asarray(np.resize(supports[:, 2], n).astype(np.int32))
-    value, filled = _densify(xs, ys, ds, len(supports), tuple(shape), num_iters)
+    value, filled = _densify(xs, ys, ds, len(supports), tuple(shape),
+                             num_iters, method)
     return np.asarray(value), np.asarray(filled)

@@ -201,19 +201,29 @@ def _kernel(img_ref, codes_ref, cand_ref, scratch, sem, *, h, w, th, tw,
 
 
 def _kernel_keys(img_ref, key_ref, scratch, sem, *, h, w, th, tw, tests,
-                 thr2, pos_base, sentinel_base):
+                 thr2, pos_base, sentinel_base, pack_bits=0):
     """Key-emitting variant: one (th, tw) block of sentinel-packed sort
     keys ``candidate ? code : sentinel_base + pos_base + x`` — the exact
     key layout match._match_epipolar_packed builds, fused into the kernel
     so the codes/candidate arrays never round-trip through HBM (measured
-    ~0.06 ms/pair saved on v5e, experiments/exp_sort2.py)."""
+    ~0.06 ms/pair saved on v5e, experiments/exp_sort2.py).
+
+    ``pack_bits > 0`` (small forests, match._pack_ok): candidates emit the
+    SINGLE-OPERAND sort key ``(code << pack_bits) | (pos_base + x)``
+    directly — match._pack_keypos's layout, saving its (H, 2W)
+    elementwise pass (VERDICT r4 #7; A/B experiments/exp_keypack.py)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     x32 = _fetch_tile(img_ref, scratch, sem, th, tw)
     code, cand = tile_codes_and_cand(x32, i * th, h, w, th, tests, thr2,
                                      x0=j * tw, tw=tw)
     xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
-    key_ref[:] = jnp.where(cand, code, jnp.int32(sentinel_base + pos_base) + xx)
+    if pack_bits:
+        cand_key = (code << pack_bits) | (jnp.int32(pos_base) + xx)
+    else:
+        cand_key = code
+    key_ref[:] = jnp.where(cand, cand_key,
+                           jnp.int32(sentinel_base + pos_base) + xx)
 
 
 def _tile_geom(out_h: int, w: int, tile=None):
@@ -384,6 +394,7 @@ def fused_keys(
     sentinel_base: int,
     interpret: Optional[bool] = None,
     tile=None,
+    pack_bits: int = 0,
 ) -> jnp.ndarray:
     """(H, W) int32 sentinel-packed matcher sort keys in one fused pass:
     ``candidate ? leaf_code : sentinel_base + pos_base + x``.
@@ -392,7 +403,9 @@ def fused_keys(
     concatenated (H, 2W) key image has unique per-row sentinels — exactly
     what match._match_epipolar_packed builds from (codes, candidates), with
     one less HBM round-trip.  Same interpret/any-resolution contract as
-    fused_codes."""
+    fused_codes.  ``pack_bits > 0`` emits candidates already pos-packed
+    for the single-operand sort (match._pack_keypos layout — the caller
+    must satisfy match._pack_ok)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     padded, h, w, th, tw, n_rt, n_ct, tests, thr2 = _prep(
@@ -400,6 +413,7 @@ def fused_keys(
     kernel = functools.partial(
         _kernel_keys, h=h, w=w, th=th, tw=tw, tests=tests, thr2=thr2,
         pos_base=int(pos_base), sentinel_base=int(sentinel_base),
+        pack_bits=int(pack_bits),
     )
     keys = pl.pallas_call(
         kernel,

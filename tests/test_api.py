@@ -1321,6 +1321,58 @@ def test_cli_sequence_masked_compact(tmp_path, capfd):
     assert sum(len(f) for f in outs["auto"]) > 400
 
 
+def test_cli_sequence_overflow_hysteresis(tmp_path, capfd):
+    """Mid-sequence density drift (VERDICT r4 weak #3): a sequence that
+    turns dense trips the overflow ONCE and then routes dense frames
+    straight to the full-width builder via the per-frame density probe
+    (no compact+full double dispatch per dense frame); the first sparse
+    frame after the stretch resumes the compact contract.  Outputs equal
+    an independent rows-contract run frame for frame."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    n, dense_frames = 14, set(range(4, 10))  # 6-frame dense stretch
+    for i in range(n):
+        if i in dense_frames:
+            l, r = make_pair(96, 144, 4, seed=70 + i)
+        else:
+            l, r = make_sparse_pair(96, 144, 4, density=0.15, seed=80 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+    outs = {}
+    for label, extra in (("compact", ["--contract", "masked-compact"]),
+                         ("rows", ["--contract", "rows"])):
+        out = tmp_path / f"out_{label}" / "d.png"
+        rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                       "--disp-high", "32", "--batch", "1",
+                       "--out", str(out)] + extra)
+        err = capfd.readouterr().err
+        assert rc == 0, label
+        if label == "compact":
+            n_ovf = err.count("masked-compact overflow")
+            # pipeline lag (<= 2 in-flight dispatches + the probe's own
+            # dispatch) can let a couple of dense frames slip through
+            # compact before the flag is observed; far fewer than the 6
+            # dense frames proves the hysteresis engaged
+            assert 1 <= n_ovf <= 4, err
+            assert "resuming the compact contract" in err, err
+        frames = []
+        for i in range(n):
+            sf = tmp_path / f"out_{label}" / f"supports_{i:04d}.txt"
+            assert sf.exists(), (label, i)
+            got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+            frames.append(sorted(map(tuple, got.tolist())))
+        outs[label] = frames
+    for i in range(n):
+        assert outs["compact"][i] == outs["rows"][i], f"frame {i}"
+    assert sum(len(f) for f in outs["rows"]) > 400
+
+
 def test_cli_sequence_auto_density_adaptive(tmp_path, capfd):
     """Auto contract in sequence mode (r4): a sparse sequence probes frame
     0's candidate density and rides the chunk-compacted masked contract

@@ -86,6 +86,34 @@ def test_fused_keys_matches_jnp_key_build(forest_file):
         np.testing.assert_array_equal(got, want)
 
 
+def test_fused_keys_pack_bits_matches_xla_pack():
+    """fused_keys(pack_bits=pb) must emit exactly what match._pack_keypos
+    builds from the unpacked key image (the single-operand sort layout,
+    VERDICT r4 #7)."""
+    from opengpc_tpu.match import SENTINEL_BASE, _pack_keypos, _pos_bits
+    from opengpc_tpu.ops.fused import fused_keys
+
+    rng = np.random.default_rng(4)
+    h, w = 100, 250
+    img = structured_image(rng, h, w)
+    forest = forest_mod.load_forest(
+        os.path.join(FORESTS, "defaultZeroForest.txt"))
+    mask = forest_mod.make_filter_mask(forest, max_tests=17)
+    pb = _pos_bits(2 * w)
+    for pos_base in (0, w):
+        plain = fused_keys(img, mask, 5, pos_base=pos_base,
+                           sentinel_base=SENTINEL_BASE, interpret=True)
+        import jax.numpy as jnp
+
+        pos = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.int32)[None, :] + pos_base, (h, w))
+        want = np.asarray(_pack_keypos(plain, pos, pb))
+        got = np.asarray(fused_keys(img, mask, 5, pos_base=pos_base,
+                                    sentinel_base=SENTINEL_BASE,
+                                    interpret=True, pack_bits=pb))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pipeline_with_pallas_matches_without():
     rng = np.random.default_rng(9)
     h, w = 96, 160
