@@ -729,6 +729,35 @@ def main():
              "3-level chunk-compacted pyramid on the 0.15-density scene — "
              "overflow-guarded, set-equality gated vs the rows pyramid")
 
+        # batched pyramid FOLD (r5, VERDICT r4 #2a): build_pyramid_
+        # sparsematch on a (B, H, W) stack now folds every level into
+        # (B*hs, 2W_l) row sorts + one (B, K) dedup sort instead of
+        # lax.map of B pyramids (A/B: experiments/exp_pyr_batch.py).
+        # Gate: stacked element 0 decodes to the single-pair pyramid set.
+        from opengpc_tpu.pyramid import pyramid_supports_to_numpy
+
+        bp_out = pmatch(lb, rb)
+        bp0 = set(map(tuple, pyramid_supports_to_numpy(
+            *(np.asarray(o)[0] for o in bp_out)).tolist()))
+        sp0 = set(map(tuple,
+                      pyramid_supports_to_numpy(*pmatch(lb[0],
+                                                        rb[0])).tolist()))
+        assert bp0 == sp0, "batched pyramid pair-0 != single-pair pyramid"
+
+        def bpstep(a, b):
+            xs, ys, ds, lv, counts = pmatch(a, b)
+            return (xs.sum(dtype=jnp.int32) + ys.sum(dtype=jnp.int32)
+                    + ds.sum(dtype=jnp.int32) + lv.sum(dtype=jnp.int32)
+                    + jnp.sum(counts))
+
+        bpbest = device_time_per_iter(bpstep, (lb, rb), bdep, N_SHORT,
+                                      N_LONG_HEAVY, repeats=_rep(5))
+        _aux("batched_pyramid_throughput",
+             ppix * BATCH / 1e6 / _nonzero(bpbest), "Mpix/s",
+             f"config 3: B={BATCH} pyramids folded into per-level "
+             "(B*hs, 2W) row sorts + one (B, K) dedup sort, aggregate "
+             "per chip")
+
         # (the headline sintel_sparsematch_throughput line was printed to
         # stdout right after its measurement, in the masked-contract section)
         print(
