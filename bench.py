@@ -729,6 +729,39 @@ def main():
              "3-level chunk-compacted pyramid on the 0.15-density scene — "
              "overflow-guarded, set-equality gated vs the rows pyramid")
 
+        # device densify (r5, VERDICT r4 #4): multigrid coarse-to-fine
+        # from the masked buffer — gate: everything fills on the dense
+        # scene and the filled region pins every seed; metric: ms/frame
+        # (the r4 fixed-64-sweep Jacobi was 1.96 ms — 4.5x the matcher —
+        # and could not fill holes wider than its sweep budget)
+        from opengpc_tpu.densify import _densify_from_masked
+
+        dbuf, _dcounts = masked_fn(left, right)
+        dbuf = jnp.asarray(dbuf)
+        dv, df = _densify_from_masked(dbuf, settings.disp_high, 10, width=W)
+        assert bool(np.asarray(df).all()), "densify left unfilled pixels"
+        dacc = float(np.asarray(jnp.abs(dv - TRUE_DISP).max()))
+        assert dacc < 0.5, f"densify max err {dacc} on the constant scene"
+
+        def dstep(b):
+            val, filled = _densify_from_masked(b, settings.disp_high, 10,
+                                               width=W)
+            return (val.sum(dtype=jnp.float32).astype(jnp.int32)
+                    + filled.sum(dtype=jnp.int32))
+
+        def ddep(s, args):
+            (b,) = args
+            b = jax.lax.dynamic_update_slice(
+                b, (s & 1).reshape(1, 1), (0, 0))
+            return (b,)
+
+        dbest = device_time_per_iter(dstep, (dbuf,), ddep, N_SHORT,
+                                     N_LONG_HEAVY, repeats=_rep(5))
+        _aux("densify_ms_per_frame", dbest * 1e3, "ms",
+             "device-resident multigrid densify from the masked buffer "
+             "(10 sweeps/level; exact-fill gated on the constant-disparity "
+             "scene; r4 jacobi64 was 1.96 ms)")
+
         # batched pyramid FOLD (r5, VERDICT r4 #2a): build_pyramid_
         # sparsematch on a (B, H, W) stack now folds every level into
         # (B*hs, 2W_l) row sorts + one (B, K) dedup sort instead of
