@@ -617,8 +617,9 @@ def main(argv=None) -> int:
             # masked contract: densify DEVICE-RESIDENT from the packed
             # buffer (no decode/re-upload roundtrip — densify_from_masked,
             # bit-identical to the host path, tests/test_densify.py;
-            # measured 1.96 ms vs 160-210 ms through the relay,
-            # experiments/exp_dense_masked.py).  A capacity-trimmed
+            # r5 multigrid default: 1.44 ms on-chip vs 1.74 jacobi64 and
+            # ~160-210 ms through the relay, exp_densify_mg.py /
+            # exp_dense_masked.py).  A capacity-trimmed
             # support list falls back to the host path so --capacity
             # semantics stay identical across contracts
             from opengpc_tpu.densify import densify_from_masked

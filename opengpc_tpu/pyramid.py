@@ -107,17 +107,12 @@ def _pyramid_rows_impl(left, right, mask: FilterMask,
                          settings.disp_high, num_levels)
 
 
-def _pyramid_rows_batched_impl(lefts, rights, mask: FilterMask,
-                               settings: InferenceSettings, num_levels: int,
-                               use_pallas: bool, mult: int, nbd: int):
-    """Batched fast pyramid that AGGREGATES (VERDICT r4 next #2a): at each
-    level the B pairs' key images stack into ONE (B*hs, 2W_l) segmented
-    row sort (infer._sparsematch_rows_batched_impl's fold, per level), and
-    the final finest-wins dedup runs as ONE (B, K) segmented sort — no
-    lax.map of B sequential pyramids.  Rows are independent in the
-    epipolar matcher and each pair's dedup keys stay in their own row of
-    the (B, K) sort, so per-pair outputs are identical to single-pair runs
-    (set equality pinned in tests/test_pyramid.py).
+def _pyramid_batched_keys(lefts, rights, mask: FilterMask,
+                          settings: InferenceSettings, num_levels: int,
+                          use_pallas: bool, mult: int, nbd: int):
+    """(B, K) packed finest-wins dedup keys for a batch of pairs, with
+    every level's matcher work folded into ONE (B*hs, 2W_l) segmented row
+    sort (infer._sparsematch_rows_batched_impl's fold, per level).
 
     Margin rows are skipped instead of padded back (they can only carry
     sentinels), so K = sum_l (H_l - 2*margin_l) * W_l — smaller than the
@@ -155,8 +150,35 @@ def _pyramid_rows_batched_impl(lefts, rights, mask: FilterMask,
         if level + 1 < num_levels:
             l_imgs = downscale2(l_imgs)
             r_imgs = downscale2(r_imgs)
-    return _dedup_unpack(jnp.concatenate(keys, axis=1), mult, nbd, w0,
-                         settings.disp_high, num_levels)
+    return jnp.concatenate(keys, axis=1)
+
+
+def _pyramid_rows_batched_impl(lefts, rights, mask: FilterMask,
+                               settings: InferenceSettings, num_levels: int,
+                               use_pallas: bool, mult: int, nbd: int,
+                               map_dedup: bool = True):
+    """Batched fast pyramid that AGGREGATES (VERDICT r4 next #2a): at each
+    level the B pairs' key images stack into ONE (B*hs, 2W_l) segmented
+    row sort — no lax.map of B sequential pyramids.  Rows are independent
+    in the epipolar matcher, so per-pair outputs are identical to
+    single-pair runs (set equality pinned in tests/test_pyramid.py).
+
+    ``map_dedup`` (the ADOPTED default — on-chip B=4: hybrid 5.055 ms
+    vs 5.233 lax.map-of-pyramids vs 6.922 full fold,
+    experiments/exp_pyr_batch2.py): the final finest-wins dedup runs as
+    B sequential per-pair sorts under ``lax.map`` — folding it into one
+    (B, K~574k) segmented sort instead (``map_dedup=False``) loses 1.33x
+    on TPU, the same batched-big-sort pathology as the vmap'd global
+    sort dead end (README ledger), despite winning 5x on CPU."""
+    keys = _pyramid_batched_keys(lefts, rights, mask, settings, num_levels,
+                                 use_pallas, mult, nbd)
+    w0 = lefts.shape[-1]
+    if map_dedup:
+        return jax.lax.map(
+            lambda k: _dedup_unpack(k, mult, nbd, w0, settings.disp_high,
+                                    num_levels), keys)
+    return _dedup_unpack(keys, mult, nbd, w0, settings.disp_high,
+                         num_levels)
 
 
 def _pyramid_compact_impl(left, right, mask: FilterMask,
