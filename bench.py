@@ -762,10 +762,11 @@ def main():
              "(10 sweeps/level; exact-fill gated on the constant-disparity "
              "scene; r4 jacobi64 was 1.96 ms)")
 
-        # batched pyramid FOLD (r5, VERDICT r4 #2a): build_pyramid_
-        # sparsematch on a (B, H, W) stack now folds every level into
-        # (B*hs, 2W_l) row sorts + one (B, K) dedup sort instead of
-        # lax.map of B pyramids (A/B: experiments/exp_pyr_batch.py).
+        # batched pyramid HYBRID fold (r5, VERDICT r4 #2a): build_pyramid_
+        # sparsematch on a (B, H, W) stack folds every level's matcher
+        # into one (B*hs, 2W_l) row sort while the finest-wins dedup runs
+        # per pair under lax.map (the full (B, K) dedup fold loses 1.33x
+        # on TPU — A/B: experiments/exp_pyr_batch.py + exp_pyr_batch2.py).
         # Gate: stacked element 0 decodes to the single-pair pyramid set.
         from opengpc_tpu.pyramid import pyramid_supports_to_numpy
 
@@ -787,8 +788,8 @@ def main():
                                       N_LONG_HEAVY, repeats=_rep(5))
         _aux("batched_pyramid_throughput",
              ppix * BATCH / 1e6 / _nonzero(bpbest), "Mpix/s",
-             f"config 3: B={BATCH} pyramids folded into per-level "
-             "(B*hs, 2W) row sorts + one (B, K) dedup sort, aggregate "
+             f"config 3: B={BATCH} pyramids, hybrid fold (per-level "
+             "(B*hs, 2W) row sorts + per-pair lax.map dedup), aggregate "
              "per chip")
 
         # (the headline sintel_sparsematch_throughput line was printed to

@@ -180,11 +180,13 @@ def main(argv=None) -> int:
         "--shard-frame", type=int, default=0, metavar="N",
         help="shard each pair's ROWS over N devices (epipolar only, image "
         "height must divide by N and give each shard >= 14 rows).  "
-        "Single-pair mode: parallel.build_sharded_frame_sparsematch.  "
-        "Sequence mode: composes with --data-parallel over a 2-D "
-        "(data x rows) mesh (build_batched_sharded_frame_sparsematch, "
-        "--data-parallel D x --shard-frame N <= devices; "
-        "masked/rows/masked-compact contracts).  0 (default) = off",
+        "Single-pair mode: parallel.build_sharded_frame_sparsematch; with "
+        "--pyramid L the sharded multi-scale matcher (height must divide "
+        "by N*2^(L-1)).  Sequence mode: composes with --data-parallel "
+        "over a 2-D (data x rows) mesh "
+        "(build_batched_sharded_frame_sparsematch, --data-parallel D x "
+        "--shard-frame N <= devices; masked/rows/masked-compact "
+        "contracts).  0 (default) = off",
     )
     p.add_argument(
         "--matcher", choices=("sort", "quirk", "hashmatch"), default="sort",
@@ -338,7 +340,10 @@ def main(argv=None) -> int:
         ok_contracts = (("auto", "global-compact") if gmode
                         else ("auto", "rows", "masked", "masked-compact"))
         bad = [name for name, on in (
-            ("--pyramid", args.pyramid > 1),
+            ("--pyramid (with --global-mode)",
+             args.pyramid > 1 and gmode),
+            ("--pyramid (with an explicit --contract)",
+             args.pyramid > 1 and args.contract != "auto"),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
             (f"--contract {args.contract} (with "
              + ("--global-mode" if gmode else "epipolar mode") + ")",
@@ -368,7 +373,23 @@ def main(argv=None) -> int:
                   f"shard (got {left.shape})", file=sys.stderr)
             return 1
         mesh = make_mesh(devs[:n])
-        if gmode:
+        if args.pyramid > 1:
+            # sharded multi-scale (r5): one pair's rows over the mesh at
+            # every level; stricter alignment than the flat contracts
+            from opengpc_tpu.parallel import build_sharded_frame_pyramid
+            from opengpc_tpu.pyramid import pyramid_supports_to_numpy
+
+            align = n << (args.pyramid - 1)
+            if left.shape[0] % align or \
+                    (left.shape[0] // n) >> (args.pyramid - 1) < PAD:
+                print(f"--shard-frame {n} --pyramid {args.pyramid} needs "
+                      f"an image height divisible by {align} with the "
+                      f"coarsest slab >= {PAD} rows (got {left.shape}); "
+                      "pad the pair or reduce levels", file=sys.stderr)
+                return 1
+            match = build_sharded_frame_pyramid(
+                fmask, settings, mesh, num_levels=args.pyramid)
+        elif gmode:
             # distributed bucket sort (one all_to_all); dense frames trip
             # the replicated chunk/bucket overflow flag and re-run on one
             # device at full width (cross-shard uniqueness has no exact

@@ -499,6 +499,43 @@ def test_sharded_frame_pyramid_rejects_bad_inputs():
         run(l2, r2)
 
 
+def test_cli_single_pair_sharded_pyramid(tmp_path, capfd):
+    """--pyramid N --shard-frame 8 through the real argv main: supports
+    file equal to the single-device pyramid run; misaligned heights and
+    --global-mode are rejected with the friendly message."""
+    import os
+
+    import numpy as np
+
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+
+    left, right = _frame_pair(46, 224, 96)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, left)
+    write_png(rp, right)
+    forest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "forests", "defaultZeroForest.txt")
+    outs = {}
+    for label, extra in (("shard", ["--shard-frame", "8"]), ("single", [])):
+        sp = str(tmp_path / f"s_{label}.txt")
+        rc = cli_main([forest, lp, rp, "--disp-high", "32", "--pyramid",
+                       "2", "--out", str(tmp_path / f"d_{label}.png"),
+                       "--supports-out", sp] + extra)
+        assert rc == 0, (label, capfd.readouterr().err)
+        outs[label] = set(map(tuple, np.loadtxt(
+            sp, dtype=int).reshape(-1, 3).tolist()))
+    assert outs["shard"] == outs["single"] and len(outs["single"]) > 100
+
+    rc = cli_main([forest, lp, rp, "--pyramid", "4", "--shard-frame", "8",
+                   "--out", str(tmp_path / "x.png")])
+    assert rc == 1 and "divisible by 64" in capfd.readouterr().err
+    rc = cli_main([forest, lp, rp, "--pyramid", "2", "--shard-frame", "8",
+                   "--global-mode", "--out", str(tmp_path / "x.png")])
+    assert rc == 1 and "--global-mode" in capfd.readouterr().err
+
+
 def test_sharded_masked_compact_matches_single_device():
     """Sharded chunk-compacted masked contract == single-device flat runs
     on a low-density batch (no overflow)."""
