@@ -145,7 +145,11 @@ def main(argv=None) -> int:
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace into LOGDIR")
     p.add_argument("--pyramid", type=int, default=1, metavar="LEVELS",
-                   help="multi-scale matching over LEVELS pyramid levels")
+                   help="multi-scale matching over LEVELS pyramid levels. "
+                   "Sequence mode rides the batched hybrid pyramid fold "
+                   "(--contract auto, epipolar); single-pair mode also "
+                   "composes with --shard-frame and --contract "
+                   "masked-compact")
     p.add_argument("--densify", default=None, metavar="PNG",
                    help="also write a diffusion-densified disparity PNG")
     p.add_argument(
@@ -261,8 +265,16 @@ def main(argv=None) -> int:
         # reject explicitly-requested single-pair-only features instead of
         # silently ignoring them (same rule as the explicit-contract
         # handling: an option the user typed either works or errors)
+        if args.pyramid > 1 and (args.contract != "auto" or args.global_mode
+                                 or args.data_parallel > 1
+                                 or args.shard_frame > 1):
+            print("sequence --pyramid rides the batched rows pyramid "
+                  "(--contract auto, epipolar mode) and does not compose "
+                  "with --data-parallel/--shard-frame; the compact pyramid "
+                  "and the sharded pyramid are single-pair features",
+                  file=sys.stderr)
+            return 1
         unsupported = [name for name, on in (
-            ("--pyramid", args.pyramid > 1),
             (f"--matcher {args.matcher}", args.matcher != "sort"),
             ("--repeats", args.repeats > 1),
             ("--trace", bool(args.trace)),
@@ -747,6 +759,14 @@ def _run_sequence(args, forest, settings) -> int:
         return 1
     contract = args.contract
     right0 = None  # decoded by the density probe; reused for pair 0 below
+    if args.pyramid > 1:
+        # sequence multi-scale (r5): every full dispatch group rides the
+        # batched HYBRID pyramid fold (per-level (B*hs, 2W_l) row sorts +
+        # per-pair lax.map dedup — build_pyramid_sparsematch's native
+        # (B, H, W) path, measured in experiments/exp_pyr_batch2.py);
+        # ineligible shapes fall back internally to the flat per-level
+        # path, so any frame shape works (one recompile per new shape)
+        contract = "pyramid"
     if contract == "auto" and (eligible or geligible):
         # density-adaptive auto (r4): probe frame 0's candidate density and
         # ride the chunk-compacted contracts on sparse sequences (+27%
@@ -759,13 +779,21 @@ def _run_sequence(args, forest, settings) -> int:
             print(f"auto contract: candidate density {dens:.2f} — riding "
                   f"the chunk-compacted {'masked' if eligible else 'global'}"
                   " contract (overflow-guarded)", file=sys.stderr)
-    compact_form = eligible and contract == "masked-compact"
-    masked_form = eligible and contract == "masked"
-    row_form = eligible and not (masked_form or compact_form)
+    pyramid_mode = contract == "pyramid"
+    compact_form = (not pyramid_mode and eligible
+                    and contract == "masked-compact")
+    masked_form = not pyramid_mode and eligible and contract == "masked"
+    row_form = (not pyramid_mode and eligible
+                and not (masked_form or compact_form))
     gcompact_form = geligible and contract == "global-compact"
     global_rows = False
     ovf_guard = None  # lazy full-width fallback for compact overflows
-    if compact_form:
+    if pyramid_mode:
+        from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                         pyramid_supports_to_numpy)
+
+        match = build_pyramid_sparsematch(forest, settings, args.pyramid)
+    elif compact_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        build_sparsematch_masked_compact,
                                        masked_supports_to_numpy)
@@ -809,9 +837,10 @@ def _run_sequence(args, forest, settings) -> int:
     os.makedirs(out_dir, exist_ok=True)
     total_px = 0
     total_matches = 0
-    fast = (row_form or masked_form or compact_form or gcompact_form
-            or global_rows)
-    mode = ("masked-compact" if compact_form
+    fast = (pyramid_mode or row_form or masked_form or compact_form
+            or gcompact_form or global_rows)
+    mode = ("pyramid" if pyramid_mode
+            else "masked-compact" if compact_form
             else "masked" if masked_form else "rows" if row_form
             else "global-compact" if gcompact_form
             else "global_rows" if global_rows else "flat")
@@ -986,6 +1015,14 @@ def _run_sequence(args, forest, settings) -> int:
                     gxs[j] if stacked else gxs, gys[j] if stacked else gys,
                     gds[j] if stacked else gds,
                     gcounts[j] if stacked else gcounts), gray(j))
+        elif dmode == "pyramid":
+            arrs = [np.asarray(o) for o in out]
+            for j in range(k):
+                rows = pyramid_supports_to_numpy(
+                    *((a[j] for a in arrs) if stacked else arrs))
+                # supports files stay 3-column x/y/d (level-0 units),
+                # like single-pair --pyramid
+                write_frame(i0 + j, rows[:, :3], gray(j))
         elif dmode == "masked":
             mbuf, mcounts = np.asarray(out[0]), np.asarray(out[1])
             for j in range(k):
@@ -1130,6 +1167,14 @@ def _run_sequence(args, forest, settings) -> int:
                 if group:
                     flush_group(group)
                     group = []
+                if pyramid_mode:
+                    # the pyramid builder itself handles any frame shape
+                    # (internal flat fallback when not packable) — dispatch
+                    # the odd-shaped frame through it instead of silently
+                    # downgrading to single-scale (one compile per shape)
+                    submit((i, "pyramid", match(left, right), 1,
+                            (left, right) if keep_frames else None, False))
+                    continue
                 if fast and args.contract != "auto":
                     # EXPLICIT fast contract: honor it for the new shape
                     # (jit's per-shape cache pays one extra compile) or
