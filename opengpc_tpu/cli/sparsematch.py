@@ -788,11 +788,35 @@ def _run_sequence(args, forest, settings) -> int:
     gcompact_form = geligible and contract == "global-compact"
     global_rows = False
     ovf_guard = None  # lazy full-width fallback for compact overflows
+    pyramid_compact = False
     if pyramid_mode:
-        from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+        from opengpc_tpu.pyramid import (_rows_eligible,
+                                         build_pyramid_sparsematch,
+                                         build_pyramid_sparsematch_compact,
                                          pyramid_supports_to_numpy)
 
-        match = build_pyramid_sparsematch(forest, settings, args.pyramid)
+        rows_pyr = build_pyramid_sparsematch(forest, settings, args.pyramid)
+        match = rows_pyr
+        # density-adaptive compact pyramid (r5): same probe/threshold as
+        # the flat contracts (the compact pyramid rides masked-compact
+        # chunks per level, +26% at 15% density — exp_pyr.py); the
+        # overflow guard + mid-sequence hysteresis make it exact
+        if (settings.disp_high >= 1
+                and _rows_eligible(fmask, settings, probe.shape[0],
+                                   probe.shape[1], args.pyramid)):
+            if right0 is None:
+                right0 = read_gray(rights[0])
+            dens = _probe_density(settings, probe, right0)
+            if dens <= _auto_compact_threshold(True, probe.shape[1]):
+                pyramid_compact = True
+                match = build_pyramid_sparsematch_compact(
+                    forest, settings, args.pyramid)
+                ovf_guard = _OverflowGuard(
+                    lambda: rows_pyr,
+                    "pyramid-compact overflow: re-ran the rows pyramid")
+                print(f"auto contract: candidate density {dens:.2f} — "
+                      "riding the chunk-compacted pyramid "
+                      "(overflow-guarded)", file=sys.stderr)
     elif compact_form:
         from opengpc_tpu.infer import (build_sparsematch_masked,
                                        build_sparsematch_masked_compact,
@@ -839,12 +863,14 @@ def _run_sequence(args, forest, settings) -> int:
     total_matches = 0
     fast = (pyramid_mode or row_form or masked_form or compact_form
             or gcompact_form or global_rows)
-    mode = ("pyramid" if pyramid_mode
+    mode = ("pyramid-compact" if pyramid_compact
+            else "pyramid" if pyramid_mode
             else "masked-compact" if compact_form
             else "masked" if masked_form else "rows" if row_form
             else "global-compact" if gcompact_form
             else "global_rows" if global_rows else "flat")
-    needs_frames = compact_form or gcompact_form  # overflow re-run inputs
+    # overflow re-run inputs
+    needs_frames = compact_form or gcompact_form or pyramid_compact
     # sequence --densify: per-frame dense_{NNNN}.png into this DIRECTORY
     # (single-pair mode's PNG path becomes a dir here, one file per frame)
     dense_dir = args.densify or None
@@ -951,9 +977,11 @@ def _run_sequence(args, forest, settings) -> int:
     # resumes.  Exactness never depends on this — the overflow flag
     # remains the guard either way.
     ovf_state = {"tripped": False}
-    compact_seq = mode in ("masked-compact", "global-compact")
+    compact_seq = mode in ("masked-compact", "global-compact",
+                           "pyramid-compact")
     fallback_mode = {"masked-compact": "masked",
-                     "global-compact": "global_rows"}.get(mode)
+                     "global-compact": "global_rows",
+                     "pyramid-compact": "pyramid"}.get(mode)
 
     def write_frame(i, supports, gray=None):
         nonlocal total_matches
@@ -1015,7 +1043,18 @@ def _run_sequence(args, forest, settings) -> int:
                     gxs[j] if stacked else gxs, gys[j] if stacked else gys,
                     gds[j] if stacked else gds,
                     gcounts[j] if stacked else gcounts), gray(j))
-        elif dmode == "pyramid":
+        elif dmode in ("pyramid", "pyramid-compact"):
+            if dmode == "pyramid-compact":
+                # per-pair overflow flags under the lax.map batch; any
+                # flagged frame re-runs the whole dispatch on the rows
+                # pyramid (exact either way)
+                if bool(np.asarray(out[-1]).any()):
+                    print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
+                          file=sys.stderr)
+                    ovf_state["tripped"] = True
+                    out = ovf_guard.fallback()(*frames)
+                else:
+                    out = out[:-1]
             arrs = [np.asarray(o) for o in out]
             for j in range(k):
                 rows = pyramid_supports_to_numpy(
@@ -1143,7 +1182,8 @@ def _run_sequence(args, forest, settings) -> int:
                     and left.shape == probe.shape):
                 dens = _probe_density(settings, left, right)
                 if dens > _auto_compact_threshold(
-                        mode == "masked-compact", left.shape[1]):
+                        mode in ("masked-compact", "pyramid-compact"),
+                        left.shape[1]):
                     # dense stretch: skip the compact attempt entirely
                     if group:
                         submit(dispatch_group(group))
@@ -1168,11 +1208,13 @@ def _run_sequence(args, forest, settings) -> int:
                     flush_group(group)
                     group = []
                 if pyramid_mode:
-                    # the pyramid builder itself handles any frame shape
+                    # the ROWS pyramid builder handles any frame shape
                     # (internal flat fallback when not packable) — dispatch
                     # the odd-shaped frame through it instead of silently
-                    # downgrading to single-scale (one compile per shape)
-                    submit((i, "pyramid", match(left, right), 1,
+                    # downgrading to single-scale (one compile per shape;
+                    # the compact pyramid would raise on ineligible shapes,
+                    # so shape changes always take the rows builder)
+                    submit((i, "pyramid", rows_pyr(left, right), 1,
                             (left, right) if keep_frames else None, False))
                     continue
                 if fast and args.contract != "auto":

@@ -1372,6 +1372,50 @@ def test_cli_sequence_pyramid(tmp_path, capfd):
     assert "sequence --pyramid" in capfd.readouterr().err
 
 
+def test_cli_sequence_pyramid_density_adaptive(tmp_path, capfd):
+    """A sparse pyramid sequence auto-selects the chunk-compacted pyramid
+    (same probe/threshold as the flat contracts); a dense frame trips the
+    overflow guard (re-run on the rows pyramid) and the hysteresis; all
+    frames equal single-pair --pyramid runs."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    for i in range(6):
+        if i == 3:  # dense frame -> compact-pyramid overflow
+            l, r = make_pair(96, 144, 4, seed=100)
+        else:
+            l, r = make_sparse_pair(96, 144, 4, density=0.15, seed=110 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+    out = tmp_path / "out" / "d.png"
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--disp-high", "32", "--pyramid", "2", "--batch", "1",
+                   "--out", str(out)])
+    err = capfd.readouterr().err
+    assert rc == 0, err
+    assert "chunk-compacted pyramid" in err, err
+    assert "pyramid-compact overflow" in err, err
+    for i in range(6):
+        sp = str(tmp_path / f"single_{i}.txt")
+        rc = cli_main(["forests/defaultZeroForest.txt",
+                       str(ldir / f"f{i:04d}.png"),
+                       str(rdir / f"f{i:04d}.png"),
+                       "--disp-high", "32", "--pyramid", "2",
+                       "--out", str(tmp_path / "sp.png"),
+                       "--supports-out", sp])
+        assert rc == 0
+        want = set(map(tuple, np.loadtxt(sp, dtype=np.int64)
+                       .reshape(-1, 3).tolist()))
+        got = np.loadtxt(str(tmp_path / "out" / f"supports_{i:04d}.txt"),
+                         dtype=np.int64).reshape(-1, 3)
+        assert set(map(tuple, got.tolist())) == want, f"frame {i}"
+
+
 def test_cli_sequence_overflow_hysteresis(tmp_path, capfd):
     """Mid-sequence density drift (VERDICT r4 weak #3): a sequence that
     turns dense trips the overflow ONCE and then routes dense frames
