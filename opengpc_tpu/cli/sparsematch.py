@@ -465,6 +465,31 @@ def main(argv=None) -> int:
         else:
             pmatch = build_pyramid_sparsematch(forest, settings,
                                                args.pyramid)
+            if args.contract == "auto" and settings.epipolar_mode \
+                    and settings.disp_high >= 1:
+                # density-adaptive auto, same rule as sequence mode (r5):
+                # sparse frames ride the chunk-compacted pyramid, the
+                # overflow guard re-runs dense mispredictions on the rows
+                # pyramid (exact either way)
+                from opengpc_tpu.forest import make_filter_mask
+                from opengpc_tpu.pyramid import (
+                    _rows_eligible, build_pyramid_sparsematch_compact)
+
+                if _rows_eligible(make_filter_mask(forest), settings,
+                                  left.shape[0], left.shape[1],
+                                  args.pyramid):
+                    dens = _probe_density(settings, left, right)
+                    if dens <= _auto_compact_threshold(True, left.shape[1]):
+                        rows_pyr = pmatch
+                        pmatch = _OverflowGuard(
+                            lambda: rows_pyr,
+                            "pyramid-compact overflow: dense frame, re-ran "
+                            "the rows pyramid").wrap(
+                            build_pyramid_sparsematch_compact(
+                                forest, settings, args.pyramid))
+                        print(f"auto contract: candidate density "
+                              f"{dens:.2f} — riding the chunk-compacted "
+                              "pyramid (overflow-guarded)", file=sys.stderr)
 
         def run():
             out = pmatch(left, right)

@@ -244,7 +244,13 @@ def test_cli_pyramid_masked_compact(tmp_path, capsys):
             rc = cli_main([forest_path, lp, rp, "--out", op,
                            "--pyramid", "2", "--disp-high", "32",
                            "--supports-out", sp] + extra)
+            err = capsys.readouterr().err
             assert rc == 0, (name, label)
+            if label == "plain" and name == "sparse":
+                # auto single-pair pyramid is density-adaptive too (r5)
+                assert "chunk-compacted pyramid" in err, err
+            if label == "plain" and name == "dense":
+                assert "chunk-compacted pyramid" not in err, err
             with open(sp) as f:
                 outs[label] = sorted(f.read().splitlines())
         assert outs["compact"] == outs["plain"], name
