@@ -842,6 +842,165 @@ def build_batched_sharded_frame_sparsematch(forest_or_mask,
     return run
 
 
+def build_batched_sharded_frame_pyramid(forest_or_mask,
+                                        settings: InferenceSettings,
+                                        mesh: Mesh, num_levels: int = 3,
+                                        use_pallas=None):
+    """(B, H, W) PYRAMIDS sharded both ways over a 2-D ("data", "rows")
+    mesh — the full composition matrix cell (r5): frames over "data"
+    (independent, zero collectives), every frame's rows over "rows" at
+    EVERY pyramid level (build_sharded_frame_pyramid's per-level halos and
+    chip-local finest-wins dedup; each chip owns the same level-0 row
+    range of its frames throughout, so dedup groups (frame, pixel) never
+    cross chips).  Per level, a chip folds ALL its local frame-slabs into
+    ONE (B_local*sh_l, 2W_l) segmented row sort; the dedup runs per local
+    frame under ``lax.map`` (the hybrid rule — a batched (B, K) dedup
+    sort is a measured TPU dead end, README ledger).
+
+    Output contract: (xs, ys, ds, lv (B, n_rows*K_local) each, counts
+    (B, num_levels)) — per-frame support set identical to the
+    single-device pyramid (decode frame i with
+    ``pyramid_supports_to_numpy(xs[i], ys[i], ds[i], lv[i], counts[i])``).
+
+    Requires ``B % n_data == 0``, ``H % (n_rows * 2^(levels-1)) == 0``,
+    and coarsest slabs >= the 14-row halo."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.infer import _key_image_jnp_slab, _rows_ok
+    from opengpc_tpu.match import SENTINEL_BASE, match_epipolar_rows
+    from opengpc_tpu.ops.fused import PAD, fused_keys_slab
+    from opengpc_tpu.pyramid import _dedup_unpack, _pack_params, downscale2
+
+    if set(mesh.axis_names) != {DATA_AXIS, ROWS_AXIS}:
+        raise ValueError(
+            f"need a 2-D ('{DATA_AXIS}', '{ROWS_AXIS}') mesh "
+            f"(make_mesh_2d), got axes {mesh.axis_names}")
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not settings.epipolar_mode:
+        raise ValueError("the sharded pyramid is epipolar-only")
+    n_rows = mesh.shape[ROWS_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    fwd = [(i, i + 1) for i in range(n_rows - 1)]
+    bwd = [(i + 1, i) for i in range(n_rows - 1)]
+    mult, nbd = _pack_params(settings, num_levels)
+    align = n_rows << (num_levels - 1)
+
+    def local(l_slabs, r_slabs):
+        bl, sh0, w0 = l_slabs.shape
+        h_total = n_rows * sh0
+        if not _rows_ok(mask, (h_total, w0), settings):
+            raise ValueError(
+                "sharded pyramid needs <=30-test forests and a packable "
+                "(x, d) key; see infer._rows_ok")
+        if (h_total * w0 * mult) << nbd >= 0x7FFFFFFF:
+            raise ValueError(
+                f"pyramid dedup keys for {h_total}x{w0} x {num_levels} "
+                "levels exceed int32 packing")
+        if (sh0 >> (num_levels - 1)) < PAD:
+            raise ValueError(
+                f"coarsest-level slabs of {sh0 >> (num_levels - 1)} rows "
+                f"are below the {PAD}-row halo; use fewer levels or fewer "
+                f"'{ROWS_AXIS}' shards")
+        sent = jnp.int32(0x7FFFFFFF)
+        my = jax.lax.axis_index(ROWS_AXIS).astype(jnp.int32)
+
+        def with_halo(x):
+            w = x.shape[2]
+            if n_rows == 1:
+                zeros = jnp.zeros((bl, PAD, w), x.dtype)
+                return jnp.concatenate([zeros, x, zeros], axis=1)
+            top = jax.lax.ppermute(x[:, -PAD:], ROWS_AXIS, fwd)
+            bot = jax.lax.ppermute(x[:, :PAD], ROWS_AXIS, bwd)
+            return jnp.concatenate([top, x, bot], axis=1)
+
+        keys = []
+        l_s, r_s = l_slabs, r_slabs
+        for level in range(num_levels):
+            _, shl, wl = l_s.shape
+            h_l = n_rows * shl
+            y0 = my * shl
+            hl = with_halo(l_s)
+            hr = with_halo(r_s)
+            if use_pallas:
+                def keyf(ab, y0=y0, wl=wl, h_l=h_l):
+                    a, b = ab
+                    return jnp.concatenate([
+                        fused_keys_slab(a, mask,
+                                        settings.gradient_threshold,
+                                        0, SENTINEL_BASE, y0, h_l),
+                        fused_keys_slab(b, mask,
+                                        settings.gradient_threshold,
+                                        wl, SENTINEL_BASE, y0, h_l),
+                    ], axis=1)
+
+                kimg = jax.lax.map(keyf, (hl, hr))
+            else:
+                kimg = jax.vmap(
+                    lambda a, b, y0=y0, h_l=h_l: _key_image_jnp_slab(
+                        a, b, mask, settings, y0, h_l)
+                )(hl, hr)
+            (xs, ds), counts = match_epipolar_rows(
+                None, None, None, None, settings.disp_high,
+                key=kimg.reshape(bl * shl, 2 * wl),
+                num_tests=mask.num_tests)
+            xs = xs.reshape(bl, shl, wl)
+            ds = ds.reshape(bl, shl, wl)
+            counts = counts.reshape(bl, shl)
+            scale = 1 << level
+            yy = ((y0 + jnp.arange(shl, dtype=jnp.int32))
+                  * scale)[None, :, None]
+            valid = (jnp.arange(wl, dtype=jnp.int32)[None, None, :]
+                     < counts[:, :, None])
+            pix = yy * w0 + xs * scale
+            keys.append(jnp.where(
+                valid,
+                ((pix * mult + level) << nbd) | (ds + settings.disp_high),
+                sent,
+            ).reshape(bl, shl * wl))
+            if level + 1 < num_levels:
+                l_s = downscale2(l_s)
+                r_s = downscale2(r_s)
+        kc = jnp.concatenate(keys, axis=1)
+        xs, ys, ds, lv, counts = jax.lax.map(
+            lambda k: _dedup_unpack(k, mult, nbd, w0, settings.disp_high,
+                                    num_levels), kc)
+        return xs, ys, ds, lv, jax.lax.psum(counts, ROWS_AXIS)
+
+    bspec = P(DATA_AXIS, ROWS_AXIS)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(DATA_AXIS, ROWS_AXIS, None),) * 2,
+        out_specs=(bspec, bspec, bspec, bspec, P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(lefts, rights):
+        if lefts.ndim != 3:
+            raise ValueError(
+                "the batched sharded pyramid takes (B, H, W) pairs; use "
+                "build_sharded_frame_pyramid for a single pair")
+        b, h, _ = lefts.shape
+        if b % n_data:
+            raise ValueError(
+                f"batch {b} must divide by the '{DATA_AXIS}' axis {n_data}")
+        if h % align:
+            raise ValueError(
+                f"image height {h} must divide by '{ROWS_AXIS}' axis x "
+                f"2^(levels-1) = {align} (pad the pairs)")
+        return fn(lefts, rights)
+
+    return run
+
+
 def sharded_train_fern(
     triplets, scale, optimizer, max_depth, mesh: Mesh, seed: int = 0,
     verbose: bool = False,
@@ -1051,6 +1210,28 @@ def sharded_sparsematch_step(n_devices: int) -> None:
                 "2-D-mesh sharded counts != whole-frame masked counts")
             assert (np.asarray(b2buf[bi]) == np.asarray(w2buf)).all(), (
                 "2-D-mesh sharded buffer != whole-frame masked buffer")
+
+        # 2-D mesh PYRAMID (r5): frames over "data", rows over "rows" at
+        # every level — per-frame sets equal the single-device pyramid
+        ph2 = 28 * n_rows2  # 2 levels: coarsest slab 14 == the halo min
+        pl2 = rng.integers(0, 256, (2, ph2, fw)).astype(np.uint8)
+        pr2 = np.roll(pl2, -2, axis=2)
+        run_2dp = build_batched_sharded_frame_pyramid(forest, settings,
+                                                      mesh2, num_levels=2)
+        p2out = run_2dp(pl2, pr2)
+        p2out[4].block_until_ready()
+        single_pyr = build_pyramid_sparsematch(forest, settings,
+                                               num_levels=2,
+                                               use_pallas=False)
+        for bi in range(2):
+            sp = single_pyr(pl2[bi], pr2[bi])
+            assert (np.asarray(p2out[4])[bi] == np.asarray(sp[4])).all(), (
+                "2-D pyramid counts != single-device pyramid counts")
+            g2 = set(map(tuple, pyramid_supports_to_numpy(
+                *(np.asarray(o)[bi] for o in p2out)).tolist()))
+            w2 = set(map(tuple, pyramid_supports_to_numpy(*sp).tolist()))
+            assert g2 == w2, (
+                "2-D pyramid support set != single-device pyramid")
 
     # full training step, triplet axis sharded over the same mesh
     from opengpc_tpu.config import zero_optimizer

@@ -796,6 +796,43 @@ def test_batched_sharded_frame_rows_and_compact_match():
                                           np.asarray(sbuf))
 
 
+def test_batched_sharded_frame_pyramid_matches_single_device():
+    """(B, H, W) pyramids over the 2-D (data x rows) mesh (r5, the full
+    composition matrix cell): per-frame support set and counts equal the
+    single-device pyramid; rejections for bad batch/height."""
+    import pytest
+
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_pyramid,
+                                      make_mesh_2d)
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    forest, settings = _pyramid_forest_settings()
+    mesh = make_mesh_2d(2, 4)
+    pairs = [_frame_pair(50 + b, 112, 96) for b in range(2)]
+    lb = np.stack([p[0] for p in pairs])
+    rb = np.stack([p[1] for p in pairs])
+    run = build_batched_sharded_frame_pyramid(forest, settings, mesh,
+                                              num_levels=2,
+                                              use_pallas=False)
+    out = run(lb, rb)
+    single = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                       use_pallas=False)
+    for b in range(2):
+        got = set(map(tuple, pyramid_supports_to_numpy(
+            *(np.asarray(o)[b] for o in out)).tolist()))
+        sout = single(lb[b], rb[b])
+        want = set(map(tuple, pyramid_supports_to_numpy(*sout).tolist()))
+        assert got == want and len(want) > 50
+        np.testing.assert_array_equal(np.asarray(out[4])[b],
+                                      np.asarray(sout[4]))
+    with pytest.raises(ValueError, match="batch"):
+        run(lb[:1], rb[:1])
+    l3, r3 = _frame_pair(60, 100, 96)  # 100 % (4*2) != 0
+    with pytest.raises(ValueError, match="divide"):
+        run(np.stack([l3, l3]), np.stack([r3, r3]))
+
+
 def test_batched_sharded_frame_pallas_interpret_matches_jnp():
     """Pallas slab-kernel path (interpret on CPU) inside the 2-D shard_map
     == single-device jnp masked."""
