@@ -107,7 +107,10 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             continue
         stem = os.path.splitext(lf)[0]
-        write_supports(os.path.join(args.out_dir, f"{stem}.txt"), supports)
+        # pyramid artifacts decode to (n, 4) x/y/d/level; the text format
+        # is the 3-column one (level-0 units), like the sparsematch CLI
+        write_supports(os.path.join(args.out_dir, f"{stem}.txt"),
+                       supports[:, :3])
         line = (f"[{i + 1}/{len(lefts)}] {lf}: {len(supports)} supports "
                 f"in {1e3 * (time.perf_counter() - t0):.1f} ms")
         if args.densify and masked:

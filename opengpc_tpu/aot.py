@@ -240,23 +240,33 @@ def export_batched_sharded_frame(forest_or_mask,
                                  settings: InferenceSettings,
                                  batch: int, shape: Tuple[int, int], mesh,
                                  contract: str = "masked",
-                                 use_pallas: Optional[bool] = None) -> bytes:
+                                 use_pallas: Optional[bool] = None,
+                                 num_levels: int = 3) -> bytes:
     """Serialize the COMPOSED 2-D matcher
     (parallel.build_batched_sharded_frame_sparsematch: a (batch, H, W)
     stack over a ("data", "rows") mesh — frames over "data", each frame's
-    rows over "rows" with the halo exchange).  The module pins the mesh
-    SHAPE; serve it over a same-shape mesh (``load_batched_sharded_frame``
-    or ``load_artifact`` with ``extra={"mesh_shape": [D, R], "batch": B}``
-    metadata).  Outputs keep the stacked (batch, ...) layout — decode per
-    frame with the contract's ``*_supports_to_numpy``."""
+    rows over "rows" with the halo exchange).  ``contract="pyramid"``
+    freezes the 2-D multi-scale matcher instead
+    (parallel.build_batched_sharded_frame_pyramid, ``num_levels``
+    levels).  The module pins the mesh SHAPE; serve it over a same-shape
+    mesh (``load_batched_sharded_frame`` or ``load_artifact`` with
+    ``extra={"mesh_shape": [D, R], "batch": B}`` metadata).  Outputs keep
+    the stacked (batch, ...) layout — decode per frame with the
+    contract's ``*_supports_to_numpy``."""
     import jax
     from jax import export as jexport
 
-    from opengpc_tpu.parallel import build_batched_sharded_frame_sparsematch
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_pyramid,
+                                      build_batched_sharded_frame_sparsematch)
 
-    fn = build_batched_sharded_frame_sparsematch(
-        forest_or_mask, settings, mesh, use_pallas=use_pallas,
-        contract=contract)
+    if contract == "pyramid":
+        fn = build_batched_sharded_frame_pyramid(
+            forest_or_mask, settings, mesh, num_levels=num_levels,
+            use_pallas=use_pallas)
+    else:
+        fn = build_batched_sharded_frame_sparsematch(
+            forest_or_mask, settings, mesh, use_pallas=use_pallas,
+            contract=contract)
     spec = jax.ShapeDtypeStruct((batch,) + tuple(shape), np.uint8)
     disabled = [jexport.DisabledSafetyCheck.custom_call(_MOSAIC_TARGET)]
     exp = jexport.export(fn, disabled_checks=disabled)(spec, spec)

@@ -137,9 +137,12 @@ def _export(args) -> int:
                 mesh = make_mesh_2d(nd, sf, devs[:nd * sf])
                 blob = export_batched_sharded_frame(
                     forest, settings, batch, shape, mesh,
-                    contract=args.contract, use_pallas=use_pallas)
+                    contract=args.contract, use_pallas=use_pallas,
+                    num_levels=args.levels)
                 extra = {"mesh_shape": [nd, sf], "batch": batch,
                          "n_devices": nd * sf}
+                if args.contract == "pyramid":
+                    extra["num_levels"] = args.levels
             else:
                 blob = export_sharded_frame(
                     forest, settings, shape, make_mesh(devs[:sf]),

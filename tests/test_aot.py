@@ -483,6 +483,43 @@ def test_export_batched_sharded_frame_round_trip(forest, tmp_path):
         load_batched_sharded_frame(blob, (2, 4), make_mesh_2d(4, 2))
 
 
+def test_export_batched_sharded_frame_pyramid_round_trip(forest):
+    """The 2-D (data x rows) pyramid freezes and round-trips bit-exact vs
+    the live builder; per-frame decoded sets equal the single-device
+    pyramid."""
+    from opengpc_tpu.aot import (export_batched_sharded_frame,
+                                 load_batched_sharded_frame)
+    from opengpc_tpu.parallel import (build_batched_sharded_frame_pyramid,
+                                      make_mesh_2d)
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    settings = _settings()
+    b, h, w = 2, 112, 96  # 2 data x 4 rows, 2 levels: coarsest slab 14
+    mesh = make_mesh_2d(2, 4)
+    lefts = np.stack([make_pair(h, w, 3, seed=60 + i)[0] for i in range(b)])
+    rights = np.stack([make_pair(h, w, 3, seed=60 + i)[1]
+                       for i in range(b)])
+    blob = export_batched_sharded_frame(forest, settings, b, (h, w), mesh,
+                                        contract="pyramid",
+                                        use_pallas=False, num_levels=2)
+    call = load_batched_sharded_frame(blob, (2, 4))
+    got = call(lefts, rights)
+    want = build_batched_sharded_frame_pyramid(
+        forest, settings, mesh, num_levels=2, use_pallas=False)(
+        lefts, rights)
+    for g, x in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
+    single = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                       use_pallas=False)
+    for i in range(b):
+        got_set = set(map(tuple, pyramid_supports_to_numpy(
+            *(np.asarray(o)[i] for o in got)).tolist()))
+        want_set = set(map(tuple, pyramid_supports_to_numpy(
+            *single(lefts[i], rights[i])).tolist()))
+        assert got_set == want_set and len(want_set) > 50
+
+
 def test_cli_aot_export_sharded(forest, tmp_path, capfd):
     """AOT CLI sharded exports (r4): --shard-frame N freezes the
     row-sharded matcher (run-servable over an N-device mesh, supports
