@@ -263,6 +263,61 @@ def _rows_eligible(mask: FilterMask, settings: InferenceSettings,
     return None
 
 
+def _pyramid_compact_batched_impl(lefts, rights, mask: FilterMask,
+                                  settings: InferenceSettings,
+                                  num_levels: int, use_pallas: bool,
+                                  mult: int, nbd: int, chunk, k):
+    """Batched chunk-compacted pyramid (r5): every level's compacted
+    matcher folds the batch into one (B*hs, 2W_l) call — the same native
+    fold the flat masked-compact contract uses — and the finest-wins
+    dedup runs per pair under ``lax.map`` (the adopted hybrid rule).
+    Returns the single-pair contract plus ONE overflow flag for the whole
+    fold (like the folded flat masked-compact impl): when True the caller
+    re-runs the whole dispatch on the rows pyramid (dispatch-level
+    fallback — exactly what the CLI does with per-pair flags anyway)."""
+    from opengpc_tpu.infer import _batched_key_images, _interior_rows
+    from opengpc_tpu.match import (MASKED_SENTINEL,
+                                   match_epipolar_masked_compact)
+
+    b, h0, w0 = lefts.shape
+    sent = jnp.int32(0x7FFFFFFF)
+    disp_high = settings.disp_high
+    bd = max(1, int(2 * disp_high).bit_length())
+    assert bd == nbd, (bd, nbd)
+    keys = []
+    ovf = jnp.bool_(False)
+    l_imgs, r_imgs = lefts, rights
+    for level in range(num_levels):
+        hl, wl = l_imgs.shape[-2:]
+        kimg = _batched_key_images(l_imgs, r_imgs, mask, settings,
+                                   use_pallas)
+        kimg, m = _interior_rows(kimg)
+        hs = hl - 2 * m
+        buf, _counts, o = match_epipolar_masked_compact(
+            kimg.reshape(b * hs, 2 * wl), disp_high, chunk, k,
+            num_tests=mask.num_tests)
+        ovf = ovf | o
+        buf = buf.reshape(b, hs, buf.shape[1])
+        scale = 1 << level
+        valid = buf != MASKED_SENTINEL
+        x = buf >> bd
+        yy = ((jnp.arange(hs, dtype=jnp.int32) + m) * scale)[None, :, None]
+        pix = yy * w0 + x * scale
+        keys.append(jnp.where(
+            valid,
+            ((pix * mult + level) << nbd) | (buf & ((1 << bd) - 1)),
+            sent,
+        ).reshape(b, -1))
+        if level + 1 < num_levels:
+            l_imgs = downscale2(l_imgs)
+            r_imgs = downscale2(r_imgs)
+    kc = jnp.concatenate(keys, axis=1)
+    out = jax.lax.map(
+        lambda kk: _dedup_unpack(kk, mult, nbd, w0, disp_high, num_levels),
+        kc)
+    return out + (ovf,)
+
+
 def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
                   num_levels: int, use_pallas: bool, dedup: bool):
     import dataclasses
@@ -491,6 +546,16 @@ def build_pyramid_sparsematch_compact(
     @jax.jit
     def run(left, right):
         if left.ndim == 3:
+            # batched HYBRID fold (r5): per-level (B*hs, 2W_l) compacted
+            # matcher calls + per-pair lax.map dedup; ONE overflow flag
+            # for the whole dispatch (fallback granularity is the
+            # dispatch either way)
+            el = _rows_eligible(mask, settings, left.shape[1],
+                                left.shape[2], num_levels)
+            if el is not None:
+                return _pyramid_compact_batched_impl(
+                    left, right, mask, settings, num_levels,
+                    use_pallas, *el, chunk, k)
             return jax.lax.map(lambda ab: fn(*ab), (left, right))
         return fn(left, right)
 

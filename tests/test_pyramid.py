@@ -216,6 +216,41 @@ def test_pyramid_compact_overflow_and_eligibility():
         assert "compact pyramid" in str(e)
 
 
+def test_pyramid_compact_batched_fold_equals_per_pair():
+    """Batched compact pyramid HYBRID fold (r5): per-pair decoded sets
+    equal single-pair compact runs on sparse scenes; a dense pair in the
+    stack sets the single whole-dispatch overflow flag."""
+    from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 vertical_tolerance=0, capacity=65536,
+                                 disp_high=32)
+    comp = build_pyramid_sparsematch_compact(forest, settings,
+                                             num_levels=2,
+                                             use_pallas=False)
+    pairs = [make_sparse_pair(96, 160, 3 + b, density=0.15, seed=40 + b)
+             for b in range(3)]
+    lb = np.stack([p[0] for p in pairs])
+    rb = np.stack([p[1] for p in pairs])
+    out = comp(lb, rb)
+    assert np.asarray(out[-1]).shape == ()  # one flag per dispatch
+    assert not bool(np.asarray(out[-1]))
+    for b, (l, r) in enumerate(pairs):
+        single = comp(l, r)
+        assert not bool(np.asarray(single[-1]))
+        want = set(map(tuple,
+                       pyramid_supports_to_numpy(*single[:-1]).tolist()))
+        got = set(map(tuple, pyramid_supports_to_numpy(
+            *(np.asarray(o)[b] for o in out[:-1])).tolist()))
+        assert got == want and len(want) > 50, b
+    # a dense pair in the stack trips the whole-dispatch flag
+    dl, dr = make_pair(96, 160, 3, seed=77)
+    out2 = comp(np.stack([pairs[0][0], dl]), np.stack([pairs[0][1], dr]))
+    assert bool(np.asarray(out2[-1]))
+
+
 def test_cli_pyramid_masked_compact(tmp_path, capsys):
     """--pyramid N --contract masked-compact: sparse frame rides the
     compact pyramid; dense frame takes the rows-pyramid overflow
