@@ -265,13 +265,11 @@ def main(argv=None) -> int:
         # reject explicitly-requested single-pair-only features instead of
         # silently ignoring them (same rule as the explicit-contract
         # handling: an option the user typed either works or errors)
-        if args.pyramid > 1 and (args.contract != "auto" or args.global_mode
-                                 or args.data_parallel > 1
-                                 or args.shard_frame > 1):
+        if args.pyramid > 1 and (args.contract != "auto"
+                                 or args.global_mode):
             print("sequence --pyramid rides the batched rows pyramid "
-                  "(--contract auto, epipolar mode) and does not compose "
-                  "with --data-parallel/--shard-frame; the compact pyramid "
-                  "and the sharded pyramid are single-pair features",
+                  "(--contract auto, epipolar mode only; the compact "
+                  "pyramid engages via the auto density probe)",
                   file=sys.stderr)
             return 1
         unsupported = [name for name, on in (
@@ -825,8 +823,11 @@ def _run_sequence(args, forest, settings) -> int:
         # density-adaptive compact pyramid (r5): same probe/threshold as
         # the flat contracts (the compact pyramid rides masked-compact
         # chunks per level, +26% at 15% density — exp_pyr.py); the
-        # overflow guard + mid-sequence hysteresis make it exact
+        # overflow guard + mid-sequence hysteresis make it exact.
+        # Skipped under --data-parallel/--shard-frame (the mesh pyramid
+        # builders are rows-only; sharded dispatches stay lossless)
         if (settings.disp_high >= 1
+                and args.data_parallel <= 1 and args.shard_frame <= 1
                 and _rows_eligible(fmask, settings, probe.shape[0],
                                    probe.shape[1], args.pyramid)):
             if right0 is None:
@@ -939,7 +940,7 @@ def _run_sequence(args, forest, settings) -> int:
         if sf > 1:
             # COMPOSED parallelism (r4): frames over a "data" axis AND
             # each frame's rows over a "rows" axis — the 2-D mesh builder
-            if mode not in ("masked", "rows", "masked-compact"):
+            if mode not in ("masked", "rows", "masked-compact", "pyramid"):
                 print(f"--shard-frame with the {mode} contract is not "
                       "supported in sequence mode (the global distributed "
                       "bucket sort is single-pair only — use the "
@@ -951,10 +952,14 @@ def _run_sequence(args, forest, settings) -> int:
                 print(f"--shard-frame {sf} x --data-parallel {nd}: only "
                       f"{len(devs)} devices visible", file=sys.stderr)
                 return 1
-            if probe.shape[0] % sf or probe.shape[0] // sf < 14:
+            align_sf = (sf << (args.pyramid - 1) if mode == "pyramid"
+                        else sf)
+            if probe.shape[0] % align_sf \
+                    or (probe.shape[0] // sf) >> (
+                        args.pyramid - 1 if mode == "pyramid" else 0) < 14:
                 print(f"--shard-frame {sf}: frame height {probe.shape[0]} "
-                      f"must divide by {sf} with >= 14 rows per shard",
-                      file=sys.stderr)
+                      f"must divide by {align_sf} with >= 14 rows per "
+                      "shard at the coarsest level", file=sys.stderr)
                 return 1
         elif len(devs) < dp:
             print(f"--data-parallel {dp}: only {len(devs)} devices "
@@ -969,9 +974,17 @@ def _run_sequence(args, forest, settings) -> int:
             batch = -(-batch // dp) * dp  # round the default batch up
         if sf > 1:
             mesh2 = par.make_mesh_2d(nd, sf, devs[:nd * sf])
-            match_batched = par.build_batched_sharded_frame_sparsematch(
-                forest, settings, mesh2, contract=mode)
+            if mode == "pyramid":
+                match_batched = par.build_batched_sharded_frame_pyramid(
+                    forest, settings, mesh2, num_levels=args.pyramid)
+            else:
+                match_batched = par.build_batched_sharded_frame_sparsematch(
+                    forest, settings, mesh2, contract=mode)
             sf_single = nd == 1
+        elif mode == "pyramid":
+            match_batched = par.build_batched_pyramid(
+                forest, settings, par.make_mesh(devs[:dp]),
+                num_levels=args.pyramid)
         else:
             builder = {
                 "rows": par.build_batched_sparsematch_rows,

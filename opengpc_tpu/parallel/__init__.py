@@ -842,6 +842,61 @@ def build_batched_sharded_frame_sparsematch(forest_or_mask,
     return run
 
 
+def build_batched_pyramid(forest_or_mask, settings: InferenceSettings,
+                          mesh: Mesh, num_levels: int = 3,
+                          use_pallas=None):
+    """(B, H, W) pyramids batch-sharded over a 1-D mesh: each chip runs
+    the batched HYBRID pyramid fold on its local frames (per-level folded
+    row sorts + per-pair lax.map dedup — build_pyramid_sparsematch's
+    (B, H, W) path), no collectives.  B must divide by the mesh size.
+    Outputs keep the stacked per-pair layout (counts (B, num_levels))."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from opengpc_tpu.pyramid import (_pyramid_impl,
+                                     _pyramid_rows_batched_impl,
+                                     _rows_eligible)
+
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = int(np.prod(mesh.devices.shape))
+
+    def local(ls, rs):
+        el = _rows_eligible(mask, settings, ls.shape[1], ls.shape[2],
+                            num_levels)
+        if el is not None:
+            return _pyramid_rows_batched_impl(
+                ls, rs, mask, settings, num_levels, use_pallas, *el)
+        return jax.lax.map(
+            lambda ab: _pyramid_impl(ab[0], ab[1], mask, settings,
+                                     num_levels, use_pallas, True),
+            (ls, rs))
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec,) * 5,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(lefts, rights):
+        if lefts.ndim != 3:
+            raise ValueError("build_batched_pyramid takes (B, H, W) pairs")
+        if lefts.shape[0] % n:
+            raise ValueError(
+                f"batch {lefts.shape[0]} must divide by the mesh size {n}")
+        return fn(lefts, rights)
+
+    return run
+
+
 def build_batched_sharded_frame_pyramid(forest_or_mask,
                                         settings: InferenceSettings,
                                         mesh: Mesh, num_levels: int = 3,

@@ -161,6 +161,50 @@ assert serialize_forest(f_batched) == serialize_forest(f_seq), proc
 print(f"proc {proc}: cross-process batched-fern forest identical",
       flush=True)
 
+# SHARDED PYRAMID across the process boundary (r5): rows over the
+# 4-device 2-process mesh at EVERY level, so the per-level halo
+# ppermutes (and nothing else) ride the simulated DCN.  Each chip's
+# dedup block holds exactly its level-0 row range, so each process
+# validates its local blocks against the single-device pyramid's
+# supports restricted to those rows.
+from opengpc_tpu.parallel import build_sharded_frame_pyramid
+from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                 pyramid_supports_to_numpy)
+
+ph, pw = 112, 96  # 4 chips x 2 levels: slab 28, coarsest 14 == halo min
+pl, pr = make_pair(ph, pw, 3, seed=101)
+prun = build_sharded_frame_pyramid(forest, settings, mesh, num_levels=2,
+                                   use_pallas=False)
+pout = prun(pl, pr)
+sout = build_pyramid_sparsematch(forest, settings, num_levels=2,
+                                 use_pallas=False)(pl, pr)
+srows = pyramid_supports_to_numpy(*sout)
+assert (np.asarray(pout[4]) == np.asarray(sout[4])).all(), proc
+K = pout[0].shape[0] // 4  # per-chip dedup block length
+pchecked = 0
+pxs, pys, pds, plv = pout[:4]
+for s in pxs.addressable_shards:
+    i0 = s.index[0].start or 0
+    chip = i0 // K
+    sh = ph // 4
+    blk = [np.asarray(a.addressable_shards[[t.index[0].start or 0
+           for t in a.addressable_shards].index(i0)].data)
+           for a in (pxs, pys, pds, plv)]
+    got = set()
+    lv_b = blk[3]
+    keep = lv_b >= 0
+    got = set(zip(blk[0][keep].tolist(), blk[1][keep].tolist(),
+                  blk[2][keep].tolist(), lv_b[keep].tolist()))
+    in_range = srows[(srows[:, 1] >= chip * sh)
+                     & (srows[:, 1] < (chip + 1) * sh)]
+    want = set(map(tuple, in_range.tolist()))
+    assert got == want and len(want) > 10, (proc, chip, len(got),
+                                            len(want))
+    pchecked += 1
+assert pchecked == 2, pchecked  # 2 of the 4 chip blocks live here
+print(f"proc {proc}: cross-process sharded pyramid blocks identical",
+      flush=True)
+
 # AOT ARTIFACT SERVED ACROSS PROCESSES (r4): the artifact was exported by
 # the PARENT pytest process (a different "host" with its own
 # single-process 4-virtual-device mesh) and handed over as a file — the

@@ -1372,6 +1372,62 @@ def test_cli_sequence_pyramid(tmp_path, capfd):
     assert "sequence --pyramid" in capfd.readouterr().err
 
 
+def test_cli_sequence_pyramid_multichip(tmp_path, capfd):
+    """Sequence --pyramid composes with --data-parallel (batch over a
+    1-D mesh) and with --shard-frame x --data-parallel (the 2-D mesh
+    pyramid): per-frame supports equal single-pair --pyramid runs."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    frames = []
+    for i in range(4):
+        l, r = make_pair(112, 96, 2 + (i % 2), seed=130 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+        frames.append((l, r))
+    singles = []
+    for i, (l, r) in enumerate(frames):
+        sp = str(tmp_path / f"s_{i}.txt")
+        rc = cli_main(["forests/defaultZeroForest.txt",
+                       str(ldir / f"f{i:04d}.png"),
+                       str(rdir / f"f{i:04d}.png"), "--disp-high", "32",
+                       "--pyramid", "2", "--out", str(tmp_path / "x.png"),
+                       "--supports-out", sp])
+        assert rc == 0
+        singles.append(set(map(tuple, np.loadtxt(sp, dtype=np.int64)
+                               .reshape(-1, 3).tolist())))
+    for label, extra in (
+            ("dp", ["--data-parallel", "2", "--batch", "2"]),
+            ("2d", ["--data-parallel", "2", "--shard-frame", "4",
+                    "--batch", "2"])):
+        out = tmp_path / f"out_{label}" / "d.png"
+        rc = cli_main(["forests/defaultZeroForest.txt", str(ldir),
+                       str(rdir), "--disp-high", "32", "--pyramid", "2",
+                       "--out", str(out)] + extra)
+        assert rc == 0, (label, capfd.readouterr().err)
+        for i in range(4):
+            got = np.loadtxt(
+                str(tmp_path / f"out_{label}" / f"supports_{i:04d}.txt"),
+                dtype=np.int64).reshape(-1, 3)
+            assert set(map(tuple, got.tolist())) == singles[i], \
+                (label, i)
+            assert len(singles[i]) > 50
+    # misaligned height for the 2-D pyramid rejects up front
+    for f in list(ldir.glob("*.png")) + list(rdir.glob("*.png")):
+        f.unlink()
+    l, r = make_pair(100, 96, 2, seed=140)  # 100 % (4*2) != 0
+    write_png(str(ldir / "f0000.png"), l)
+    write_png(str(rdir / "f0000.png"), r)
+    rc = cli_main(["forests/defaultZeroForest.txt", str(ldir), str(rdir),
+                   "--pyramid", "2", "--shard-frame", "4", "--out",
+                   str(tmp_path / "y.png")])
+    assert rc == 1 and "divide by 8" in capfd.readouterr().err
+
+
 def test_cli_sequence_pyramid_density_adaptive(tmp_path, capfd):
     """A sparse pyramid sequence auto-selects the chunk-compacted pyramid
     (same probe/threshold as the flat contracts); a dense frame trips the
