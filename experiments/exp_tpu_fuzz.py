@@ -87,7 +87,40 @@ for trial in range(N):
             assert got_g == gwant, (trial, "gcompact", h, w,
                                     len(got_g), len(gwant))
             gtag = "gcompact=="
+    # pyramid contracts on the same draw (r5): the rows pyramid's pallas
+    # path vs the jnp path (same finest-wins dedup — sets of
+    # (x, y, d, level) must be identical), and the compact pyramid vs
+    # that set whenever its per-level overflow guard stays clear.
+    # Random shapes exercise the per-level downscale/key shapes the
+    # Sintel-sized A/Bs never vary.
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     build_pyramid_sparsematch_compact,
+                                     pyramid_supports_to_numpy)
+    from opengpc_tpu.pyramid import _rows_eligible
+
+    nlv = int(rng.choice([2, 3]))
+    ptag = "p-ineligible"
+    if _rows_eligible(make_filter_mask(forest), s, h, w, nlv) is not None:
+        pwant = set(map(tuple, pyramid_supports_to_numpy(
+            *build_pyramid_sparsematch(forest, s, nlv, use_pallas=False)(
+                left, right)).tolist()))
+        pgot = set(map(tuple, pyramid_supports_to_numpy(
+            *build_pyramid_sparsematch(forest, s, nlv, use_pallas=True)(
+                left, right)).tolist()))
+        assert pgot == pwant, (trial, "pyramid", h, w, nlv,
+                               len(pgot), len(pwant))
+        ptag = f"pyr{nlv}=="
+        pc = build_pyramid_sparsematch_compact(forest, s, nlv,
+                                               use_pallas=True)(left, right)
+        if not bool(np.asarray(pc[-1])):
+            pcgot = set(map(tuple,
+                            pyramid_supports_to_numpy(*pc[:-1]).tolist()))
+            assert pcgot == pwant, (trial, "pyr-compact", h, w, nlv,
+                                    len(pcgot), len(pwant))
+            ptag += ",pc=="
+        else:
+            ptag += ",pc-overflow"
     print(f"trial {trial}: ({h},{w}) grad={grad} dh={dh} {fname[:11]} "
-          f"-> {len(want)} supports, TPU==CPU, {ctag}, {gtag}",
+          f"-> {len(want)} supports, TPU==CPU, {ctag}, {gtag}, {ptag}",
           flush=True)
 print("TPU randomized parity sweep OK")
