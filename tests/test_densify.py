@@ -172,3 +172,30 @@ def test_multigrid_pins_seeds_and_stays_in_range():
     for (x, y), vals in seen.items():
         if len(vals) == 1:
             assert dense[y, x] == float(vals[0])
+
+
+def test_multigrid_odd_prime_shapes():
+    """Odd/prime dims hit the restriction's (h%2, w%2) zero-padding at
+    every level and the upsample's [:h, :w] crop — the two places an
+    off-by-one would silently shift the grid (densify.py
+    _diffuse_multigrid).  Zero-count pad cells are "unknown", so the
+    interpolant must stay seed-pinned, range-bounded, and fully filled
+    exactly as on even shapes."""
+    rng = np.random.default_rng(31)
+    for h, w in ((77, 131), (53, 9), (7, 257)):
+        n = max(6, (h * w) // 200)
+        xs = rng.integers(0, w, n)
+        ys = rng.integers(0, h, n)
+        ds = rng.integers(-20, 21, n)
+        sup = np.stack([xs, ys, ds], axis=1)
+        dense, filled = densify_supports(sup, (h, w))
+        assert dense.shape == (h, w) and filled.shape == (h, w)
+        assert filled.all(), (h, w)
+        assert dense.min() >= ds.min() - 1e-3, (h, w)
+        assert dense.max() <= ds.max() + 1e-3, (h, w)
+        seen = {}
+        for x, y, d in sup.tolist():
+            seen.setdefault((x, y), []).append(d)
+        for (x, y), vals in seen.items():
+            if len(vals) == 1:
+                assert dense[y, x] == float(vals[0]), (h, w, x, y)
