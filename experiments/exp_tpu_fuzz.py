@@ -21,7 +21,7 @@ from opengpc_tpu.infer import (build_sparsematch, build_sparsematch_masked,
                                build_sparsematch_global_compact,
                                global_row_supports_to_numpy,
                                masked_supports_to_numpy, supports_to_numpy)
-from opengpc_tpu.utils.scenes import make_scene
+from opengpc_tpu.utils.scenes import make_scene, make_sparse_pair
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 606
@@ -46,7 +46,19 @@ for trial in range(N):
     else:
         fname = str(rng.choice(
             ["defaultZeroForest.txt", "defaultTauForest.txt"]))
-    left, right, _, _ = make_scene(rng, h, w)
+    # 1-in-2 draws use a SPARSE scene (realistic ~10-25% candidate
+    # density) so the chunk-compacted legs actually verify on-chip
+    # instead of constantly overflowing on make_scene's ~79% density
+    if rng.integers(0, 2) == 0:
+        grad = int(rng.integers(5, 13))  # generator is sobel-quiet at >=5
+        dens = float(rng.uniform(0.08, 0.25))
+        stag = f"sparse{dens:.2f}"
+        left, right = make_sparse_pair(h, w, int(rng.integers(1, 13)),
+                                       density=dens,
+                                       seed=int(rng.integers(1 << 30)))
+    else:
+        stag = "dense"
+        left, right, _, _ = make_scene(rng, h, w)
     s = InferenceSettings(gradient_threshold=grad, vertical_tolerance=0,
                           disp_high=dh, epipolar_mode=True, capacity=1 << 19)
     forest = forests[fname]
@@ -120,7 +132,7 @@ for trial in range(N):
             ptag += ",pc=="
         else:
             ptag += ",pc-overflow"
-    print(f"trial {trial}: ({h},{w}) grad={grad} dh={dh} {fname[:11]} "
-          f"-> {len(want)} supports, TPU==CPU, {ctag}, {gtag}, {ptag}",
-          flush=True)
+    print(f"trial {trial}: ({h},{w}) {stag} grad={grad} dh={dh} "
+          f"{fname[:11]} -> {len(want)} supports, TPU==CPU, {ctag}, "
+          f"{gtag}, {ptag}", flush=True)
 print("TPU randomized parity sweep OK")
