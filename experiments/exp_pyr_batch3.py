@@ -50,7 +50,7 @@ fold = functools.partial(_pyramid_compact_batched_impl, mask=mask,
 
 # gate: no overflow, per-pair equality
 fout = jax.jit(fold)(lb, rb)
-assert not bool(np.asarray(fout[-1])), "sparse batch tripped overflow"
+assert not np.asarray(fout[-1]).any(), "sparse batch tripped overflow"
 for b in range(B):
     sout = jax.jit(one)(lb[b], rb[b])
     assert not bool(np.asarray(sout[-1]))

@@ -13,6 +13,7 @@ threshold 5, vertical tolerance 0, dispHigh 128, epipolar mode on.
 from __future__ import annotations
 
 import argparse
+import functools
 import sys
 import time
 
@@ -47,22 +48,32 @@ def _auto_compact_threshold(masked: bool, width: int) -> float:
     return _AUTO_COMPACT_FRACTION * (k / chunk)
 
 
-def _probe_density(settings, left, right) -> float:
-    """Candidate density of one pair under ``gradient_threshold``: max of
-    the two images' candidate-mask means, computed by ONE tiny jitted
-    program (eager jnp ops would each compile remotely through a relayed
-    backend).  Drives the density-adaptive auto contract (r4,
-    experiments/exp_lowdens.py)."""
+@functools.lru_cache(maxsize=8)
+def _probe_fn(gradient_threshold: int):
+    """One cached jitted reduce per gradient threshold: the hysteresis
+    path (dense stretches of a sequence) probes EVERY frame, so a fresh
+    ``jax.jit(lambda ...)`` per call would retrace/recompile per frame —
+    exactly the cost the probe exists to avoid."""
     import jax
     import jax.numpy as jnp
 
     from opengpc_tpu.ops.preprocess import candidate_mask, sobel3
 
-    gt = settings.gradient_threshold
-    return float(np.asarray(jax.jit(
+    gt = gradient_threshold
+    return jax.jit(
         lambda a, b: jnp.maximum(
             candidate_mask(sobel3(a, gt)).mean(),
-            candidate_mask(sobel3(b, gt)).mean()))(left, right)))
+            candidate_mask(sobel3(b, gt)).mean()))
+
+
+def _probe_density(settings, left, right) -> float:
+    """Candidate density of one pair under ``gradient_threshold``: max of
+    the two images' candidate-mask means, computed by ONE tiny jitted
+    program (eager jnp ops would each compile remotely through a relayed
+    backend; the jitted reduce is cached per threshold).  Drives the
+    density-adaptive auto contract (r4, experiments/exp_lowdens.py)."""
+    return float(np.asarray(
+        _probe_fn(settings.gradient_threshold)(left, right)))
 
 
 class _OverflowGuard:
@@ -387,7 +398,8 @@ def main(argv=None) -> int:
             # sharded multi-scale (r5): one pair's rows over the mesh at
             # every level; stricter alignment than the flat contracts
             from opengpc_tpu.parallel import build_sharded_frame_pyramid
-            from opengpc_tpu.pyramid import pyramid_supports_to_numpy
+            from opengpc_tpu.pyramid import (_rows_eligible,
+                                             pyramid_supports_to_numpy)
 
             align = n << (args.pyramid - 1)
             if left.shape[0] % align or \
@@ -396,6 +408,17 @@ def main(argv=None) -> int:
                       f"an image height divisible by {align} with the "
                       f"coarsest slab >= {PAD} rows (got {left.shape}); "
                       "pad the pair or reduce levels", file=sys.stderr)
+                return 1
+            if _rows_eligible(fmask, settings, left.shape[0],
+                              left.shape[1], args.pyramid) is None:
+                # _rows_ok passed above, so the extra clause that failed is
+                # the (pixel, level, d) dedup-key budget — surface it as a
+                # CLI message instead of the builder's in-trace ValueError
+                print(f"--shard-frame {n} --pyramid {args.pyramid}: the "
+                      f"finest-wins dedup key for {left.shape[0]}x"
+                      f"{left.shape[1]} x {args.pyramid} levels exceeds "
+                      "int32 packing; reduce levels or the image size",
+                      file=sys.stderr)
                 return 1
             match = build_sharded_frame_pyramid(
                 fmask, settings, mesh, num_levels=args.pyramid)
@@ -961,6 +984,23 @@ def _run_sequence(args, forest, settings) -> int:
                       f"must divide by {align_sf} with >= 14 rows per "
                       "shard at the coarsest level", file=sys.stderr)
                 return 1
+            if mode == "pyramid":
+                from opengpc_tpu.pyramid import \
+                    _rows_eligible as _pyr_eligible
+
+                if _pyr_eligible(fmask, settings, probe.shape[0],
+                                 probe.shape[1], args.pyramid) is None:
+                    # same in-trace ValueError the single-pair path
+                    # guards: the (pixel, level, d) dedup key must fit
+                    # int32 (the flat-contract _rows_ok check alone
+                    # doesn't cover it)
+                    print(f"--shard-frame {sf} --pyramid {args.pyramid}: "
+                          f"the finest-wins dedup key for "
+                          f"{probe.shape[0]}x{probe.shape[1]} x "
+                          f"{args.pyramid} levels exceeds int32 packing; "
+                          "reduce levels or the frame size",
+                          file=sys.stderr)
+                    return 1
         elif len(devs) < dp:
             print(f"--data-parallel {dp}: only {len(devs)} devices "
                   "visible", file=sys.stderr)
@@ -1083,9 +1123,10 @@ def _run_sequence(args, forest, settings) -> int:
                     gcounts[j] if stacked else gcounts), gray(j))
         elif dmode in ("pyramid", "pyramid-compact"):
             if dmode == "pyramid-compact":
-                # per-pair overflow flags under the lax.map batch; any
-                # flagged frame re-runs the whole dispatch on the rows
-                # pyramid (exact either way)
+                # per-pair overflow flags (the hybrid fold attributes
+                # chunk overflow back to each pair); any flagged frame
+                # re-runs the whole dispatch on the rows pyramid (exact
+                # either way)
                 if bool(np.asarray(out[-1]).any()):
                     print(f"{ovf_guard.notice} (frames {i0}..{i0 + k - 1})",
                           file=sys.stderr)
@@ -1224,7 +1265,12 @@ def _run_sequence(args, forest, settings) -> int:
                         left.shape[1]):
                     # dense stretch: skip the compact attempt entirely
                     if group:
-                        submit(dispatch_group(group))
+                        # the pending group is PARTIAL (k < batch): route it
+                        # through the single-frame program like every other
+                        # flush — a (k, H, W) stacked dispatch would pay a
+                        # fresh jit trace per distinct k and break the
+                        # --data-parallel divisibility contract
+                        flush_group(group)
                         group = []
                     submit((i, fallback_mode,
                             ovf_guard.fallback()(left, right), 1,

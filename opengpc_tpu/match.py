@@ -408,7 +408,8 @@ def resolve_masked_compact_chunks(chunk=None, k=None):
 
 
 def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
-                                  k: int = None, num_tests=None):
+                                  k: int = None, num_tests=None,
+                                  row_overflow: bool = False):
     """Low-density fast path of the masked contract: STRIDED chunked
     pre-compaction shrinks the matcher sort (VERDICT r3 item 2, adopted
     from experiments/exp_lowdens.py: 0.338 vs 0.430 ms at 15% candidate
@@ -428,7 +429,11 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
 
     Returns (buf (H, nc*k) int32, row_counts (H,), overflow bool[]).
     ``buf`` decodes with infer.masked_supports_to_numpy exactly like the
-    full-width masked buffer (same packing, narrower rows).
+    full-width masked buffer (same packing, narrower rows).  With
+    ``row_overflow=True`` the flag is per ROW ((H,) bool — did any of
+    this row's chunks overflow) so folded callers (the batched pyramid's
+    (B*hs, 2W) stacking) can attribute overflow back to the pair it came
+    from; the scalar flag is its ``any()``.
     """
     h, w2 = key.shape
     w = w2 // 2
@@ -452,7 +457,8 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
         kc = packed.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
             h * nc, chunk)
         vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
-        overflow = jnp.any(vc > k)
+        overflow = ((vc > k).reshape(h, nc).any(axis=1) if row_overflow
+                    else jnp.any(vc > k))
         ks = jax.lax.sort((kc,), dimension=1, num_keys=1,
                           is_stable=False)[0]
         ks = ks[:, :k].reshape(h, nc * k)
@@ -465,7 +471,8 @@ def match_epipolar_masked_compact(key, disp_high, chunk: int = None,
         pc = pos.reshape(h, chunk, nc).transpose(0, 2, 1).reshape(
             h * nc, chunk)
         vc = jnp.sum(kc < SENTINEL_BASE, axis=1, dtype=jnp.int32)
-        overflow = jnp.any(vc > k)
+        overflow = ((vc > k).reshape(h, nc).any(axis=1) if row_overflow
+                    else jnp.any(vc > k))
         ks, ps = jax.lax.sort((kc, pc), dimension=1, num_keys=1,
                               is_stable=False)
         ks = ks[:, :k].reshape(h, nc * k)

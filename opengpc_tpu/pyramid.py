@@ -271,10 +271,11 @@ def _pyramid_compact_batched_impl(lefts, rights, mask: FilterMask,
     matcher folds the batch into one (B*hs, 2W_l) call — the same native
     fold the flat masked-compact contract uses — and the finest-wins
     dedup runs per pair under ``lax.map`` (the adopted hybrid rule).
-    Returns the single-pair contract plus ONE overflow flag for the whole
-    fold (like the folded flat masked-compact impl): when True the caller
-    re-runs the whole dispatch on the rows pyramid (dispatch-level
-    fallback — exactly what the CLI does with per-pair flags anyway)."""
+    Returns the single-pair contract plus PER-PAIR (B,) overflow flags:
+    the compacted matcher reports overflow per folded row
+    (``row_overflow=True``), which reduces back to the pair each row came
+    from, ORed across levels — so API consumers can re-run only the
+    flagged pairs (the CLI re-runs the whole dispatch via ``.any()``)."""
     from opengpc_tpu.infer import _batched_key_images, _interior_rows
     from opengpc_tpu.match import (MASKED_SENTINEL,
                                    match_epipolar_masked_compact)
@@ -285,7 +286,7 @@ def _pyramid_compact_batched_impl(lefts, rights, mask: FilterMask,
     bd = max(1, int(2 * disp_high).bit_length())
     assert bd == nbd, (bd, nbd)
     keys = []
-    ovf = jnp.bool_(False)
+    ovf = jnp.zeros((b,), dtype=jnp.bool_)
     l_imgs, r_imgs = lefts, rights
     for level in range(num_levels):
         hl, wl = l_imgs.shape[-2:]
@@ -295,8 +296,8 @@ def _pyramid_compact_batched_impl(lefts, rights, mask: FilterMask,
         hs = hl - 2 * m
         buf, _counts, o = match_epipolar_masked_compact(
             kimg.reshape(b * hs, 2 * wl), disp_high, chunk, k,
-            num_tests=mask.num_tests)
-        ovf = ovf | o
+            num_tests=mask.num_tests, row_overflow=True)
+        ovf = ovf | o.reshape(b, hs).any(axis=1)
         buf = buf.reshape(b, hs, buf.shape[1])
         scale = 1 << level
         valid = buf != MASKED_SENTINEL
@@ -505,8 +506,11 @@ def build_pyramid_sparsematch_compact(
     chunk at some level exceeded ``k`` candidates — dense frames) the
     result is incomplete and the caller must re-run the rows pyramid
     (the CLI's ``--pyramid --contract masked-compact`` does exactly
-    that).  Works on (H, W) pairs and (B, H, W) batches (lax.map;
-    ``overflow`` becomes per-pair (B,)).
+    that).  Works on (H, W) pairs and (B, H, W) batches; batched
+    ``overflow`` is per-pair (B,) — the hybrid fold attributes each
+    folded row's chunk overflow back to its pair (ORed across levels),
+    so callers may re-run only the flagged pairs (the CLI re-runs the
+    dispatch via ``.any()``).
 
     Eligibility (checked at trace time, ValueError otherwise) matches the
     rows pyramid: epipolar mode, <=30-test packable forest, 31-bit
@@ -523,16 +527,11 @@ def build_pyramid_sparsematch_compact(
         raise ValueError("compact pyramid needs disp_high >= 1")
 
     def fn(left, right):
-        from opengpc_tpu.infer import _rows_ok
-
         h0, w0 = left.shape
-        mult = 1
-        while mult < num_levels:
-            mult <<= 1
-        nbd = int(2 * settings.disp_high + 1).bit_length()
-        if not (settings.epipolar_mode
-                and _rows_ok(mask, (h0, w0), settings)
-                and (h0 * w0 * mult) << nbd < 0x7FFFFFFF):
+        # the ONE eligibility rule (shared with the rows pyramid and the
+        # sharded builders) — epipolar, packable forest, 31-bit dedup keys
+        el = _rows_eligible(mask, settings, h0, w0, num_levels)
+        if el is None:
             raise ValueError(
                 "compact pyramid needs epipolar mode, a <=30-test "
                 "packable forest, and 31-bit packable dedup keys for "
@@ -541,15 +540,14 @@ def build_pyramid_sparsematch_compact(
             )
         return _pyramid_compact_impl(
             left, right, mask, settings, num_levels, use_pallas,
-            mult, nbd, chunk, k)
+            *el, chunk, k)
 
     @jax.jit
     def run(left, right):
         if left.ndim == 3:
             # batched HYBRID fold (r5): per-level (B*hs, 2W_l) compacted
-            # matcher calls + per-pair lax.map dedup; ONE overflow flag
-            # for the whole dispatch (fallback granularity is the
-            # dispatch either way)
+            # matcher calls + per-pair lax.map dedup; per-pair (B,)
+            # overflow flags (row_overflow attribution through the fold)
             el = _rows_eligible(mask, settings, left.shape[1],
                                 left.shape[2], num_levels)
             if el is not None:

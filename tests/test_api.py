@@ -759,6 +759,36 @@ def test_cli_shard_frame_matches_single_device(tmp_path):
                 "--contract", "masked"]) == 1
 
 
+def test_cli_shard_frame_pyramid_unpackable_keys_message(tmp_path, capfd):
+    """--shard-frame --pyramid on a frame whose (pixel, level, d) dedup
+    key exceeds int32 packing: the CLI must print a message and return 1
+    (r5 review finding — the builder's in-trace ValueError leaked as a
+    raw traceback; _rows_ok alone doesn't cover the dedup-key budget).
+    512x512 at disp_high 512 x 3 levels: (512*512*4)<<11 == 2^31."""
+    from opengpc_tpu.cli.sparsematch import main as sparsematch_main
+    from opengpc_tpu.io.png import write_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(512, 512), dtype=np.uint8)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, img)
+    write_png(rp, img)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = os.path.join(repo, "forests", "defaultZeroForest.txt")
+    rc = sparsematch_main([forest, lp, rp, "--disp-high", "512",
+                           "--shard-frame", "2", "--pyramid", "3",
+                           "--out", str(tmp_path / "d.png")])
+    err = capfd.readouterr().err
+    assert rc == 1
+    assert "exceeds int32 packing" in err, err
+    # the same shape at a tame disp_high is packable and must run
+    rc = sparsematch_main([forest, lp, rp, "--disp-high", "32",
+                           "--shard-frame", "2", "--pyramid", "3",
+                           "--out", str(tmp_path / "d.png"),
+                           "--supports-out", str(tmp_path / "s.txt")])
+    assert rc == 0
+
+
 def test_cli_sequence_mode_masked_contract(tmp_path):
     """Sequence mode with --contract masked (+ --batch 2, shape change,
     leftover group): per-frame supports equal direct single-pair runs."""
@@ -1522,6 +1552,67 @@ def test_cli_sequence_overflow_hysteresis(tmp_path, capfd):
     for i in range(n):
         assert outs["compact"][i] == outs["rows"][i], f"frame {i}"
     assert sum(len(f) for f in outs["rows"]) > 400
+
+
+def test_cli_sequence_hysteresis_batched_data_parallel(tmp_path, capfd):
+    """Drifting density under --batch 4 --data-parallel 2: when the
+    overflow flag trips while a PARTIAL group is pending, the group must
+    flush through the single-frame program (flush_group), not a stacked
+    (k, H, W) dispatch — a k<batch stack would pay a fresh jit trace per
+    distinct k and break shard_map's batch-divisibility contract (odd k
+    over a 2-device mesh raised mid-sequence).  Outputs equal a rows run
+    frame for frame across two dense stretches."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    ldir = tmp_path / "left"
+    rdir = tmp_path / "right"
+    ldir.mkdir()
+    rdir.mkdir()
+    n = 20
+    dense_frames = set(range(3, 9)) | set(range(12, 18))
+    for i in range(n):
+        if i in dense_frames:
+            l, r = make_pair(96, 144, 4, seed=70 + i)
+        else:
+            l, r = make_sparse_pair(96, 144, 4, density=0.15, seed=80 + i)
+        write_png(str(ldir / f"f{i:04d}.png"), l)
+        write_png(str(rdir / f"f{i:04d}.png"), r)
+    outs = {}
+    for label, extra in (("compact", ["--contract", "masked-compact",
+                                      "--data-parallel", "2"]),
+                         ("rows", ["--contract", "rows"])):
+        out = tmp_path / f"out_{label}" / "d.png"
+        rc = cli_main(["forests/defaultZeroForest.txt", str(ldir),
+                       str(rdir), "--disp-high", "32", "--batch", "4",
+                       "--out", str(out)] + extra)
+        err = capfd.readouterr().err
+        assert rc == 0, (label, err)
+        if label == "compact":
+            assert err.count("masked-compact overflow") >= 1, err
+        frames = []
+        for i in range(n):
+            sf = tmp_path / f"out_{label}" / f"supports_{i:04d}.txt"
+            assert sf.exists(), (label, i)
+            got = np.loadtxt(str(sf), dtype=np.int64).reshape(-1, 3)
+            frames.append(sorted(map(tuple, got.tolist())))
+        outs[label] = frames
+    for i in range(n):
+        assert outs["compact"][i] == outs["rows"][i], f"frame {i}"
+    assert sum(len(f) for f in outs["rows"]) > 400
+
+
+def test_probe_density_fn_cached():
+    """The density probe's jitted reduce is cached per gradient threshold
+    (r5 review finding): the hysteresis path probes EVERY frame of a
+    dense stretch, so a fresh jax.jit(lambda) per call would retrace and
+    recompile per frame — through a relayed backend that is seconds per
+    frame, eroding the savings the probe exists to buy."""
+    from opengpc_tpu.cli.sparsematch import _probe_fn
+
+    assert _probe_fn(5) is _probe_fn(5)
+    assert _probe_fn(5) is not _probe_fn(7)
 
 
 def test_cli_sequence_auto_density_adaptive(tmp_path, capfd):

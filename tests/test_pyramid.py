@@ -218,8 +218,9 @@ def test_pyramid_compact_overflow_and_eligibility():
 
 def test_pyramid_compact_batched_fold_equals_per_pair():
     """Batched compact pyramid HYBRID fold (r5): per-pair decoded sets
-    equal single-pair compact runs on sparse scenes; a dense pair in the
-    stack sets the single whole-dispatch overflow flag."""
+    equal single-pair compact runs on sparse scenes; overflow flags are
+    PER PAIR (B,) — the fold attributes each row's chunk overflow back
+    to its pair, so a dense pair flags without tainting its neighbors."""
     from opengpc_tpu.pyramid import build_pyramid_sparsematch_compact
     from opengpc_tpu.utils.scenes import make_sparse_pair
 
@@ -235,8 +236,8 @@ def test_pyramid_compact_batched_fold_equals_per_pair():
     lb = np.stack([p[0] for p in pairs])
     rb = np.stack([p[1] for p in pairs])
     out = comp(lb, rb)
-    assert np.asarray(out[-1]).shape == ()  # one flag per dispatch
-    assert not bool(np.asarray(out[-1]))
+    assert np.asarray(out[-1]).shape == (3,)  # per-pair flags
+    assert not np.asarray(out[-1]).any()
     for b, (l, r) in enumerate(pairs):
         single = comp(l, r)
         assert not bool(np.asarray(single[-1]))
@@ -245,10 +246,18 @@ def test_pyramid_compact_batched_fold_equals_per_pair():
         got = set(map(tuple, pyramid_supports_to_numpy(
             *(np.asarray(o)[b] for o in out[:-1])).tolist()))
         assert got == want and len(want) > 50, b
-    # a dense pair in the stack trips the whole-dispatch flag
+    # a dense pair in the stack flags ITSELF and only itself, and the
+    # sparse neighbor's outputs stay exact next to it
     dl, dr = make_pair(96, 160, 3, seed=77)
     out2 = comp(np.stack([pairs[0][0], dl]), np.stack([pairs[0][1], dr]))
-    assert bool(np.asarray(out2[-1]))
+    ovf2 = np.asarray(out2[-1])
+    assert not bool(ovf2[0]) and bool(ovf2[1]), ovf2
+    single0 = comp(*pairs[0])
+    want0 = set(map(tuple,
+                    pyramid_supports_to_numpy(*single0[:-1]).tolist()))
+    got0 = set(map(tuple, pyramid_supports_to_numpy(
+        *(np.asarray(o)[0] for o in out2[:-1])).tolist()))
+    assert got0 == want0
 
 
 def test_cli_pyramid_masked_compact(tmp_path, capsys):
