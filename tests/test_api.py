@@ -1779,3 +1779,88 @@ def test_examples_demo_smoke(tmp_path, capsys):
     precs = [float(m) for m in re.findall(
         r"exact-disparity precision (\d\.\d+)", text)]
     assert len(precs) == 2 and all(p > 0.95 for p in precs), precs
+
+
+def test_cli_sequence_randomized_policy_fuzz(tmp_path, capfd):
+    """Randomized density pattern x batch size x data-parallel x pyramid
+    through the sequence CLI's adaptive policy (probe -> compact ->
+    overflow guard -> hysteresis -> resume): whatever route each frame
+    takes, its supports file must equal an independent non-adaptive
+    baseline (a --contract rows sequence run; for pyramid trials a
+    single-pair --pyramid run per frame).  The fixed drift patterns in
+    the tests above pin specific transitions; this draw covers arbitrary
+    interleavings of them.  Seeded; OGPC_FUZZ_SEED / OGPC_FUZZ_TRIALS
+    widen the draw for soaks."""
+    from opengpc_tpu.cli.sparsematch import main as cli_main
+    from opengpc_tpu.io.png import write_png
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    seed = int(os.environ.get("OGPC_FUZZ_SEED", 20260819))
+    trials = int(os.environ.get("OGPC_FUZZ_TRIALS", 2))
+    rng = np.random.default_rng(seed)
+    forest = os.path.join(FORESTS, "defaultZeroForest.txt")
+    for t in range(trials):
+        n = int(rng.integers(5, 11))
+        p_dense = float(rng.uniform(0.2, 0.8))
+        dense = rng.random(n) < p_dense
+        pyramid = bool(rng.integers(0, 2))
+        dp = int(rng.choice([1, 2]))
+        batch = int(rng.choice([2, 4]) if dp == 2 else rng.integers(1, 5))
+        ldir = tmp_path / f"l{t}"
+        rdir = tmp_path / f"r{t}"
+        ldir.mkdir()
+        rdir.mkdir()
+        for i in range(n):
+            if dense[i]:
+                l, r = make_pair(96, 144, 4, seed=1000 * t + i)
+            else:
+                l, r = make_sparse_pair(
+                    96, 144, 4, density=float(rng.uniform(0.08, 0.2)),
+                    seed=5000 + 1000 * t + i)
+            write_png(str(ldir / f"f{i:04d}.png"), l)
+            write_png(str(rdir / f"f{i:04d}.png"), r)
+        base = [forest, str(ldir), str(rdir), "--disp-high", "32",
+                "--batch", str(batch)]
+        if pyramid:
+            base += ["--pyramid", "2"]
+        if dp == 2:
+            base += ["--data-parallel", "2"]
+        out = tmp_path / f"out{t}" / "d.png"
+        rc = cli_main(base + ["--out", str(out)]
+                      + ([] if pyramid else ["--contract", "masked-compact"]))
+        err = capfd.readouterr().err
+        label = (t, n, p_dense, pyramid, dp, batch)
+        assert rc == 0, (label, err)
+        # baseline: non-adaptive, frame-for-frame
+        want = []
+        if pyramid:
+            for i in range(n):
+                sp = str(tmp_path / f"sp{t}_{i}.txt")
+                rc = cli_main([forest, str(ldir / f"f{i:04d}.png"),
+                               str(rdir / f"f{i:04d}.png"),
+                               "--disp-high", "32", "--pyramid", "2",
+                               "--out", str(tmp_path / "sp.png"),
+                               "--supports-out", sp])
+                capfd.readouterr()
+                assert rc == 0, (label, i)
+                want.append(sorted(map(tuple, np.loadtxt(
+                    sp, dtype=np.int64).reshape(-1, 3).tolist())))
+        else:
+            rout = tmp_path / f"rows{t}" / "d.png"
+            rc = cli_main([forest, str(ldir), str(rdir), "--disp-high",
+                           "32", "--contract", "rows", "--out", str(rout)])
+            capfd.readouterr()
+            assert rc == 0, label
+            for i in range(n):
+                got = np.loadtxt(
+                    str(tmp_path / f"rows{t}" / f"supports_{i:04d}.txt"),
+                    dtype=np.int64).reshape(-1, 3)
+                want.append(sorted(map(tuple, got.tolist())))
+        total = 0
+        for i in range(n):
+            got = np.loadtxt(
+                str(tmp_path / f"out{t}" / f"supports_{i:04d}.txt"),
+                dtype=np.int64).reshape(-1, 3)
+            assert sorted(map(tuple, got.tolist())) == want[i], (label, i)
+            total += len(want[i])
+        assert total > 50 * n, (label, total)
