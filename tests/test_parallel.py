@@ -1048,3 +1048,120 @@ def test_sharded_frame_global_rejects_epipolar_settings():
     left, right = _frame_pair(27, 128, 64)
     with pytest.raises(ValueError, match="global"):
         run(left, right)
+
+
+def test_sharded_frame_randomized_fuzz():
+    """Randomized sharded-frame equality fuzz: random mesh size x (H, W) x
+    contract x settings x forest vs the single-device builders.  The
+    fixed-config tests above pin each contract at one shape; this draw
+    walks the slab/halo arithmetic over arbitrary shard counts and shapes
+    (where off-by-one row bugs hide).  Seeded; OGPC_FUZZ_SEED /
+    OGPC_FUZZ_TRIALS widen the draw for soaks."""
+    import os
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest, truncate_forest
+    from opengpc_tpu.infer import (build_sparsematch_masked,
+                                   build_sparsematch_masked_compact,
+                                   build_sparsematch_rows)
+    from opengpc_tpu.parallel import (build_sharded_frame_pyramid,
+                                      build_sharded_frame_sparsematch)
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+    from opengpc_tpu.utils.scenes import make_sparse_pair
+
+    seed = int(os.environ.get("OGPC_FUZZ_SEED", 20260819))
+    trials = int(os.environ.get("OGPC_FUZZ_TRIALS", 3))
+    rng = np.random.default_rng(seed + 7)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forests = {
+        "zero": load_forest(
+            os.path.join(repo, "forests", "defaultZeroForest.txt")),
+        "tau": load_forest(
+            os.path.join(repo, "forests", "defaultTauForest.txt")),
+    }
+    forests["small"] = truncate_forest(forests["zero"], 17)
+    total = 0
+    for t in range(trials):
+        n = int(rng.choice([2, 4, 8]))
+        contract = str(rng.choice(
+            ["masked", "rows", "masked-compact", "pyramid"]))
+        fname = str(rng.choice(sorted(forests)))
+        forest = forests[fname]
+        settings = InferenceSettings(
+            gradient_threshold=int(rng.choice([3, 5, 9])),
+            epipolar_mode=True,
+            disp_high=int(rng.choice([16, 32, 64])),
+            capacity=8192,
+        )
+        if contract == "pyramid":
+            levels = int(rng.choice([2, 3]))
+            h = n * (2 ** (levels - 1)) * int(rng.integers(14, 22))
+        else:
+            levels = 1
+            h = n * int(rng.integers(14, 34))
+        w = int(rng.integers(64, 200))
+        sparse = bool(rng.integers(0, 2))
+        if sparse:
+            left, right = make_sparse_pair(
+                h, w, 3, density=float(rng.uniform(0.08, 0.2)),
+                seed=int(rng.integers(1 << 30)))
+        else:
+            left, right = _frame_pair(int(rng.integers(1 << 30)), h, w)
+        mesh = make_mesh(jax.devices()[:n])
+        label = (t, n, contract, fname, h, w, sparse)
+        if contract == "pyramid":
+            out = build_sharded_frame_pyramid(
+                forest, settings, mesh, num_levels=levels,
+                use_pallas=False)(left, right)
+            single = build_pyramid_sparsematch(
+                forest, settings, num_levels=levels,
+                use_pallas=False)(left, right)
+            got = set(map(tuple, pyramid_supports_to_numpy(*out).tolist()))
+            want = set(map(tuple,
+                           pyramid_supports_to_numpy(*single).tolist()))
+            assert got == want, label
+            np.testing.assert_array_equal(
+                np.asarray(out[4]), np.asarray(single[4]),
+                err_msg=str(label))
+            total += len(want)
+        elif contract == "masked-compact":
+            buf, counts, ovf = build_sharded_frame_sparsematch(
+                forest, settings, mesh, use_pallas=False,
+                contract=contract)(left, right)
+            sbuf, scounts, sovf = build_sparsematch_masked_compact(
+                forest, settings, use_pallas=False)(left, right)
+            assert bool(np.asarray(ovf)) == bool(np.asarray(sovf)), label
+            if not bool(np.asarray(sovf)):
+                np.testing.assert_array_equal(
+                    np.asarray(counts), np.asarray(scounts),
+                    err_msg=str(label))
+                np.testing.assert_array_equal(
+                    np.asarray(buf), np.asarray(sbuf), err_msg=str(label))
+                total += int(np.asarray(scounts).sum())
+        else:
+            sharded = build_sharded_frame_sparsematch(
+                forest, settings, mesh, use_pallas=False,
+                contract=contract)
+            if contract == "masked":
+                buf, counts = sharded(left, right)
+                sbuf, scounts = build_sparsematch_masked(
+                    forest, settings, use_pallas=False)(left, right)
+                np.testing.assert_array_equal(
+                    np.asarray(counts), np.asarray(scounts),
+                    err_msg=str(label))
+                np.testing.assert_array_equal(
+                    np.asarray(buf), np.asarray(sbuf), err_msg=str(label))
+            else:
+                (xs, ds), counts = sharded(left, right)
+                (sxs, sds), scounts = build_sparsematch_rows(
+                    forest, settings, use_pallas=False)(left, right)
+                np.testing.assert_array_equal(
+                    np.asarray(counts), np.asarray(scounts),
+                    err_msg=str(label))
+                np.testing.assert_array_equal(
+                    np.asarray(xs), np.asarray(sxs), err_msg=str(label))
+                np.testing.assert_array_equal(
+                    np.asarray(ds), np.asarray(sds), err_msg=str(label))
+            total += int(np.asarray(scounts).sum())
+    assert total > 30 * trials, total
