@@ -64,4 +64,4 @@ from opengpc_tpu.aot import (
 from opengpc_tpu.densify import densify_from_masked, densify_supports
 from opengpc_tpu.types import Correspondence, Descriptor, Point, Support
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-aot", description=__doc__.splitlines()[0]
     )
+    from opengpc_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pe = sub.add_parser("export", help="freeze a matcher into an artifact")

@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-extract", description=__doc__.splitlines()[0]
     )
+    from opengpc_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("sintel_root", help="Sintel dataset root (contains training/)")
     p.add_argument("out", help="output binary triplet dataset")
     p.add_argument("--mode", choices=["flow", "stereo"], default="flow")

@@ -122,6 +122,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-sparsematch", description=__doc__.splitlines()[0]
     )
+    from opengpc_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("forest", help="text forest file")
     p.add_argument("left", help="left (source) image PNG")
     p.add_argument("right", help="right (target) image PNG")

@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-train", description=__doc__.splitlines()[0]
     )
+    from opengpc_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("dataset", help="binary triplet dataset (extract output)")
     p.add_argument("forest_out", help="output text forest path")
     p.add_argument("--fern-type", choices=["zero", "tau"], default="zero",

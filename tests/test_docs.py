@@ -96,3 +96,26 @@ def test_doc_contract_names_match_cli_choices():
                     choices = {c.value for c in kw.value.elts}
     assert choices is not None
     assert documented == choices, (documented, choices)
+
+
+def test_version_single_source():
+    """opengpc_tpu.__version__ must match pyproject.toml (the two drifted
+    0.4.0 vs 0.5.0 once) and every CLI must report it via --version."""
+    import re
+
+    import pytest
+
+    import opengpc_tpu
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pyproject = open(os.path.join(repo, "pyproject.toml")).read()
+    m = re.search(r'^version = "([^"]+)"', pyproject, re.M)
+    assert m and m.group(1) == opengpc_tpu.__version__
+    from opengpc_tpu.cli.aot import main as aot_main
+    from opengpc_tpu.cli.extract import main as ex_main
+    from opengpc_tpu.cli.sparsematch import main as sm_main
+    from opengpc_tpu.cli.train import main as tr_main
+    for main in (sm_main, ex_main, tr_main, aot_main):
+        with pytest.raises(SystemExit) as e:
+            main(["--version"])
+        assert e.value.code == 0
