@@ -24,8 +24,10 @@ import numpy as np
 from opengpc_tpu.aot import (CONTRACTS, decode_outputs, export_sparsematch,
                              load_artifact, save_artifact)
 from opengpc_tpu.config import InferenceSettings
+from opengpc_tpu.cli._errors import report_input_errors
 
 
+@report_input_errors
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-aot", description=__doc__.splitlines()[0]

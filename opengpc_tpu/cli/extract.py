@@ -16,8 +16,10 @@ import sys
 
 from opengpc_tpu.io.triplets import save_triplets
 from opengpc_tpu.mine import extract_flow_dataset, extract_stereo_dataset
+from opengpc_tpu.cli._errors import report_input_errors
 
 
+@report_input_errors
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-extract", description=__doc__.splitlines()[0]

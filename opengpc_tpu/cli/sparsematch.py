@@ -25,6 +25,7 @@ from opengpc_tpu.infer import build_sparsematch, supports_to_numpy
 from opengpc_tpu.io.png import read_gray, write_png
 from opengpc_tpu.io.supports import write_supports
 from opengpc_tpu.viz import disparity_visualization
+from opengpc_tpu.cli._errors import report_input_errors
 
 
 # auto-contract density cutoff, as a fraction of the chosen contract's
@@ -118,6 +119,7 @@ def _force(leaf) -> None:
     np.asarray(leaf)
 
 
+@report_input_errors
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-sparsematch", description=__doc__.splitlines()[0]

@@ -19,8 +19,10 @@ from opengpc_tpu.config import fern_factory, tau_optimizer, zero_optimizer
 from opengpc_tpu.forest import save_forest
 from opengpc_tpu.io.triplets import load_triplets
 from opengpc_tpu.train import train_forest
+from opengpc_tpu.cli._errors import report_input_errors
 
 
+@report_input_errors
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="opengpc-train", description=__doc__.splitlines()[0]

@@ -1864,3 +1864,53 @@ def test_cli_sequence_randomized_policy_fuzz(tmp_path, capfd):
             assert sorted(map(tuple, got.tolist())) == want[i], (label, i)
             total += len(want[i])
         assert total > 50 * n, (label, total)
+
+
+def test_cli_input_errors_report_cleanly(tmp_path, capfd):
+    """Typed input errors (missing/corrupt files, malformed forests) exit
+    1 with a one-line ``error:`` message through every console script
+    instead of a raw traceback (the library raises them typed —
+    tests/test_formats.py; OGPC_CLI_TRACEBACK=1 re-raises)."""
+    import pytest
+
+    from opengpc_tpu.cli.aot import main as aot_main
+    from opengpc_tpu.cli.extract import main as ex_main
+    from opengpc_tpu.cli.sparsematch import main as sm_main
+    from opengpc_tpu.cli.train import main as tr_main
+    from opengpc_tpu.io.png import write_png
+
+    l, r = make_pair(64, 96, 4, seed=3)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, l)
+    write_png(rp, r)
+    bad_forest = str(tmp_path / "bad.txt")
+    open(bad_forest, "w").write("not a forest\n")
+    bad_png = str(tmp_path / "bad.png")
+    open(bad_png, "wb").write(b"\x89PNG\r\n\x1a\nnot really")
+    out = str(tmp_path / "o.png")
+
+    cases = [
+        (sm_main, [str(tmp_path / "missing.txt"), lp, rp, "--out", out]),
+        (sm_main, [bad_forest, lp, rp, "--out", out]),
+        (sm_main, ["forests/defaultZeroForest.txt", bad_png, rp,
+                   "--out", out]),
+        (tr_main, [str(tmp_path / "missing.bin"), str(tmp_path / "f.txt")]),
+        (ex_main, [str(tmp_path / "missing_root"), str(tmp_path / "o.bin")]),
+        (aot_main, ["export", str(tmp_path / "missing.txt"),
+                    str(tmp_path / "a.ogpcx"), "--height", "64",
+                    "--width", "96"]),
+        (aot_main, ["run", str(tmp_path / "missing.ogpcx"), lp, rp]),
+    ]
+    for main, argv in cases:
+        rc = main(argv)
+        err = capfd.readouterr().err
+        assert rc == 1, (argv, err)
+        assert "error:" in err and "Traceback" not in err, (argv, err)
+    # debugging escape hatch: OGPC_CLI_TRACEBACK=1 re-raises
+    os.environ["OGPC_CLI_TRACEBACK"] = "1"
+    try:
+        with pytest.raises(FileNotFoundError):
+            sm_main([str(tmp_path / "missing.txt"), lp, rp, "--out", out])
+    finally:
+        del os.environ["OGPC_CLI_TRACEBACK"]
+    capfd.readouterr()
