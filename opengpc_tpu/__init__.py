@@ -48,6 +48,7 @@ from opengpc_tpu.infer import (
     global_row_supports_to_numpy,
     masked_supports_to_numpy,
     row_supports_to_numpy,
+    sparsematch,
     supports_to_numpy,
 )
 from opengpc_tpu.aot import (

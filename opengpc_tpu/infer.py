@@ -831,3 +831,86 @@ def supports_to_numpy(xs, ys, ds, count) -> np.ndarray:
         [np.asarray(xs)[:n], np.asarray(ys)[:n], np.asarray(ds)[:n]], axis=1
     ).astype(np.int32)
     return out
+
+
+_MATCH_FN_CACHE = collections.OrderedDict()
+_MATCH_FN_CACHE_MAX = 16  # LRU bound, same rationale as _CODES_FN_CACHE
+
+
+def _mask_cache_key(mask: FilterMask):
+    return (
+        tuple(map(tuple, np.asarray(mask.i_off))),
+        tuple(map(tuple, np.asarray(mask.j_off))),
+        tuple(np.asarray(mask.tau)),
+        mask.type,
+    )
+
+
+def sparsematch(left, right, forest_or_mask,
+                settings: Optional[InferenceSettings] = None,
+                use_pallas: Optional[bool] = None) -> np.ndarray:
+    """One-call sparse match: a rectified (H, W) uint8 pair -> the
+    (n, 3) int32 (x, y, d) support array, d = x_src - x_tar.
+
+    The "just give me matches" entry point — the analog of the
+    reference's preprocess + match call pair
+    (/root/reference/lib/gpc/inference.hpp:302-393, driven by
+    samples/sparsematch.cpp:42-55).  Picks the fastest EXACT contract the
+    settings allow — the masked sorted-order matcher in epipolar mode,
+    the segmented global matcher otherwise, the flat fixed-capacity
+    pipeline when the packed-key eligibility rules exclude both — and
+    decodes on the host.  Same support set whichever route runs (the
+    parity contract every builder shares).  Jitted builders are cached
+    per (forest, settings, backend) with the same LRU discipline as
+    extract_descriptors, so calling this per frame does not retrace.
+
+    For serving loops that want device-resident outputs, batching,
+    sharding, density-adaptive compact contracts, or AOT artifacts, use
+    the ``build_sparsematch_*`` builders / ``opengpc_tpu.aot`` directly.
+    """
+    settings = settings if settings is not None else InferenceSettings()
+    mask = (
+        make_filter_mask(forest_or_mask)
+        if isinstance(forest_or_mask, Forest)
+        else forest_or_mask
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    left = np.asarray(left)
+    right = np.asarray(right)
+    if left.shape != right.shape:
+        raise ValueError(
+            f"image shapes differ: {left.shape} vs {right.shape}")
+    if settings.epipolar_mode and _rows_ok(mask, left.shape, settings):
+        contract = "masked"
+    elif (not settings.epipolar_mode
+          and _global_rows_ok(mask, left.shape, settings)):
+        contract = "global-rows"
+    else:
+        contract = "flat"
+    key = (_mask_cache_key(mask), settings, use_pallas, contract)
+    fn = _MATCH_FN_CACHE.get(key)
+    if fn is None:
+        build = {"masked": build_sparsematch_masked,
+                 "global-rows": build_sparsematch_global_rows,
+                 "flat": build_sparsematch}[contract]
+        fn = build(mask, settings, use_pallas=use_pallas)
+        _MATCH_FN_CACHE[key] = fn
+        if len(_MATCH_FN_CACHE) > _MATCH_FN_CACHE_MAX:
+            _MATCH_FN_CACHE.popitem(last=False)
+    else:
+        _MATCH_FN_CACHE.move_to_end(key)
+    out = fn(left, right)
+    if contract == "masked":
+        return masked_supports_to_numpy(out[0], out[1], settings.disp_high)
+    if contract == "global-rows":
+        (xs, ys, ds), counts = out
+        return global_row_supports_to_numpy(xs, ys, ds, counts)
+    xs, ys, ds, count = out
+    if int(count) > settings.capacity:
+        raise ValueError(
+            f"{int(count)} supports exceed settings.capacity="
+            f"{settings.capacity} on the flat-contract fallback; raise "
+            "capacity (this width/disp_high is outside the packed-key "
+            "contracts' 30-bit eligibility)")
+    return supports_to_numpy(xs, ys, ds, count)

@@ -1914,3 +1914,55 @@ def test_cli_input_errors_report_cleanly(tmp_path, capfd):
     finally:
         del os.environ["OGPC_CLI_TRACEBACK"]
     capfd.readouterr()
+
+
+def test_sparsematch_one_call_api():
+    """opengpc_tpu.sparsematch (one-call convenience) routes to the
+    fastest eligible contract per settings and returns the same support
+    set as the flat pipeline on every route: masked (epipolar), segmented
+    global (non-epipolar), and the flat fallback (packed keys ineligible
+    via a huge disp_high).  Builders are LRU-cached per (forest,
+    settings, backend)."""
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.infer import _MATCH_FN_CACHE, build_sparsematch
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    l, r = make_pair(72, 104, 4, seed=17)
+
+    for name, settings in (
+        ("masked", InferenceSettings(gradient_threshold=5,
+                                     epipolar_mode=True, disp_high=32,
+                                     capacity=8192)),
+        ("global-rows", InferenceSettings(gradient_threshold=5,
+                                          epipolar_mode=False, disp_high=32,
+                                          capacity=8192)),
+        # 2*disp_high needs 25 bits, bx(104)=7 -> bx+bd=32 > 30: flat
+        ("flat", InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                   disp_high=1 << 23, capacity=8192)),
+    ):
+        got = sparsematch(l, r, forest, settings, use_pallas=False)
+        # the route actually taken is recorded in the cache key's tail
+        assert name in {k[-1] for k in _MATCH_FN_CACHE}, name
+        want = supports_to_numpy(*build_sparsematch(
+            forest, settings, use_pallas=False)(l, r))
+        assert sorted(map(tuple, got.tolist())) == \
+            sorted(map(tuple, want.tolist())), name
+        assert len(want) > 20, name
+        # second call reuses the cached builder (no retrace)
+        n_cached = len(_MATCH_FN_CACHE)
+        again = sparsematch(l, r, forest, settings, use_pallas=False)
+        assert len(_MATCH_FN_CACHE) == n_cached, name
+        np.testing.assert_array_equal(again, got)
+
+    # flat fallback overflow is an error, never silent truncation
+    tiny = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                             disp_high=1 << 23, capacity=8)
+    import pytest
+
+    with pytest.raises(ValueError, match="exceed settings.capacity"):
+        sparsematch(l, r, forest, tiny, use_pallas=False)
+
+    # mismatched shapes are a clear error
+    with pytest.raises(ValueError, match="shapes differ"):
+        sparsematch(l, r[:, :64], forest,
+                    InferenceSettings(epipolar_mode=True))
