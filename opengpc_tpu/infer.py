@@ -848,7 +848,8 @@ def _mask_cache_key(mask: FilterMask):
 
 def sparsematch(left, right, forest_or_mask,
                 settings: Optional[InferenceSettings] = None,
-                use_pallas: Optional[bool] = None) -> np.ndarray:
+                use_pallas: Optional[bool] = None,
+                levels: int = 1) -> np.ndarray:
     """One-call sparse match: a rectified (H, W) uint8 pair -> the
     (n, 3) int32 (x, y, d) support array, d = x_src - x_tar.
 
@@ -864,11 +865,19 @@ def sparsematch(left, right, forest_or_mask,
     per (forest, settings, backend) with the same LRU discipline as
     extract_descriptors, so calling this per frame does not retrace.
 
+    ``levels > 1`` runs the coarse-to-fine pyramid instead (the CLI's
+    ``--pyramid N``): supports from every scale, finest-level-wins dedup,
+    returned as an (n, 4) int32 (x, y, d, level) array in level-0
+    coordinates (lossless on packed-key-eligible settings — see
+    ``pyramid.build_pyramid_sparsematch``).
+
     For serving loops that want device-resident outputs, batching,
     sharding, density-adaptive compact contracts, or AOT artifacts, use
     the ``build_sparsematch_*`` builders / ``opengpc_tpu.aot`` directly.
     """
     settings = settings if settings is not None else InferenceSettings()
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
     mask = (
         make_filter_mask(forest_or_mask)
         if isinstance(forest_or_mask, Forest)
@@ -881,7 +890,14 @@ def sparsematch(left, right, forest_or_mask,
     if left.shape != right.shape:
         raise ValueError(
             f"image shapes differ: {left.shape} vs {right.shape}")
-    if settings.epipolar_mode and _rows_ok(mask, left.shape, settings):
+    if left.ndim != 2:
+        raise ValueError(
+            f"sparsematch takes one (H, W) pair, got shape {left.shape}; "
+            "for (B, H, W) batches use the build_sparsematch_* builders "
+            "or opengpc_tpu.parallel")
+    if levels > 1:
+        contract = f"pyramid-{levels}"
+    elif settings.epipolar_mode and _rows_ok(mask, left.shape, settings):
         contract = "masked"
     elif (not settings.epipolar_mode
           and _global_rows_ok(mask, left.shape, settings)):
@@ -891,16 +907,25 @@ def sparsematch(left, right, forest_or_mask,
     key = (_mask_cache_key(mask), settings, use_pallas, contract)
     fn = _MATCH_FN_CACHE.get(key)
     if fn is None:
-        build = {"masked": build_sparsematch_masked,
-                 "global-rows": build_sparsematch_global_rows,
-                 "flat": build_sparsematch}[contract]
-        fn = build(mask, settings, use_pallas=use_pallas)
+        if levels > 1:
+            # lazy import: pyramid.py imports infer.py at module scope
+            from opengpc_tpu.pyramid import build_pyramid_sparsematch
+            fn = build_pyramid_sparsematch(
+                mask, settings, num_levels=levels, use_pallas=use_pallas)
+        else:
+            build = {"masked": build_sparsematch_masked,
+                     "global-rows": build_sparsematch_global_rows,
+                     "flat": build_sparsematch}[contract]
+            fn = build(mask, settings, use_pallas=use_pallas)
         _MATCH_FN_CACHE[key] = fn
         if len(_MATCH_FN_CACHE) > _MATCH_FN_CACHE_MAX:
             _MATCH_FN_CACHE.popitem(last=False)
     else:
         _MATCH_FN_CACHE.move_to_end(key)
     out = fn(left, right)
+    if levels > 1:
+        from opengpc_tpu.pyramid import pyramid_supports_to_numpy
+        return pyramid_supports_to_numpy(*out)
     if contract == "masked":
         return masked_supports_to_numpy(out[0], out[1], settings.disp_high)
     if contract == "global-rows":

@@ -1966,3 +1966,55 @@ def test_sparsematch_one_call_api():
     with pytest.raises(ValueError, match="shapes differ"):
         sparsematch(l, r[:, :64], forest,
                     InferenceSettings(epipolar_mode=True))
+
+    # batches point at the builder API instead of an unpack traceback
+    with pytest.raises(ValueError, match="build_sparsematch"):
+        sparsematch(np.stack([l, l]), np.stack([r, r]), forest,
+                    InferenceSettings(epipolar_mode=True))
+
+
+def test_sparsematch_one_call_pyramid():
+    """sparsematch(levels=N) routes to the coarse-to-fine pyramid and
+    returns the (n, 4) (x, y, d, level) rows of
+    build_pyramid_sparsematch + pyramid_supports_to_numpy (finest-wins
+    dedup, level-0 coordinates); the builder is LRU-cached like the
+    single-scale routes."""
+    import pytest
+
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.infer import _MATCH_FN_CACHE
+    from opengpc_tpu.pyramid import (build_pyramid_sparsematch,
+                                     pyramid_supports_to_numpy)
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    l, r = make_pair(96, 128, 4, seed=23)
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 disp_high=32, capacity=16384)
+
+    got = sparsematch(l, r, forest, settings, use_pallas=False, levels=3)
+    assert got.shape[1] == 4 and got.dtype == np.int32
+    assert "pyramid-3" in {k[-1] for k in _MATCH_FN_CACHE}
+    want = pyramid_supports_to_numpy(*build_pyramid_sparsematch(
+        forest, settings, num_levels=3, use_pallas=False)(l, r))
+    assert sorted(map(tuple, got.tolist())) == \
+        sorted(map(tuple, want.tolist()))
+    # multi-scale adds coverage: some supports come from coarser levels
+    assert set(np.unique(got[:, 3])) > {0}
+    assert len(got) > 50
+    # at most one support per (x, y): finest-level-wins dedup
+    assert len({(x, y) for x, y, _, _ in got.tolist()}) == len(got)
+    # cached on the second call
+    n_cached = len(_MATCH_FN_CACHE)
+    again = sparsematch(l, r, forest, settings, use_pallas=False, levels=3)
+    assert len(_MATCH_FN_CACHE) == n_cached
+    np.testing.assert_array_equal(again, got)
+    # levels=1 keeps the (n, 3) single-scale contract, and its support
+    # set is exactly the pyramid's level-0 rows (finest-wins never drops
+    # a level-0 support)
+    single = sparsematch(l, r, forest, settings, use_pallas=False)
+    assert single.shape[1] == 3
+    assert sorted(map(tuple, single.tolist())) == sorted(
+        (x, y, d) for x, y, d, lv in got.tolist() if lv == 0)
+
+    with pytest.raises(ValueError, match="levels"):
+        sparsematch(l, r, forest, settings, use_pallas=False, levels=0)
