@@ -868,8 +868,12 @@ def sparsematch(left, right, forest_or_mask,
     ``levels > 1`` runs the coarse-to-fine pyramid instead (the CLI's
     ``--pyramid N``): supports from every scale, finest-level-wins dedup,
     returned as an (n, 4) int32 (x, y, d, level) array in level-0
-    coordinates (lossless on packed-key-eligible settings — see
-    ``pyramid.build_pyramid_sparsematch``).
+    coordinates.  Lossless on every route: packed-key-eligible settings
+    ride the rows pyramid (capacity-independent, see
+    ``pyramid.build_pyramid_sparsematch``), and the fallback (global
+    mode / unpackable keys) gets its per-level buffers sized to the
+    one-support-per-source-pixel bound so ``settings.capacity`` can
+    never silently truncate it.
 
     For serving loops that want device-resident outputs, batching,
     sharding, density-adaptive compact contracts, or AOT artifacts, use
@@ -897,6 +901,19 @@ def sparsematch(left, right, forest_or_mask,
             "or opengpc_tpu.parallel")
     if levels > 1:
         contract = f"pyramid-{levels}"
+        # the rows-pyramid path is lossless; the non-eligible fallback
+        # (global mode / unpackable keys) trims each level at capacity
+        # with CLAMPED counts, so truncation there would be silent.  A
+        # level never emits more than one support per source pixel, so
+        # capacity=H*W makes the fallback lossless by construction —
+        # bump it (only when the fallback will be taken, to keep the
+        # eligible path's builder cache shape-independent).
+        from opengpc_tpu.pyramid import _rows_eligible
+        if (_rows_eligible(mask, settings, *left.shape, levels) is None
+                and settings.capacity < left.shape[0] * left.shape[1]):
+            import dataclasses
+            settings = dataclasses.replace(
+                settings, capacity=left.shape[0] * left.shape[1])
     elif settings.epipolar_mode and _rows_ok(mask, left.shape, settings):
         contract = "masked"
     elif (not settings.epipolar_mode

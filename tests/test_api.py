@@ -2018,3 +2018,29 @@ def test_sparsematch_one_call_pyramid():
 
     with pytest.raises(ValueError, match="levels"):
         sparsematch(l, r, forest, settings, use_pallas=False, levels=0)
+
+
+def test_sparsematch_pyramid_fallback_lossless():
+    """The non-rows-eligible pyramid fallback (global mode) trims each
+    level at settings.capacity with CLAMPED counts — silent truncation.
+    sparsematch() bumps capacity to the one-support-per-source-pixel
+    bound before building, so the one-call result is identical whether
+    the caller passed a tiny or a huge capacity."""
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.forest import make_filter_mask
+    from opengpc_tpu.pyramid import _rows_eligible
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    l, r = make_pair(96, 128, 4, seed=31)
+    tiny = InferenceSettings(gradient_threshold=5, epipolar_mode=False,
+                             capacity=8)
+    big = InferenceSettings(gradient_threshold=5, epipolar_mode=False,
+                            capacity=96 * 128)
+    # global mode is the fallback route
+    assert _rows_eligible(make_filter_mask(forest), tiny, 96, 128, 2) \
+        is None
+    got_tiny = sparsematch(l, r, forest, tiny, use_pallas=False, levels=2)
+    got_big = sparsematch(l, r, forest, big, use_pallas=False, levels=2)
+    assert len(got_tiny) > 8  # capacity=8 did NOT truncate
+    assert sorted(map(tuple, got_tiny.tolist())) == \
+        sorted(map(tuple, got_big.tolist()))
