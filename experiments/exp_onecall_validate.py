@@ -1,0 +1,69 @@
+"""Continuation-session on-chip validation: the one-call sparsematch()
+API on the REAL TPU (auto-routing picks the Pallas builders live) vs
+CPU-computed truth, across all four routes it can take:
+
+  - masked (epipolar, eligible)
+  - segmented global (global mode, eligible)
+  - flat fallback (disp_high large enough to break 30-bit packing)
+  - pyramid levels=3 (rows route) and the lossless global-mode pyramid
+    fallback (tiny capacity MUST NOT truncate — r5 fix)
+
+Run on the TPU: python experiments/exp_onecall_validate.py
+CPU dry-run first (CLAUDE.md rule): JAX_PLATFORMS=cpu with empty
+PALLAS_AXON_POOL_IPS — route/equality conclusions are device-independent.
+"""
+import sys
+
+sys.path.insert(0, ".")
+import numpy as np
+
+import jax
+
+from opengpc_tpu import InferenceSettings, load_forest, sparsematch
+from opengpc_tpu.utils.scenes import make_pair
+
+ON_TPU = jax.default_backend() == "tpu"
+if not ON_TPU:
+    print("WARNING: not on TPU — dry run exercises interpret mode",
+          file=sys.stderr)
+
+forest = load_forest("forests/defaultZeroForest.txt")
+l, r = make_pair(200, 999, 9, seed=77)
+
+
+def run(settings, levels=1, expect_route=None):
+    from opengpc_tpu.infer import _MATCH_FN_CACHE
+
+    want = sparsematch(l, r, forest, settings, use_pallas=False,
+                       levels=levels)
+    before = set(_MATCH_FN_CACHE)
+    got = sparsematch(l, r, forest, settings, use_pallas=ON_TPU,
+                      levels=levels)
+    routes = {k[-1] for k in set(_MATCH_FN_CACHE) - before}
+    if expect_route is not None and routes:
+        assert routes == {expect_route}, (routes, expect_route)
+    assert sorted(map(tuple, want.tolist())) == \
+        sorted(map(tuple, got.tolist())), \
+        f"{settings} levels={levels}: {len(want)} vs {len(got)}"
+    return len(got)
+
+
+base = dict(gradient_threshold=5, vertical_tolerance=0, capacity=1 << 18)
+n = run(InferenceSettings(epipolar_mode=True, disp_high=64, **base),
+        expect_route="masked")
+print(f"masked route: {n} supports, TPU==CPU")
+n = run(InferenceSettings(epipolar_mode=False, disp_high=64, **base),
+        expect_route="global-rows")
+print(f"global route: {n} supports, TPU==CPU")
+n = run(InferenceSettings(epipolar_mode=True, disp_high=512, **base))
+print(f"disp_high=512 route: {n} supports, TPU==CPU")
+n = run(InferenceSettings(epipolar_mode=True, disp_high=64, **base),
+        levels=3, expect_route="pyramid-3")
+print(f"pyramid rows route: {n} supports, TPU==CPU")
+tiny = InferenceSettings(epipolar_mode=False, disp_high=64,
+                         gradient_threshold=5, vertical_tolerance=0,
+                         capacity=8)
+n = run(tiny, levels=2)
+assert n > 8, "capacity=8 must not truncate the lossless fallback"
+print(f"pyramid global fallback (capacity=8): {n} supports, TPU==CPU")
+print("ALL ONE-CALL ROUTES OK")

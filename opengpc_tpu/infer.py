@@ -900,20 +900,10 @@ def sparsematch(left, right, forest_or_mask,
             "for (B, H, W) batches use the build_sparsematch_* builders "
             "or opengpc_tpu.parallel")
     if levels > 1:
+        # both pyramid routes are lossless: rows when eligible, and the
+        # flat fallback sizes each level's buffer at the
+        # one-support-per-source-pixel bound (pyramid._pyramid_impl)
         contract = f"pyramid-{levels}"
-        # the rows-pyramid path is lossless; the non-eligible fallback
-        # (global mode / unpackable keys) trims each level at capacity
-        # with CLAMPED counts, so truncation there would be silent.  A
-        # level never emits more than one support per source pixel, so
-        # capacity=H*W makes the fallback lossless by construction —
-        # bump it (only when the fallback will be taken, to keep the
-        # eligible path's builder cache shape-independent).
-        from opengpc_tpu.pyramid import _rows_eligible
-        if (_rows_eligible(mask, settings, *left.shape, levels) is None
-                and settings.capacity < left.shape[0] * left.shape[1]):
-            import dataclasses
-            settings = dataclasses.replace(
-                settings, capacity=left.shape[0] * left.shape[1])
     elif settings.epipolar_mode and _rows_ok(mask, left.shape, settings):
         contract = "masked"
     elif (not settings.epipolar_mode

@@ -334,13 +334,16 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
     l_img, r_img = left, right
     for level in range(num_levels):
         # a level can never emit more supports than it has pixels (one
-        # support per unique source pixel), so capping the coarse levels'
-        # buffers at their pixel count loses nothing while keeping the
-        # merged buffer — and the dedup sort — small
+        # support per unique source pixel), so the pixel count is a hard
+        # per-level bound: with dedup (the exact contract) size each
+        # level's buffer AT that bound — ``settings.capacity`` cannot
+        # silently truncate this fallback (its counts are clamped, so a
+        # trim here would be undetectable by the caller); without dedup
+        # keep the documented capacity-trimmed flat buffers
+        pix = l_img.shape[0] * l_img.shape[1]
         lvl_settings = dataclasses.replace(
             settings,
-            capacity=min(settings.capacity,
-                         l_img.shape[0] * l_img.shape[1]),
+            capacity=pix if dedup else min(settings.capacity, pix),
         )
         xs, ys, ds, count = _sparsematch_impl(
             l_img, r_img, mask=mask, settings=lvl_settings,
@@ -450,8 +453,11 @@ def build_pyramid_sparsematch(
     keys) every level rides the row-form matcher — LOSSLESS regardless of
     ``settings.capacity`` and ~skips the per-level flat compaction sorts
     (measured in experiments/exp_global.py's pyramid entry / BENCH_r03).
-    The dedup=False / non-eligible path keeps the flat per-level buffers,
-    trimmed at ``capacity``.
+    The dedup non-eligible fallback (global mode / unpackable keys) is
+    ALSO lossless: each level's flat buffer is sized at its
+    one-support-per-source-pixel bound, so ``capacity`` never trims it
+    (its clamped counts would make a trim silent).  Only dedup=False
+    keeps the capacity-trimmed flat per-level buffers.
     """
     mask = (
         make_filter_mask(forest_or_mask)
