@@ -1,16 +1,20 @@
 """Continuation-session on-chip validation: the one-call sparsematch()
-API on the REAL TPU (auto-routing picks the Pallas builders live) vs
-CPU-computed truth, across all four routes it can take:
+API with the LIVE Pallas kernels (use_pallas=True on the real TPU)
+against the jnp twin path (use_pallas=False — note both twins execute
+on the same backend; this is a pallas-vs-jnp differential, the CPU
+truth differential is tests/ + exp_tpu_fuzz), across every route the
+auto-contract picker can take:
 
   - masked (epipolar, eligible)
   - segmented global (global mode, eligible)
-  - flat fallback (disp_high large enough to break 30-bit packing)
+  - flat fixed-capacity (disp_high beyond the 30-bit packed-key budget)
   - pyramid levels=3 (rows route) and the lossless global-mode pyramid
     fallback (tiny capacity MUST NOT truncate — r5 fix)
 
 Run on the TPU: python experiments/exp_onecall_validate.py
 CPU dry-run first (CLAUDE.md rule): JAX_PLATFORMS=cpu with empty
-PALLAS_AXON_POOL_IPS — route/equality conclusions are device-independent.
+PALLAS_AXON_POOL_IPS — route/equality conclusions are device-independent
+(the dry run exercises interpret-mode Pallas vs jnp).
 """
 import sys
 
@@ -37,10 +41,10 @@ def run(settings, levels=1, expect_route=None):
     want = sparsematch(l, r, forest, settings, use_pallas=False,
                        levels=levels)
     before = set(_MATCH_FN_CACHE)
-    got = sparsematch(l, r, forest, settings, use_pallas=ON_TPU,
+    got = sparsematch(l, r, forest, settings, use_pallas=True,
                       levels=levels)
     routes = {k[-1] for k in set(_MATCH_FN_CACHE) - before}
-    if expect_route is not None and routes:
+    if expect_route is not None:
         assert routes == {expect_route}, (routes, expect_route)
     assert sorted(map(tuple, want.tolist())) == \
         sorted(map(tuple, got.tolist())), \
@@ -51,19 +55,23 @@ def run(settings, levels=1, expect_route=None):
 base = dict(gradient_threshold=5, vertical_tolerance=0, capacity=1 << 18)
 n = run(InferenceSettings(epipolar_mode=True, disp_high=64, **base),
         expect_route="masked")
-print(f"masked route: {n} supports, TPU==CPU")
+print(f"masked route: {n} supports, pallas==jnp")
 n = run(InferenceSettings(epipolar_mode=False, disp_high=64, **base),
         expect_route="global-rows")
-print(f"global route: {n} supports, TPU==CPU")
-n = run(InferenceSettings(epipolar_mode=True, disp_high=512, **base))
-print(f"disp_high=512 route: {n} supports, TPU==CPU")
+print(f"global route: {n} supports, pallas==jnp")
+# disp_high 1<<23 blows the 30-bit (x, d) packing at any width, so the
+# auto picker MUST take the flat fixed-capacity contract (same forcing
+# as tests/test_api.py's flat-fallback case)
+n = run(InferenceSettings(epipolar_mode=True, disp_high=1 << 23, **base),
+        expect_route="flat")
+print(f"flat route: {n} supports, pallas==jnp")
 n = run(InferenceSettings(epipolar_mode=True, disp_high=64, **base),
         levels=3, expect_route="pyramid-3")
-print(f"pyramid rows route: {n} supports, TPU==CPU")
+print(f"pyramid rows route: {n} supports, pallas==jnp")
 tiny = InferenceSettings(epipolar_mode=False, disp_high=64,
                          gradient_threshold=5, vertical_tolerance=0,
                          capacity=8)
-n = run(tiny, levels=2)
+n = run(tiny, levels=2, expect_route="pyramid-2")
 assert n > 8, "capacity=8 must not truncate the lossless fallback"
-print(f"pyramid global fallback (capacity=8): {n} supports, TPU==CPU")
+print(f"pyramid global fallback (capacity=8): {n} supports, pallas==jnp")
 print("ALL ONE-CALL ROUTES OK")

@@ -891,6 +891,14 @@ def sparsematch(left, right, forest_or_mask,
         use_pallas = jax.default_backend() == "tpu"
     left = np.asarray(left)
     right = np.asarray(right)
+    if left.dtype != np.uint8 or right.dtype != np.uint8:
+        # a float imread (matplotlib/skimage return float64 in [0, 1])
+        # would sail through the pipeline and return an empty/garbage
+        # support set with no diagnostic
+        raise ValueError(
+            f"sparsematch takes (H, W) uint8 grayscale images, got "
+            f"{left.dtype}/{right.dtype}; convert explicitly (e.g. "
+            "(img * 255).astype(np.uint8) for float images in [0, 1])")
     if left.shape != right.shape:
         raise ValueError(
             f"image shapes differ: {left.shape} vs {right.shape}")
@@ -943,6 +951,8 @@ def sparsematch(left, right, forest_or_mask,
         raise ValueError(
             f"{int(count)} supports exceed settings.capacity="
             f"{settings.capacity} on the flat-contract fallback; raise "
-            "capacity (this width/disp_high is outside the packed-key "
-            "contracts' 30-bit eligibility)")
+            "capacity (these settings are outside the packed-key "
+            "contracts' eligibility — width/disp_high beyond the 30-bit "
+            "budget, a >30-test forest, or an image beyond the packed "
+            "pixel-index range)")
     return supports_to_numpy(xs, ys, ds, count)

@@ -336,10 +336,14 @@ def _pyramid_impl(left, right, mask: FilterMask, settings: InferenceSettings,
         # a level can never emit more supports than it has pixels (one
         # support per unique source pixel), so the pixel count is a hard
         # per-level bound: with dedup (the exact contract) size each
-        # level's buffer AT that bound — ``settings.capacity`` cannot
-        # silently truncate this fallback (its counts are clamped, so a
-        # trim here would be undetectable by the caller); without dedup
-        # keep the documented capacity-trimmed flat buffers
+        # level's buffer AT that bound — settings.capacity cannot
+        # silently truncate this fallback.  (The per-level true count
+        # from the flat matcher is discarded below and the output counts
+        # are recomputed post-dedup from the emitted buffers, so a trim
+        # here would be undetectable by the caller.)  The buffers stay
+        # the same order as the dense (H, W) code images the matcher
+        # already materializes.  Without dedup keep the documented
+        # capacity-trimmed flat buffers
         pix = l_img.shape[0] * l_img.shape[1]
         lvl_settings = dataclasses.replace(
             settings,

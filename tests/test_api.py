@@ -1967,6 +1967,11 @@ def test_sparsematch_one_call_api():
         sparsematch(l, r[:, :64], forest,
                     InferenceSettings(epipolar_mode=True))
 
+    # a float imread must be rejected, not silently return garbage
+    with pytest.raises(ValueError, match="uint8"):
+        sparsematch(l.astype(np.float64) / 255.0, r.astype(np.float64),
+                    forest, InferenceSettings(epipolar_mode=True))
+
     # batches point at the builder API instead of an unpack traceback
     with pytest.raises(ValueError, match="build_sparsematch"):
         sparsematch(np.stack([l, l]), np.stack([r, r]), forest,
@@ -2021,11 +2026,12 @@ def test_sparsematch_one_call_pyramid():
 
 
 def test_sparsematch_pyramid_fallback_lossless():
-    """The non-rows-eligible pyramid fallback (global mode) trims each
-    level at settings.capacity with CLAMPED counts — silent truncation.
-    sparsematch() bumps capacity to the one-support-per-source-pixel
-    bound before building, so the one-call result is identical whether
-    the caller passed a tiny or a huge capacity."""
+    """The non-rows-eligible pyramid fallback (global mode) used to trim
+    each level at settings.capacity while recomputing counts post-dedup —
+    silent, undetectable truncation.  pyramid._pyramid_impl now sizes
+    each level's dedup buffer at its one-support-per-source-pixel bound,
+    so the one-call result is identical whether the caller passed a tiny
+    or a huge capacity."""
     from opengpc_tpu import sparsematch
     from opengpc_tpu.forest import make_filter_mask
     from opengpc_tpu.pyramid import _rows_eligible
