@@ -2025,6 +2025,47 @@ def test_sparsematch_one_call_pyramid():
         sparsematch(l, r, forest, settings, use_pallas=False, levels=0)
 
 
+def test_sparsematch_one_call_routing_fuzz():
+    """Randomized routing fuzz for the one-call API: whatever contract
+    the eligibility rules pick (masked / global-rows / flat), the
+    decoded set must equal the flat fixed-capacity truth for the same
+    settings.  This pins the ROUTE CHOICE logic — each contract's own
+    correctness is oracle-gated elsewhere."""
+    import dataclasses
+
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.infer import build_sparsematch
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    rng = np.random.default_rng(int(os.environ.get("OGPC_FUZZ_SEED", 99)))
+    trials = int(os.environ.get("OGPC_FUZZ_TRIALS", 4))
+    for t in range(trials):
+        h = int(rng.integers(40, 120))
+        w = int(rng.integers(64, 300))
+        d = int(rng.integers(1, 8))
+        l, r = make_pair(h, w, d, seed=1000 + t)
+        settings = InferenceSettings(
+            gradient_threshold=int(rng.integers(3, 12)),
+            vertical_tolerance=int(rng.integers(0, 2)),
+            disp_high=int(rng.choice([16, 64, 512, 1 << 23])),
+            epipolar_mode=bool(rng.integers(0, 2)),
+            capacity=1 << 17,
+        )
+        got = sparsematch(l, r, forest, settings, use_pallas=False)
+        # flat truth: same settings, flat contract, ample capacity
+        flat = build_sparsematch(
+            forest, dataclasses.replace(settings, capacity=1 << 17),
+            use_pallas=False)
+        xs, ys, ds, count = flat(l, r)
+        n = int(count)
+        assert n <= 1 << 17
+        want = sorted(zip(np.asarray(xs)[:n].tolist(),
+                          np.asarray(ys)[:n].tolist(),
+                          np.asarray(ds)[:n].tolist()))
+        assert sorted(map(tuple, got.tolist())) == want, \
+            (t, settings, len(got), n)
+
+
 def test_sparsematch_pyramid_fallback_lossless():
     """The non-rows-eligible pyramid fallback (global mode) used to trim
     each level at settings.capacity while recomputing counts post-dedup —
