@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -836,6 +837,29 @@ def supports_to_numpy(xs, ys, ds, count) -> np.ndarray:
 _MATCH_FN_CACHE = collections.OrderedDict()
 _MATCH_FN_CACHE_MAX = 16  # LRU bound, same rationale as _CODES_FN_CACHE
 
+_FOREST_CACHE = collections.OrderedDict()
+_FOREST_CACHE_MAX = 8
+
+
+def _load_forest_cached(path: str) -> Forest:
+    """load_forest keyed by (realpath, mtime, size): per-frame
+    sparsematch(path) calls skip the text re-parse, an edited/replaced
+    file is picked up on the next call."""
+    from opengpc_tpu.forest import load_forest
+
+    real = os.path.realpath(path)
+    st = os.stat(real)
+    key = (real, st.st_mtime_ns, st.st_size)
+    forest = _FOREST_CACHE.get(key)
+    if forest is None:
+        forest = load_forest(real)
+        _FOREST_CACHE[key] = forest
+        if len(_FOREST_CACHE) > _FOREST_CACHE_MAX:
+            _FOREST_CACHE.popitem(last=False)
+    else:
+        _FOREST_CACHE.move_to_end(key)
+    return forest
+
 
 def _mask_cache_key(mask: FilterMask):
     return (
@@ -852,6 +876,13 @@ def sparsematch(left, right, forest_or_mask,
                 levels: int = 1) -> np.ndarray:
     """One-call sparse match: a rectified (H, W) uint8 pair -> the
     (n, 3) int32 (x, y, d) support array, d = x_src - x_tar.
+
+    ``left``/``right`` may also be PNG file paths (read via
+    ``opengpc_tpu.io.read_gray`` — 8/16-bit, palette, RGB collapse) and
+    ``forest_or_mask`` a forest text-file path (parsed once and cached
+    by (realpath, mtime, size), so per-frame calls don't re-read it):
+
+    >>> supports = sparsematch("left.png", "right.png", "forest.txt")
 
     The "just give me matches" entry point — the analog of the
     reference's preprocess + match call pair
@@ -882,6 +913,8 @@ def sparsematch(left, right, forest_or_mask,
     settings = settings if settings is not None else InferenceSettings()
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
+    if isinstance(forest_or_mask, (str, os.PathLike)):
+        forest_or_mask = _load_forest_cached(os.fspath(forest_or_mask))
     mask = (
         make_filter_mask(forest_or_mask)
         if isinstance(forest_or_mask, Forest)
@@ -889,6 +922,12 @@ def sparsematch(left, right, forest_or_mask,
     )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if isinstance(left, (str, os.PathLike)):
+        from opengpc_tpu.io import read_gray
+        left = read_gray(os.fspath(left))
+    if isinstance(right, (str, os.PathLike)):
+        from opengpc_tpu.io import read_gray
+        right = read_gray(os.fspath(right))
     left = np.asarray(left)
     right = np.asarray(right)
     if left.dtype != np.uint8 or right.dtype != np.uint8:

@@ -2025,6 +2025,41 @@ def test_sparsematch_one_call_pyramid():
         sparsematch(l, r, forest, settings, use_pallas=False, levels=0)
 
 
+def test_sparsematch_one_call_path_inputs(tmp_path):
+    """sparsematch() accepts PNG paths for the images and a text path
+    for the forest (the reference's samples/sparsematch.cpp workflow in
+    one line); identical output to the array form, forest parse cached
+    by (realpath, mtime, size)."""
+    from pathlib import Path
+
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.infer import _FOREST_CACHE
+    from opengpc_tpu.io import write_png
+
+    fpath = os.path.join(FORESTS, "defaultZeroForest.txt")
+    forest = load_forest(fpath)
+    l, r = make_pair(64, 96, 3, seed=17)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, l)
+    write_png(rp, r)
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True)
+
+    want = sparsematch(l, r, forest, settings, use_pallas=False)
+    got = sparsematch(lp, rp, fpath, settings, use_pallas=False)
+    np.testing.assert_array_equal(got, want)
+    # pathlib.Path works too, and the forest parse is cached
+    n_cached = len(_FOREST_CACHE)
+    again = sparsematch(Path(lp), Path(rp), Path(fpath), settings,
+                        use_pallas=False)
+    np.testing.assert_array_equal(again, want)
+    assert len(_FOREST_CACHE) == n_cached
+    # a missing file surfaces as the codec's own error, not a crash
+    import pytest
+    with pytest.raises((IOError, OSError)):
+        sparsematch(str(tmp_path / "nope.png"), rp, fpath, settings,
+                    use_pallas=False)
+
+
 def test_sparsematch_one_call_routing_fuzz():
     """Randomized routing fuzz for the one-call API: whatever contract
     the eligibility rules pick (masked / global-rows / flat), the
