@@ -2058,6 +2058,21 @@ def test_sparsematch_one_call_path_inputs(tmp_path):
     with pytest.raises((IOError, OSError)):
         sparsematch(str(tmp_path / "nope.png"), rp, fpath, settings,
                     use_pallas=False)
+    # a replaced forest file is picked up on the next call (the cache
+    # keys on (realpath, mtime, size) — a stale entry would silently
+    # keep matching with the OLD forest)
+    import shutil
+
+    other_path = os.path.join(FORESTS, "defaultTauForest.txt")
+    other = load_forest(other_path)
+    moved = str(tmp_path / "forest.txt")
+    shutil.copyfile(fpath, moved)
+    first = sparsematch(lp, rp, moved, settings, use_pallas=False)
+    np.testing.assert_array_equal(first, want)
+    shutil.copyfile(other_path, moved)
+    swapped = sparsematch(lp, rp, moved, settings, use_pallas=False)
+    want_other = sparsematch(l, r, other, settings, use_pallas=False)
+    np.testing.assert_array_equal(swapped, want_other)
 
 
 def test_sparsematch_one_call_routing_fuzz():
