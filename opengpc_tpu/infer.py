@@ -870,10 +870,28 @@ def _mask_cache_key(mask: FilterMask):
     )
 
 
+def _image_arg(x) -> np.ndarray:
+    """Resolve one sparsematch image argument: a PNG path decodes via
+    io.read_gray, a list/tuple of paths/arrays stacks into a (B, H, W)
+    batch (every frame must share one shape), arrays pass through."""
+    if isinstance(x, (str, os.PathLike)):
+        from opengpc_tpu.io import read_gray
+        return read_gray(os.fspath(x))
+    if isinstance(x, (list, tuple)):
+        frames = [_image_arg(f) for f in x]
+        shapes = {f.shape for f in frames}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"batch frames have differing shapes: {sorted(shapes)}; "
+                "sparsematch batches one resolution per call")
+        return np.stack(frames)
+    return np.asarray(x)
+
+
 def sparsematch(left, right, forest_or_mask,
                 settings: Optional[InferenceSettings] = None,
                 use_pallas: Optional[bool] = None,
-                levels: int = 1) -> np.ndarray:
+                levels: int = 1):
     """One-call sparse match: a rectified (H, W) uint8 pair -> the
     (n, 3) int32 (x, y, d) support array, d = x_src - x_tar.
 
@@ -883,6 +901,16 @@ def sparsematch(left, right, forest_or_mask,
     by (realpath, mtime, size), so per-frame calls don't re-read it):
 
     >>> supports = sparsematch("left.png", "right.png", "forest.txt")
+
+    Batches are one call too: (B, H, W) uint8 stacks — or lists of
+    paths/arrays, stacked for you — return a length-B list of per-pair
+    support arrays, dispatched through the batched builders (the masked
+    route folds the whole batch into one (B*H, 2W) segmented sort; see
+    ``_sparsematch_rows_batched_impl``) with ONE device round-trip for
+    the batch instead of B:
+
+    >>> per_pair = sparsematch(["l0.png", "l1.png"],
+    ...                        ["r0.png", "r1.png"], "forest.txt")
 
     The "just give me matches" entry point — the analog of the
     reference's preprocess + match call pair
@@ -922,14 +950,8 @@ def sparsematch(left, right, forest_or_mask,
     )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if isinstance(left, (str, os.PathLike)):
-        from opengpc_tpu.io import read_gray
-        left = read_gray(os.fspath(left))
-    if isinstance(right, (str, os.PathLike)):
-        from opengpc_tpu.io import read_gray
-        right = read_gray(os.fspath(right))
-    left = np.asarray(left)
-    right = np.asarray(right)
+    left = _image_arg(left)
+    right = _image_arg(right)
     if left.dtype != np.uint8 or right.dtype != np.uint8:
         # a float imread (matplotlib/skimage return float64 in [0, 1])
         # would sail through the pipeline and return an empty/garbage
@@ -941,20 +963,21 @@ def sparsematch(left, right, forest_or_mask,
     if left.shape != right.shape:
         raise ValueError(
             f"image shapes differ: {left.shape} vs {right.shape}")
-    if left.ndim != 2:
+    if left.ndim not in (2, 3):
         raise ValueError(
-            f"sparsematch takes one (H, W) pair, got shape {left.shape}; "
-            "for (B, H, W) batches use the build_sparsematch_* builders "
-            "or opengpc_tpu.parallel")
+            f"sparsematch takes one (H, W) pair or a (B, H, W) batch, "
+            f"got shape {left.shape}")
+    batched = left.ndim == 3
+    frame_shape = left.shape[-2:]
     if levels > 1:
         # both pyramid routes are lossless: rows when eligible, and the
         # flat fallback sizes each level's buffer at the
         # one-support-per-source-pixel bound (pyramid._pyramid_impl)
         contract = f"pyramid-{levels}"
-    elif settings.epipolar_mode and _rows_ok(mask, left.shape, settings):
+    elif settings.epipolar_mode and _rows_ok(mask, frame_shape, settings):
         contract = "masked"
     elif (not settings.epipolar_mode
-          and _global_rows_ok(mask, left.shape, settings)):
+          and _global_rows_ok(mask, frame_shape, settings)):
         contract = "global-rows"
     else:
         contract = "flat"
@@ -976,22 +999,45 @@ def sparsematch(left, right, forest_or_mask,
             _MATCH_FN_CACHE.popitem(last=False)
     else:
         _MATCH_FN_CACHE.move_to_end(key)
-    out = fn(left, right)
+    # one host fetch per output leaf (NOT per pair: through the axon
+    # relay each device->host transfer is a slow round-trip, so batched
+    # decode slices numpy views of whole buffers)
+    out = jax.tree_util.tree_map(np.asarray, fn(left, right))
     if levels > 1:
         from opengpc_tpu.pyramid import pyramid_supports_to_numpy
+        if batched:
+            xs, ys, ds, lv, counts = out
+            return [pyramid_supports_to_numpy(xs[i], ys[i], ds[i], lv[i],
+                                              counts[i])
+                    for i in range(left.shape[0])]
         return pyramid_supports_to_numpy(*out)
     if contract == "masked":
-        return masked_supports_to_numpy(out[0], out[1], settings.disp_high)
+        buf, rc = out
+        if batched:
+            return [masked_supports_to_numpy(buf[i], rc[i],
+                                             settings.disp_high)
+                    for i in range(left.shape[0])]
+        return masked_supports_to_numpy(buf, rc, settings.disp_high)
     if contract == "global-rows":
         (xs, ys, ds), counts = out
+        if batched:
+            return [global_row_supports_to_numpy(xs[i], ys[i], ds[i],
+                                                 counts[i])
+                    for i in range(left.shape[0])]
         return global_row_supports_to_numpy(xs, ys, ds, counts)
     xs, ys, ds, count = out
-    if int(count) > settings.capacity:
+    over = np.flatnonzero(np.atleast_1d(count) > settings.capacity)
+    if over.size:
+        which = (f"pair(s) {over.tolist()} of the batch"
+                 if batched else f"{int(count)} supports")
         raise ValueError(
-            f"{int(count)} supports exceed settings.capacity="
+            f"{which} exceed settings.capacity="
             f"{settings.capacity} on the flat-contract fallback; raise "
             "capacity (these settings are outside the packed-key "
             "contracts' eligibility — width/disp_high beyond the 30-bit "
             "budget, a >30-test forest, or an image beyond the packed "
             "pixel-index range)")
+    if batched:
+        return [supports_to_numpy(xs[i], ys[i], ds[i], count[i])
+                for i in range(left.shape[0])]
     return supports_to_numpy(xs, ys, ds, count)

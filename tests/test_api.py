@@ -1972,10 +1972,11 @@ def test_sparsematch_one_call_api():
         sparsematch(l.astype(np.float64) / 255.0, r.astype(np.float64),
                     forest, InferenceSettings(epipolar_mode=True))
 
-    # batches point at the builder API instead of an unpack traceback
-    with pytest.raises(ValueError, match="build_sparsematch"):
-        sparsematch(np.stack([l, l]), np.stack([r, r]), forest,
-                    InferenceSettings(epipolar_mode=True))
+    # rank-4 input is a clear error (batches themselves are supported —
+    # test_sparsematch_one_call_batched)
+    with pytest.raises(ValueError, match=r"\(B, H, W\)"):
+        sparsematch(np.stack([l, l])[None], np.stack([r, r])[None],
+                    forest, InferenceSettings(epipolar_mode=True))
 
 
 def test_sparsematch_one_call_pyramid():
@@ -2023,6 +2024,71 @@ def test_sparsematch_one_call_pyramid():
 
     with pytest.raises(ValueError, match="levels"):
         sparsematch(l, r, forest, settings, use_pallas=False, levels=0)
+
+
+def test_sparsematch_one_call_batched(tmp_path):
+    """sparsematch() takes (B, H, W) stacks — or lists of paths/arrays,
+    stacked for it — and returns a length-B list of per-pair support
+    arrays, equal pair-for-pair to B single-pair calls on every route
+    (masked / global-rows / flat fallback / pyramid).  One batched
+    dispatch + one host fetch per output leaf instead of B round-trips."""
+    import pytest
+
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.io import write_png
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    pairs = [make_pair(72, 104, 4, seed=s) for s in (41, 42, 43)]
+    L = np.stack([p[0] for p in pairs])
+    R = np.stack([p[1] for p in pairs])
+
+    for name, settings, lv in (
+        ("masked", InferenceSettings(gradient_threshold=5,
+                                     epipolar_mode=True, disp_high=32,
+                                     capacity=8192), 1),
+        ("global-rows", InferenceSettings(gradient_threshold=5,
+                                          epipolar_mode=False, disp_high=32,
+                                          capacity=8192), 1),
+        ("flat", InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                   disp_high=1 << 23, capacity=8192), 1),
+        ("pyramid", InferenceSettings(gradient_threshold=5,
+                                      epipolar_mode=True, disp_high=32,
+                                      capacity=16384), 3),
+    ):
+        got = sparsematch(L, R, forest, settings, use_pallas=False,
+                          levels=lv)
+        assert isinstance(got, list) and len(got) == len(pairs), name
+        for i, (l, r) in enumerate(pairs):
+            want = sparsematch(l, r, forest, settings, use_pallas=False,
+                               levels=lv)
+            assert sorted(map(tuple, got[i].tolist())) == \
+                sorted(map(tuple, want.tolist())), (name, i)
+            assert len(got[i]) > 20, (name, i)
+
+    # lists of paths (and mixed path/array lists) stack into the batch
+    settings = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                                 disp_high=32, capacity=8192)
+    lp, rp = str(tmp_path / "l0.png"), str(tmp_path / "r0.png")
+    write_png(lp, pairs[0][0])
+    write_png(rp, pairs[0][1])
+    got = sparsematch([lp, pairs[1][0]], [rp, pairs[1][1]], forest,
+                      settings, use_pallas=False)
+    assert isinstance(got, list) and len(got) == 2
+    for i in range(2):
+        want = sparsematch(*pairs[i], forest, settings, use_pallas=False)
+        np.testing.assert_array_equal(got[i], want)
+
+    # per-pair flat overflow names the offending pair indices
+    tiny = InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                             disp_high=1 << 23, capacity=8)
+    with pytest.raises(ValueError, match=r"pair\(s\) \[0, 1, 2\]"):
+        sparsematch(L, R, forest, tiny, use_pallas=False)
+
+    # mismatched frame shapes inside a list are a clear error
+    with pytest.raises(ValueError, match="differing shapes"):
+        sparsematch([pairs[0][0], pairs[1][0][:, :64]],
+                    [pairs[0][1], pairs[1][1][:, :64]], forest, settings,
+                    use_pallas=False)
 
 
 def test_sparsematch_one_call_path_inputs(tmp_path):
