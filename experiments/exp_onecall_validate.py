@@ -74,4 +74,26 @@ tiny = InferenceSettings(epipolar_mode=False, disp_high=64,
 n = run(tiny, levels=2, expect_route="pyramid-2")
 assert n > 8, "capacity=8 must not truncate the lossless fallback"
 print(f"pyramid global fallback (capacity=8): {n} supports, pallas==jnp")
+
+# batched one-call (r5 continuation): a (B, H, W) stack through the live
+# kernels must return per-pair arrays equal to B single-pair calls
+pairs = [make_pair(200, 999, 9, seed=100 + i) for i in range(3)]
+L = np.stack([p[0] for p in pairs])
+R = np.stack([p[1] for p in pairs])
+for name, st, lv in (
+    ("masked", InferenceSettings(epipolar_mode=True, disp_high=64, **base),
+     1),
+    ("global", InferenceSettings(epipolar_mode=False, disp_high=64, **base),
+     1),
+    ("pyramid", InferenceSettings(epipolar_mode=True, disp_high=64, **base),
+     3),
+):
+    got = sparsematch(L, R, forest, st, use_pallas=True, levels=lv)
+    assert isinstance(got, list) and len(got) == 3
+    for i, (li, ri) in enumerate(pairs):
+        want = sparsematch(li, ri, forest, st, use_pallas=True, levels=lv)
+        assert sorted(map(tuple, got[i].tolist())) == \
+            sorted(map(tuple, want.tolist())), (name, i)
+    print(f"batched one-call {name}: {[len(g) for g in got]} "
+          "== per-pair calls")
 print("ALL ONE-CALL ROUTES OK")

@@ -21,6 +21,7 @@ from __future__ import annotations
 import collections
 import functools
 import os
+import threading
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -761,8 +762,53 @@ def build_stereomatch(
     return run
 
 
-_CODES_FN_CACHE = collections.OrderedDict()
-_CODES_FN_CACHE_MAX = 32  # LRU bound: forests/thresholds cycled in one process
+class _LruCache:
+    """Thread-safe bounded LRU for the per-frame convenience surfaces
+    (sparsematch / extract_descriptors): serving loops call these from
+    worker threads, and a bare OrderedDict's move_to_end/popitem from
+    two threads corrupts it.  ``make`` runs OUTSIDE the lock (jit
+    wrapping / a forest text parse shouldn't serialize unrelated
+    callers); a lost race discards the duplicate and returns the
+    first-written value so every caller sees one shared fn."""
+
+    def __init__(self, max_entries: int):
+        self._d = collections.OrderedDict()
+        self._max = max_entries
+        self._lock = threading.Lock()
+
+    def get_or_add(self, key, make):
+        with self._lock:
+            val = self._d.get(key)
+            if val is not None:
+                self._d.move_to_end(key)
+                return val
+        val = make()
+        with self._lock:
+            cur = self._d.get(key)
+            if cur is not None:
+                self._d.move_to_end(key)
+                return cur
+            self._d[key] = val
+            if len(self._d) > self._max:
+                self._d.popitem(last=False)
+            return val
+
+    # the introspection surface the tests use (route asserts, cache-size
+    # no-retrace checks): len / iteration over keys / membership
+    def __len__(self):
+        with self._lock:
+            return len(self._d)
+
+    def __iter__(self):
+        with self._lock:
+            return iter(list(self._d))
+
+    def __contains__(self, key):
+        with self._lock:
+            return key in self._d
+
+
+_CODES_FN_CACHE = _LruCache(32)  # forests/thresholds cycled in one process
 
 
 def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
@@ -780,18 +826,9 @@ def _cached_codes_fn(mask: FilterMask, settings: InferenceSettings,
         tuple(np.asarray(mask.tau)),
         mask.type, settings.gradient_threshold, use_pallas,
     )
-    fn = _CODES_FN_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(functools.partial(
-            _codes_and_candidates, mask=mask, settings=settings,
-            use_pallas=use_pallas,
-        ))
-        _CODES_FN_CACHE[key] = fn
-        if len(_CODES_FN_CACHE) > _CODES_FN_CACHE_MAX:
-            _CODES_FN_CACHE.popitem(last=False)
-    else:
-        _CODES_FN_CACHE.move_to_end(key)
-    return fn
+    return _CODES_FN_CACHE.get_or_add(key, lambda: jax.jit(
+        functools.partial(_codes_and_candidates, mask=mask,
+                          settings=settings, use_pallas=use_pallas)))
 
 
 def extract_descriptors(
@@ -834,11 +871,9 @@ def supports_to_numpy(xs, ys, ds, count) -> np.ndarray:
     return out
 
 
-_MATCH_FN_CACHE = collections.OrderedDict()
-_MATCH_FN_CACHE_MAX = 16  # LRU bound, same rationale as _CODES_FN_CACHE
+_MATCH_FN_CACHE = _LruCache(16)  # same rationale as _CODES_FN_CACHE
 
-_FOREST_CACHE = collections.OrderedDict()
-_FOREST_CACHE_MAX = 8
+_FOREST_CACHE = _LruCache(8)
 
 
 def _load_forest_cached(path: str) -> Forest:
@@ -850,15 +885,7 @@ def _load_forest_cached(path: str) -> Forest:
     real = os.path.realpath(path)
     st = os.stat(real)
     key = (real, st.st_mtime_ns, st.st_size)
-    forest = _FOREST_CACHE.get(key)
-    if forest is None:
-        forest = load_forest(real)
-        _FOREST_CACHE[key] = forest
-        if len(_FOREST_CACHE) > _FOREST_CACHE_MAX:
-            _FOREST_CACHE.popitem(last=False)
-    else:
-        _FOREST_CACHE.move_to_end(key)
-    return forest
+    return _FOREST_CACHE.get_or_add(key, lambda: load_forest(real))
 
 
 def _mask_cache_key(mask: FilterMask):
@@ -982,23 +1009,19 @@ def sparsematch(left, right, forest_or_mask,
     else:
         contract = "flat"
     key = (_mask_cache_key(mask), settings, use_pallas, contract)
-    fn = _MATCH_FN_CACHE.get(key)
-    if fn is None:
+
+    def _build():
         if levels > 1:
             # lazy import: pyramid.py imports infer.py at module scope
             from opengpc_tpu.pyramid import build_pyramid_sparsematch
-            fn = build_pyramid_sparsematch(
+            return build_pyramid_sparsematch(
                 mask, settings, num_levels=levels, use_pallas=use_pallas)
-        else:
-            build = {"masked": build_sparsematch_masked,
-                     "global-rows": build_sparsematch_global_rows,
-                     "flat": build_sparsematch}[contract]
-            fn = build(mask, settings, use_pallas=use_pallas)
-        _MATCH_FN_CACHE[key] = fn
-        if len(_MATCH_FN_CACHE) > _MATCH_FN_CACHE_MAX:
-            _MATCH_FN_CACHE.popitem(last=False)
-    else:
-        _MATCH_FN_CACHE.move_to_end(key)
+        build = {"masked": build_sparsematch_masked,
+                 "global-rows": build_sparsematch_global_rows,
+                 "flat": build_sparsematch}[contract]
+        return build(mask, settings, use_pallas=use_pallas)
+
+    fn = _MATCH_FN_CACHE.get_or_add(key, _build)
     # one host fetch per output leaf (NOT per pair: through the axon
     # relay each device->host transfer is a slow round-trip, so batched
     # decode slices numpy views of whole buffers)

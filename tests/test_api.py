@@ -2091,6 +2091,39 @@ def test_sparsematch_one_call_batched(tmp_path):
                     use_pallas=False)
 
 
+def test_sparsematch_one_call_thread_safety():
+    """The one-call caches are shared process state and serving loops
+    call sparsematch from worker threads: hammer the API from 8 threads
+    with a cache bound small enough to force evictions mid-flight — an
+    unlocked OrderedDict corrupts (move_to_end/popitem races), the
+    _LruCache must return per-call arrays identical to serial calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from opengpc_tpu import sparsematch
+    from opengpc_tpu.infer import _MATCH_FN_CACHE
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    l, r = make_pair(48, 72, 3, seed=55)
+    settings = [InferenceSettings(gradient_threshold=g, epipolar_mode=True,
+                                  disp_high=32, capacity=4096)
+                for g in (3, 4, 5, 6, 7, 8)]
+    want = [sparsematch(l, r, forest, s, use_pallas=False)
+            for s in settings]
+    old_max = _MATCH_FN_CACHE._max
+    _MATCH_FN_CACHE._max = 2  # evictions + rebuilds under contention
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(sparsematch, l, r, forest,
+                              settings[i % len(settings)],
+                              use_pallas=False)
+                    for i in range(48)]
+            got = [f.result() for f in futs]
+    finally:
+        _MATCH_FN_CACHE._max = old_max
+    for i, g in enumerate(got):
+        np.testing.assert_array_equal(g, want[i % len(settings)])
+
+
 def test_sparsematch_one_call_path_inputs(tmp_path):
     """sparsematch() accepts PNG paths for the images and a text path
     for the forest (the reference's samples/sparsematch.cpp workflow in
