@@ -905,7 +905,15 @@ def _image_arg(x) -> np.ndarray:
         from opengpc_tpu.io import read_gray
         return read_gray(os.fspath(x))
     if isinstance(x, (list, tuple)):
-        frames = [_image_arg(f) for f in x]
+        if (len(x) >= 4
+                and all(isinstance(f, (str, os.PathLike)) for f in x)):
+            # pool decode amortizes over the batch; below 4 files the
+            # spawn costs more than the ~1.3 ms native decodes it
+            # overlaps (measured size-gate note in README, r5)
+            from opengpc_tpu.io import read_gray_batch
+            frames = read_gray_batch([os.fspath(f) for f in x])
+        else:
+            frames = [_image_arg(f) for f in x]
         shapes = {f.shape for f in frames}
         if len(shapes) != 1:
             raise ValueError(
