@@ -36,12 +36,27 @@ from opengpc_tpu.ops.preprocess import (CANDIDATE_MARGIN, box3, sobel3,
                                          candidate_mask)
 
 
+def _require_u8(img) -> None:
+    """Trace-time dtype guard shared by every builder's preprocessing
+    entry: a float image (matplotlib/skimage imread returns float64 in
+    [0, 1]) silently produces ZERO candidates — sobel/box carry the
+    reference's uint8-exact semantics — so reject it with a typed error
+    instead of returning an empty support set.  dtype is static under
+    jit, so this costs nothing in the compiled program."""
+    if img.dtype != jnp.uint8:
+        raise ValueError(
+            f"expected uint8 grayscale image(s), got {img.dtype}; convert "
+            "explicitly (e.g. (img * 255).astype(np.uint8) for float "
+            "images in [0, 1])")
+
+
 def preprocess(img: jnp.ndarray, gradient_threshold: int):
     """Smooth + candidate mask for one uint8 image (inference.hpp:302-333).
 
     Sobel runs on the *raw* image, codes on the *smoothed* one, exactly
     like the reference (inference.hpp:308-313 vs 276-280).
     """
+    _require_u8(img)
     smooth = box3(img)
     grad = sobel3(img, gradient_threshold)
     return smooth, candidate_mask(grad)
@@ -52,6 +67,7 @@ def _codes_and_candidates(img, mask: FilterMask, settings: InferenceSettings,
     if use_pallas:
         from opengpc_tpu.ops.fused import fused_codes
 
+        _require_u8(img)
         return fused_codes(img, mask, settings.gradient_threshold)
     smooth, cand = preprocess(img, settings.gradient_threshold)
     return leaf_codes(smooth, mask), cand
@@ -126,6 +142,8 @@ def _fused_key_image(left, right, mask: FilterMask,
     from opengpc_tpu.match import SENTINEL_BASE
     from opengpc_tpu.ops.fused import fused_keys
 
+    _require_u8(left)
+    _require_u8(right)
     w = left.shape[1]
     key_l = fused_keys(left, mask, settings.gradient_threshold,
                        pos_base=0, sentinel_base=SENTINEL_BASE)

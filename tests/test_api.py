@@ -2091,6 +2091,41 @@ def test_sparsematch_one_call_batched(tmp_path):
                     use_pallas=False)
 
 
+def test_builders_reject_non_uint8():
+    """Builders share the one-call API's dtype guard: a float image
+    through build_sparsematch_* used to SILENTLY return zero supports
+    (sobel/box are uint8-exact reference semantics) — now every
+    builder's preprocessing entry raises a typed trace-time error, on
+    the jnp and the Pallas (interpret) paths alike."""
+    import pytest
+
+    from opengpc_tpu.infer import (build_sparsematch,
+                                   build_sparsematch_global_rows,
+                                   build_sparsematch_masked)
+
+    forest = load_forest(os.path.join(FORESTS, "defaultZeroForest.txt"))
+    l, r = make_pair(48, 72, 3, seed=9)
+    fl, fr = l.astype(np.float32) / 255.0, r.astype(np.float32) / 255.0
+    for build, st in (
+        (build_sparsematch_masked,
+         InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                           disp_high=32)),
+        (build_sparsematch,
+         InferenceSettings(gradient_threshold=5, epipolar_mode=True,
+                           disp_high=32)),
+        (build_sparsematch_global_rows,
+         InferenceSettings(gradient_threshold=5, epipolar_mode=False,
+                           disp_high=32)),
+    ):
+        for use_pallas in (False, True):
+            fn = build(forest, st, use_pallas=use_pallas)
+            with pytest.raises(ValueError, match="uint8"):
+                fn(fl, fr)
+            # uint8 still flows (the guard is dtype-only)
+            out = fn(l, r)
+            assert out is not None
+
+
 def test_sparsematch_one_call_thread_safety():
     """The one-call caches are shared process state and serving loops
     call sparsematch from worker threads: hammer the API from 8 threads
