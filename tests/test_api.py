@@ -2054,6 +2054,13 @@ def test_sparsematch_one_call_batched(tmp_path):
         ("pyramid", InferenceSettings(gradient_threshold=5,
                                       epipolar_mode=True, disp_high=32,
                                       capacity=16384), 3),
+        # global mode excludes the rows pyramid -> the lax.map'd lossless
+        # flat fallback, batched (the one route combination the table
+        # above misses)
+        ("pyramid-global", InferenceSettings(gradient_threshold=5,
+                                             epipolar_mode=False,
+                                             disp_high=32,
+                                             capacity=16384), 3),
     ):
         got = sparsematch(L, R, forest, settings, use_pallas=False,
                           levels=lv)
