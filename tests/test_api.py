@@ -2214,6 +2214,23 @@ def test_sparsematch_one_call_path_inputs(tmp_path):
     swapped = sparsematch(lp, rp, moved, settings, use_pallas=False)
     want_other = sparsematch(l, r, other, settings, use_pallas=False)
     np.testing.assert_array_equal(swapped, want_other)
+    # >=4 path entries take the 8-worker pool decode (the size gate in
+    # infer._batch_arg; below 4 the pool spawn costs more than the
+    # decodes it overlaps) — same outputs as the array batch
+    pairs4 = [make_pair(64, 96, 3, seed=100 + s) for s in range(4)]
+    lps, rps = [], []
+    for i, (li, ri) in enumerate(pairs4):
+        lps.append(str(tmp_path / f"pl{i}.png"))
+        rps.append(str(tmp_path / f"pr{i}.png"))
+        write_png(lps[-1], li)
+        write_png(rps[-1], ri)
+    got4 = sparsematch(lps, rps, fpath, settings, use_pallas=False)
+    want4 = sparsematch(np.stack([p[0] for p in pairs4]),
+                        np.stack([p[1] for p in pairs4]),
+                        forest, settings, use_pallas=False)
+    assert len(got4) == 4
+    for g, w in zip(got4, want4):
+        np.testing.assert_array_equal(g, w)
 
 
 def test_sparsematch_one_call_routing_fuzz():
