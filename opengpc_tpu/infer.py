@@ -33,21 +33,12 @@ from opengpc_tpu.forest import FilterMask, Forest, make_filter_mask
 from opengpc_tpu.match import match_epipolar, match_global
 from opengpc_tpu.ops.codes import leaf_codes
 from opengpc_tpu.ops.preprocess import (CANDIDATE_MARGIN, box3, sobel3,
-                                         candidate_mask)
+                                         candidate_mask,
+                                         require_u8 as _require_u8)
 
 
-def _require_u8(img) -> None:
-    """Trace-time dtype guard shared by every builder's preprocessing
-    entry: a float image (matplotlib/skimage imread returns float64 in
-    [0, 1]) silently produces ZERO candidates — sobel/box carry the
-    reference's uint8-exact semantics — so reject it with a typed error
-    instead of returning an empty support set.  dtype is static under
-    jit, so this costs nothing in the compiled program."""
-    if img.dtype != jnp.uint8:
-        raise ValueError(
-            f"expected uint8 grayscale image(s), got {img.dtype}; convert "
-            "explicitly (e.g. (img * 255).astype(np.uint8) for float "
-            "images in [0, 1])")
+# the dtype guard lives in ops/preprocess.require_u8 (imported above as
+# _require_u8) so the Pallas kernels can share it without importing infer
 
 
 def preprocess(img: jnp.ndarray, gradient_threshold: int):
@@ -298,6 +289,8 @@ def _key_image_jnp_slab(slab_l, slab_r, mask: FilterMask,
     from opengpc_tpu.match import SENTINEL_BASE
     from opengpc_tpu.ops.fused import PAD, mask_tests, tile_codes_and_cand
 
+    _require_u8(slab_l)
+    _require_u8(slab_r)
     sh = slab_l.shape[0] - 2 * PAD
     w = slab_l.shape[1]
     tests = mask_tests(mask)
@@ -787,7 +780,11 @@ class _LruCache:
     two threads corrupts it.  ``make`` runs OUTSIDE the lock (jit
     wrapping / a forest text parse shouldn't serialize unrelated
     callers); a lost race discards the duplicate and returns the
-    first-written value so every caller sees one shared fn."""
+    first-written value, so concurrent callers of a live key share one
+    fn.  (If the first-written entry is EVICTED between a loser's
+    make() and its re-check, that caller inserts and returns its own
+    duplicate — correct but a redundant build; only sustained churn of
+    >max_entries distinct keys can hit this.)"""
 
     def __init__(self, max_entries: int):
         self._d = collections.OrderedDict()
@@ -824,6 +821,10 @@ class _LruCache:
     def __contains__(self, key):
         with self._lock:
             return key in self._d
+
+    def discard(self, key):
+        with self._lock:
+            self._d.pop(key, None)
 
 
 _CODES_FN_CACHE = _LruCache(32)  # forests/thresholds cycled in one process
@@ -897,13 +898,30 @@ _FOREST_CACHE = _LruCache(8)
 def _load_forest_cached(path: str) -> Forest:
     """load_forest keyed by (realpath, mtime, size): per-frame
     sparsematch(path) calls skip the text re-parse, an edited/replaced
-    file is picked up on the next call."""
+    file is picked up on the next call.
+
+    The key is re-stat'ed AFTER the parse and the call retried if it
+    changed: stat-then-parse alone is a TOCTOU — a concurrent swap
+    between the stat and the read would cache the NEW content under the
+    OLD (mtime, size) key, and a later restore of the original file
+    (mtime preserved: mv/rsync -a/copystat) would then silently serve
+    the wrong forest forever."""
     from opengpc_tpu.forest import load_forest
 
     real = os.path.realpath(path)
-    st = os.stat(real)
-    key = (real, st.st_mtime_ns, st.st_size)
-    return _FOREST_CACHE.get_or_add(key, lambda: load_forest(real))
+    for _ in range(8):
+        st = os.stat(real)
+        key = (real, st.st_mtime_ns, st.st_size)
+        forest = _FOREST_CACHE.get_or_add(key, lambda: load_forest(real))
+        st2 = os.stat(real)
+        if (st2.st_mtime_ns, st2.st_size) == (st.st_mtime_ns, st.st_size):
+            return forest
+        # the cached entry may hold post-swap content under the pre-swap
+        # key — drop it so a later restore of the original file can't be
+        # served the wrong forest
+        _FOREST_CACHE.discard(key)
+    # the file keeps changing under us; serve the freshest parse uncached
+    return load_forest(real)
 
 
 def _mask_cache_key(mask: FilterMask):
@@ -923,6 +941,10 @@ def _image_arg(x) -> np.ndarray:
         from opengpc_tpu.io import read_gray
         return read_gray(os.fspath(x))
     if isinstance(x, (list, tuple)):
+        if not x:
+            raise ValueError(
+                "sparsematch got an empty batch list (e.g. a glob that "
+                "matched no files)")
         if (len(x) >= 4
                 and all(isinstance(f, (str, os.PathLike)) for f in x)):
             # pool decode amortizes over the batch; below 4 files the
@@ -1005,14 +1027,10 @@ def sparsematch(left, right, forest_or_mask,
         use_pallas = jax.default_backend() == "tpu"
     left = _image_arg(left)
     right = _image_arg(right)
-    if left.dtype != np.uint8 or right.dtype != np.uint8:
-        # a float imread (matplotlib/skimage return float64 in [0, 1])
-        # would sail through the pipeline and return an empty/garbage
-        # support set with no diagnostic
-        raise ValueError(
-            f"sparsematch takes (H, W) uint8 grayscale images, got "
-            f"{left.dtype}/{right.dtype}; convert explicitly (e.g. "
-            "(img * 255).astype(np.uint8) for float images in [0, 1])")
+    # same guard as every builder's preprocessing entry, raised here
+    # before any tracing so the error points at the user's arrays
+    _require_u8(left)
+    _require_u8(right)
     if left.shape != right.shape:
         raise ValueError(
             f"image shapes differ: {left.shape} vs {right.shape}")

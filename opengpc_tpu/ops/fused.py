@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from opengpc_tpu.forest import FilterMask, PATCH_HALF
 
-from opengpc_tpu.ops.preprocess import CANDIDATE_MARGIN
+from opengpc_tpu.ops.preprocess import CANDIDATE_MARGIN, require_u8
 
 PAD = PATCH_HALF + 1       # 13-px code halo + 1-px box/sobel halo
 MARGIN = CANDIDATE_MARGIN  # candidate interior margin (inference.hpp:318-325)
@@ -263,6 +263,7 @@ def _prep(img, mask: FilterMask, gradient_threshold: int, tile=None):
     temp stack always admits th=64, wide enough that lane-dim DMA offsets
     (multiples of tw) stay 128-aligned.  ``tile=(th, tw)`` overrides the
     choice (experiments/exp_tile.py A/Bs tile aspect ratios)."""
+    require_u8(img)
     h, w = img.shape
     th, tw, n_rt, n_ct = _tile_geom(h, w, tile)
     # pad so every tile's halo read (rows [i*th, i*th + th + _HALO_R),
@@ -469,6 +470,7 @@ def fused_keys_slab(
     static full-image height.  Returns the (sh, W) key block — bit-equal
     to rows [y0, y0+sh) of fused_keys on the full image.
     """
+    require_u8(slab)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     sh = slab.shape[0] - 2 * PAD

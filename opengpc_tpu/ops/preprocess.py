@@ -24,6 +24,21 @@ import jax
 import jax.numpy as jnp
 
 
+def require_u8(img) -> None:
+    """Trace-time dtype guard shared by every preprocessing entry — the
+    jnp ops, the fused Pallas kernels (incl. the sharded slab variants),
+    and the one-call API: a float image (matplotlib/skimage imread
+    returns float64 in [0, 1]) silently produces ZERO candidates —
+    sobel/box carry the reference's uint8-exact semantics — so reject it
+    with a typed error instead of returning an empty support set.  dtype
+    is static under jit, so this costs nothing in the compiled program."""
+    if img.dtype != jnp.uint8:
+        raise ValueError(
+            f"expected uint8 grayscale image(s), got {img.dtype}; convert "
+            "explicitly (e.g. (img * 255).astype(np.uint8) for float "
+            "images in [0, 1])")
+
+
 def _shifted(padded: jnp.ndarray, dy: int, dx: int, h: int, w: int, pad: int) -> jnp.ndarray:
     """Static window of a pad-`pad` image shifted by (dy, dx)."""
     return jax.lax.slice(padded, (pad + dy, pad + dx), (pad + dy + h, pad + dx + w))

@@ -2215,7 +2215,7 @@ def test_sparsematch_one_call_path_inputs(tmp_path):
     want_other = sparsematch(l, r, other, settings, use_pallas=False)
     np.testing.assert_array_equal(swapped, want_other)
     # >=4 path entries take the 8-worker pool decode (the size gate in
-    # infer._batch_arg; below 4 the pool spawn costs more than the
+    # infer._image_arg; below 4 the pool spawn costs more than the
     # decodes it overlaps) — same outputs as the array batch
     pairs4 = [make_pair(64, 96, 3, seed=100 + s) for s in range(4)]
     lps, rps = [], []
@@ -2299,3 +2299,61 @@ def test_sparsematch_pyramid_fallback_lossless():
     assert len(got_tiny) > 8  # capacity=8 did NOT truncate
     assert sorted(map(tuple, got_tiny.tolist())) == \
         sorted(map(tuple, got_big.tolist()))
+
+
+def test_sparsematch_one_call_empty_batch_list():
+    """An empty batch list (e.g. a glob that matched nothing) gets a
+    clear empty-batch error, not the misleading 'differing shapes: []'
+    message."""
+    from opengpc_tpu import sparsematch
+
+    fpath = os.path.join(FORESTS, "defaultZeroForest.txt")
+    with pytest.raises(ValueError, match="empty batch"):
+        sparsematch([], [], fpath,
+                    InferenceSettings(gradient_threshold=5,
+                                      epipolar_mode=True),
+                    use_pallas=False)
+
+
+def test_forest_cache_swap_during_parse(tmp_path, monkeypatch):
+    """_load_forest_cached's stat-then-parse TOCTOU: a swap landing
+    between the stat and the read used to cache the NEW content under
+    the OLD (mtime, size) key — a later restore of the original file
+    with its mtime preserved (mv of a kept copy / rsync -a / copystat)
+    would then silently serve the wrong forest.  The re-stat-after-parse
+    retry must discard the suspect entry and serve the file's CURRENT
+    content at every step."""
+    import shutil
+
+    import opengpc_tpu.forest as forest_mod
+    from opengpc_tpu.forest import serialize_forest
+    from opengpc_tpu.infer import _load_forest_cached
+
+    a = os.path.join(FORESTS, "defaultZeroForest.txt")
+    b = os.path.join(FORESTS, "defaultTauForest.txt")
+    sa = serialize_forest(load_forest(a))
+    sb = serialize_forest(load_forest(b))
+    p = str(tmp_path / "f.txt")
+    shutil.copyfile(a, p)
+    st_a = os.stat(p)
+
+    real_load = forest_mod.load_forest
+    swapped = {"done": False}
+
+    def swap_then_load(path):
+        if not swapped["done"]:
+            swapped["done"] = True
+            shutil.copyfile(b, path)  # the swap lands mid-parse
+        return real_load(path)
+
+    monkeypatch.setattr(forest_mod, "load_forest", swap_then_load)
+    got = _load_forest_cached(p)
+    # the retry re-stats, sees the key changed, and returns the CURRENT
+    # (post-swap) content
+    assert serialize_forest(got) == sb
+    # restore the original file with its exact pre-swap (mtime, size) —
+    # a poisoned cache entry would serve forest B here
+    shutil.copyfile(a, p)
+    os.utime(p, ns=(st_a.st_atime_ns, st_a.st_mtime_ns))
+    back = _load_forest_cached(p)
+    assert serialize_forest(back) == sa

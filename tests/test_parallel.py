@@ -1165,3 +1165,38 @@ def test_sharded_frame_randomized_fuzz():
                     np.asarray(ds), np.asarray(sds), err_msg=str(label))
             total += int(np.asarray(scounts).sum())
     assert total > 30 * trials, total
+
+
+def test_sharded_frame_rejects_non_uint8():
+    """The sharded slab path shares the builders' uint8 guard
+    (ops/preprocess.require_u8 via infer._key_image_jnp_slab /
+    ops.fused.fused_keys_slab): a float pair through
+    build_sharded_frame_sparsematch used to truncate to zeros in
+    slab.astype(int32) and return an EMPTY support set silently, while
+    the single-device builders raised — inconsistent guard coverage."""
+    import os
+
+    import pytest
+
+    from opengpc_tpu.config import InferenceSettings
+    from opengpc_tpu.forest import load_forest
+    from opengpc_tpu.parallel import build_sharded_frame_sparsematch
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    forest = load_forest(os.path.join(repo, "forests",
+                                      "defaultZeroForest.txt"))
+    settings = InferenceSettings(
+        gradient_threshold=5, epipolar_mode=True, disp_high=64,
+        capacity=8192
+    )
+    left, right = _frame_pair(33, 128, 96)
+    fl = left.astype(np.float32) / 255.0
+    fr = right.astype(np.float32) / 255.0
+    mesh = make_mesh()
+    sharded = build_sharded_frame_sparsematch(forest, settings, mesh,
+                                              use_pallas=False)
+    with pytest.raises(ValueError, match="uint8"):
+        sharded(fl, fr)
+    # uint8 still flows (the guard is dtype-only)
+    buf, counts = sharded(left, right)
+    assert int(np.asarray(counts).sum()) > 0
