@@ -1193,10 +1193,13 @@ def test_sharded_frame_rejects_non_uint8():
     fl = left.astype(np.float32) / 255.0
     fr = right.astype(np.float32) / 255.0
     mesh = make_mesh()
-    sharded = build_sharded_frame_sparsematch(forest, settings, mesh,
-                                              use_pallas=False)
-    with pytest.raises(ValueError, match="uint8"):
-        sharded(fl, fr)
-    # uint8 still flows (the guard is dtype-only)
-    buf, counts = sharded(left, right)
-    assert int(np.asarray(counts).sum()) > 0
+    # both slab entries: use_pallas=False rides _key_image_jnp_slab,
+    # True rides ops.fused.fused_keys_slab (interpret mode on CPU)
+    for use_pallas in (False, True):
+        sharded = build_sharded_frame_sparsematch(forest, settings, mesh,
+                                                  use_pallas=use_pallas)
+        with pytest.raises(ValueError, match="uint8"):
+            sharded(fl, fr)
+        # uint8 still flows (the guard is dtype-only)
+        buf, counts = sharded(left, right)
+        assert int(np.asarray(counts).sum()) > 0
